@@ -1,0 +1,200 @@
+"""Platt sigmoid calibration, semantically matching sklearn's
+``_SigmoidCalibration`` / ``_fit_calibrator`` / ``CalibratedClassifierCV
+(cv='prefit', method='sigmoid')`` path, without depending on private sklearn
+APIs.
+
+The reference trains through sklearn's private ``_fit_calibrator``
+(reference: mermaid_classifier/pyspacer/trainer.py:344-396) and pins the
+semantics with a version gate (reference: inference/__init__.py:12-17).
+This reimplementation carries the same math first-party:
+
+  - Platt's Bayesian target priors: T[y>0] = (prior1+1)/(prior1+2),
+    T[y<=0] = 1/(prior0+2).
+  - Feature rescale when max|F| >= 30 (invariance trick), rescaling ``a``
+    back afterwards.
+  - Half-binomial loss minimized with L-BFGS-B, analytic gradient,
+    gtol=1e-6, ftol=64*eps, init AB0 = [0, log((prior0+1)/(prior1+1))].
+  - Per-class one-vs-rest calibrators for K > 2; a single positive-column
+    calibrator for K == 2.
+  - predict_proba: c_k = sigmoid(-(a_k p_k + b_k)); multiclass rows
+    normalized with a uniform fallback when the row sums to zero; values
+    that overshoot 1.0 by <= 1e-5 clipped to exactly 1.0.
+"""
+
+from __future__ import annotations
+
+from math import log
+from typing import Any
+
+import numpy as np
+from scipy.optimize import minimize
+from scipy.special import expit
+
+
+def fit_sigmoid_calibration(
+    predictions: np.ndarray,
+    y: np.ndarray,
+    sample_weight: np.ndarray | None = None,
+    max_abs_prediction_threshold: float = 30.0,
+) -> tuple[float, float]:
+    """Fit Platt's sigmoid: P(y=1|F) = sigmoid(-(a*F + b)).
+
+    ``predictions`` are the uncalibrated scores for one class column;
+    ``y`` is binary (1 = positive class, 0/-1 = negative). Returns (a, b).
+    """
+    F = np.asarray(predictions, dtype=np.float64).ravel()
+    y = np.asarray(y).ravel()
+    if F.shape[0] != y.shape[0]:
+        raise ValueError(
+            f"predictions and y must have the same length; got {F.shape[0]} vs {y.shape[0]}."
+        )
+
+    scale_constant = 1.0
+    max_prediction = float(np.max(np.abs(F))) if F.size else 0.0
+    # Large raw scores are rescaled into a stable range; a linear model
+    # without penalty is invariant to this, and ``a`` is scaled back below.
+    if max_prediction >= max_abs_prediction_threshold:
+        scale_constant = max_prediction
+        F = F / scale_constant
+
+    mask_negative = y <= 0
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64).ravel()
+        prior0 = float(sample_weight[mask_negative].sum())
+        prior1 = float(sample_weight[~mask_negative].sum())
+    else:
+        prior0 = float(np.sum(mask_negative))
+        prior1 = float(y.shape[0] - prior0)
+    T = np.zeros_like(F)
+    T[y > 0] = (prior1 + 1.0) / (prior1 + 2.0)
+    T[y <= 0] = 1.0 / (prior0 + 2.0)
+
+    def loss_grad(AB: np.ndarray) -> tuple[float, np.ndarray]:
+        raw = -(AB[0] * F + AB[1])
+        # Half-binomial loss per sample: log(1 + exp(raw)) - T * raw,
+        # computed stably; gradient wrt raw is sigmoid(raw) - T.
+        losses = np.logaddexp(0.0, raw) - T * raw
+        g = expit(raw) - T
+        if sample_weight is not None:
+            losses = losses * sample_weight
+            g = g * sample_weight
+        grad = np.asarray([-(g @ F), -g.sum()], dtype=np.float64)
+        return float(losses.sum()), grad
+
+    AB0 = np.array([0.0, log((prior0 + 1.0) / (prior1 + 1.0))])
+    opt_result = minimize(
+        loss_grad,
+        AB0,
+        method="L-BFGS-B",
+        jac=True,
+        options={"gtol": 1e-6, "ftol": 64 * np.finfo(float).eps},
+    )
+    a, b = opt_result.x
+    return float(a / scale_constant), float(b)
+
+
+# sklearn clips probabilities that overshoot 1.0 by float rounding (up to
+# 1e-5) back to exactly 1.0.
+_OVERSHOOT_EPS = 1e-5
+
+
+class CalibratedClassifier:
+    """A prefit estimator + per-class Platt calibrators.
+
+    Drop-in for the role sklearn's ``CalibratedClassifierCV(cv='prefit',
+    method='sigmoid')`` plays in the reference trainer
+    (reference: trainer.py:344-396). Exposes ``classes_``,
+    ``calibration_a_``/``calibration_b_`` (in classes_ order), ``estimator``,
+    and ``predict_proba``/``predict``.
+    """
+
+    cv = "prefit"
+    method = "sigmoid"
+
+    def __init__(self, estimator: Any, a: np.ndarray, b: np.ndarray) -> None:
+        self.estimator = estimator
+        self.classes_ = np.asarray(estimator.classes_)
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        n_classes = len(self.classes_)
+        n_calibrators = 1 if n_classes == 2 else n_classes
+        if a.shape != (n_calibrators,) or b.shape != (n_calibrators,):
+            raise ValueError(
+                f"Expected {n_calibrators} calibrators for K={n_classes};"
+                f" got a.shape={a.shape}, b.shape={b.shape}."
+            )
+        self.calibration_a_ = a
+        self.calibration_b_ = b
+
+    @classmethod
+    def fit_from_scores(
+        cls,
+        estimator: Any,
+        predictions: np.ndarray,
+        y: np.ndarray,
+        sample_weight: np.ndarray | None = None,
+    ) -> "CalibratedClassifier":
+        """Fit calibrators from precomputed uncalibrated scores.
+
+        ``predictions`` is (N, K) for multiclass or (N, 1) (positive-class
+        column) for binary — the same contract as sklearn's
+        ``_fit_calibrator`` that the reference's batched calibration uses
+        (reference: trainer.py:359-396).
+        """
+        predictions = np.asarray(predictions, dtype=np.float64)
+        if predictions.ndim != 2:
+            raise ValueError(f"predictions must be 2D, got shape {predictions.shape}")
+        y = np.asarray(y)
+        classes = np.asarray(estimator.classes_)
+        n_classes = len(classes)
+        if n_classes == 2:
+            if predictions.shape[1] != 1:
+                raise ValueError(
+                    f"binary calibration expects (N, 1) positive-class scores,"
+                    f" got {predictions.shape}."
+                )
+            y_bin = (y == classes[1]).astype(np.float64)
+            a, b = fit_sigmoid_calibration(predictions[:, 0], y_bin, sample_weight)
+            return cls(estimator, np.asarray([a]), np.asarray([b]))
+        if predictions.shape[1] != n_classes:
+            raise ValueError(
+                f"predictions has {predictions.shape[1]} columns, expected"
+                f" {n_classes} (one per class)."
+            )
+        a_list, b_list = [], []
+        # One-vs-rest label binarization in classes_ order, matching
+        # sklearn's label_binarize + per-column sigmoid fit.
+        for k in range(n_classes):
+            y_bin = (y == classes[k]).astype(np.float64)
+            a_k, b_k = fit_sigmoid_calibration(predictions[:, k], y_bin, sample_weight)
+            a_list.append(a_k)
+            b_list.append(b_k)
+        return cls(estimator, np.asarray(a_list), np.asarray(b_list))
+
+    def predict_proba(self, X: Any) -> np.ndarray:
+        uncalibrated = np.asarray(self.estimator.predict_proba(X), dtype=np.float64)
+        return self.calibrate_scores(uncalibrated)
+
+    def calibrate_scores(self, uncalibrated: np.ndarray) -> np.ndarray:
+        """Apply the fitted calibrators to precomputed uncalibrated (N, K)
+        probabilities — lets callers stream predict_proba in batches without
+        re-running the estimator (the reference's memory-efficiency trick)."""
+        uncalibrated = np.asarray(uncalibrated, dtype=np.float64)
+        n_classes = len(self.classes_)
+        if n_classes == 2:
+            pos = expit(
+                -(self.calibration_a_[0] * uncalibrated[:, 1] + self.calibration_b_[0])
+            )
+            proba = np.column_stack([1.0 - pos, pos])
+        else:
+            c = expit(-(self.calibration_a_ * uncalibrated + self.calibration_b_))
+            denom = c.sum(axis=1, keepdims=True)
+            nonzero = (denom != 0).ravel()
+            proba = np.full_like(c, 1.0 / n_classes)
+            proba[nonzero] = c[nonzero] / denom[nonzero]
+        overshoot = (proba > 1.0) & (proba <= 1.0 + _OVERSHOOT_EPS)
+        proba[overshoot] = 1.0
+        return proba
+
+    def predict(self, X: Any) -> np.ndarray:
+        return self.classes_[np.argmax(self.predict_proba(X), axis=1)]

@@ -1,0 +1,521 @@
+"""JAX/optax reimplementation of sklearn.neural_network.MLPClassifier,
+scoped to the subset of behavior the MERMAID pipeline uses.
+
+TPU-native equivalent of the reference's TorchMLPClassifier
+(reference: mermaid_classifier/pyspacer/torch_classifier.py:1-444), which is
+itself a drop-in for sklearn's MLPClassifier trained via ``partial_fit`` and
+wrapped in sigmoid calibration. The semantics the reference's differential
+tests pin (test_mlp_benchmark.py) are reproduced here:
+
+  - Glorot/Xavier-uniform weight init, zero biases, seeded determinism.
+  - ``partial_fit(X, y, classes=)`` / ``fit`` / ``predict`` / ``predict_proba``
+    / ``classes_`` (sorted) / ``loss_curve_`` (one entry per partial_fit call)
+    / ``n_iter_``.
+  - Seeded shuffle: an int ``random_state`` re-creates the same
+    ``np.random.default_rng`` every partial_fit call, so identical input +
+    seed reproduces the same order; ``random_state=None`` seeds a per-instance
+    RNG once from NumPy's global RNG (reference: torch_classifier.py:143-157).
+  - In-loss L2 on weights only, scaled per mini-batch:
+    ``0.5 * alpha / mb_size * sum(W^2)`` (reference: torch_classifier.py:216-224,
+    284-291; matches sklearn's _backprop).
+  - Optional per-class CE weights with torch ``F.cross_entropy(weight=)``
+    mean-reduction semantics: ``sum(w[y_i] * ce_i) / sum(w[y_i])``
+    (reference: torch_classifier.py:278-284).
+  - ``loss_curve_`` records the regularised loss averaged across the full
+    partial_fit input, weighted by mini-batch size
+    (reference: torch_classifier.py:295-301).
+  - Adam only, ReLU only; float32 forward with a float64 row-renormalised
+    ``predict_proba`` and a 1e-4 drift warning
+    (reference: torch_classifier.py:332-370).
+
+TPU-first design, not a translation: the whole partial_fit pass is a single
+jitted ``lax.scan`` over fixed-shape mini-batches (tail padded + masked), so
+the hot loop is one XLA program per input shape instead of a Python loop of
+optimizer steps. Matmuls run at HIGHEST precision so float32 semantics match
+CPU/sklearn within the parity gates rather than drifting to bfloat16.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import warnings
+from collections.abc import Sequence
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# Upper bound on the row-sum drift we expect from a softmax computed in
+# float32 then cast to float64 (reference: torch_classifier.py:44-49).
+_EXPECTED_FP_DRIFT_TOL = 1e-4
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _forward_logits(weights: list[jax.Array], biases: list[jax.Array], x: jax.Array) -> jax.Array:
+    """Linear -> ReLU -> ... -> Linear stack returning raw logits."""
+    n = len(weights)
+    for i in range(n):
+        x = (
+            jax.lax.dot_general(
+                x,
+                weights[i],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=_HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + biases[i]
+        )
+        if i < n - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def _xavier_uniform(key: jax.Array, fan_in: int, fan_out: int) -> jax.Array:
+    # Glorot uniform — matches sklearn MLP's init for non-logistic
+    # activations (factor=6 in sklearn's _init_coef) and torch's
+    # xavier_uniform_ (reference: torch_classifier.py:68-73).
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(
+        key, (fan_in, fan_out), dtype=jnp.float32, minval=-limit, maxval=limit
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _make_epoch_fn(
+    n_batches: int,
+    layer_sizes: tuple[int, ...],
+    lr: float,
+    b1: float,
+    b2: float,
+    eps: float,
+    alpha: float,
+):
+    """Build the jitted scan-over-minibatches epoch function.
+
+    Cached on (shape, hyperparams) so repeated partial_fit calls with the
+    same input geometry reuse one compiled XLA program. optax transforms are
+    pure, so re-instantiating adam with identical hyperparams yields update
+    rules and state structures compatible with any state created by
+    ``_make_optimizer`` with the same hyperparams.
+    """
+    del layer_sizes  # participates in the cache key only; shapes live in args
+    opt = _make_optimizer(lr, b1, b2, eps)
+
+    def epoch(params, opt_state, xs, ys, ws, ns):
+        # xs: (n_batches, B, D) f32; ys: (n_batches, B) i32;
+        # ws: (n_batches, B) f32 per-sample weights (0 on padding);
+        # ns: (n_batches,) f32 real row counts per mini-batch.
+        def step(carry, batch):
+            params, opt_state = carry
+            xb, yb, wb, n_real = batch
+
+            def loss_fn(p):
+                logits = _forward_logits(p["W"], p["b"], xb)
+                logp = jax.nn.log_softmax(logits, axis=1)
+                ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+                data_loss = jnp.sum(wb * ce) / jnp.sum(wb)
+                # Per-mini-batch L2 on weights only, scaled by the real row
+                # count of this mini-batch (reference: torch_classifier.py:284-291).
+                sq = jnp.asarray(0.0, dtype=jnp.float32)
+                for w in p["W"]:
+                    sq = sq + jnp.sum(w * w)
+                reg_loss = (0.5 * alpha / n_real) * sq
+                return data_loss + reg_loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (xs, ys, ws, ns), length=n_batches
+        )
+        return params, opt_state, losses
+
+    return jax.jit(epoch)
+
+
+def _make_optimizer(lr: float, b1: float, b2: float, eps: float) -> optax.GradientTransformation:
+    # eps_root=0.0 makes optax.adam bit-identical to torch.optim.Adam's
+    # m_hat / (sqrt(v_hat) + eps) update.
+    return optax.adam(lr, b1=b1, b2=b2, eps=eps, eps_root=0.0)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_forward():
+    def fwd(params, x):
+        return jax.nn.softmax(_forward_logits(params["W"], params["b"], x), axis=1)
+
+    return jax.jit(fwd)
+
+
+class MLPClassifier:
+    """sklearn-MLPClassifier-compatible JAX classifier head.
+
+    See module docstring for the supported API subset and pinned semantics.
+    """
+
+    _estimator_type = "classifier"
+
+    def __init__(
+        self,
+        hidden_layer_sizes: Sequence[int] = (100,),
+        activation: str = "relu",
+        solver: str = "adam",
+        alpha: float = 0.0001,
+        batch_size: int | str = "auto",
+        learning_rate_init: float = 0.001,
+        max_iter: int = 200,
+        shuffle: bool = True,
+        random_state: int | None = None,
+        tol: float = 1e-4,
+        beta_1: float = 0.9,
+        beta_2: float = 0.999,
+        epsilon: float = 1e-8,
+        class_weight: dict[Any, float] | None = None,
+    ):
+        if activation != "relu":
+            raise ValueError(
+                f"MLPClassifier only supports activation='relu', got {activation!r}."
+            )
+        if solver != "adam":
+            raise ValueError(f"MLPClassifier only supports solver='adam', got {solver!r}.")
+
+        self.hidden_layer_sizes = tuple(hidden_layer_sizes)
+        self.activation = activation
+        self.solver = solver
+        self.alpha = alpha
+        self.batch_size = batch_size
+        self.learning_rate_init = learning_rate_init
+        self.max_iter = max_iter
+        self.shuffle = shuffle
+        self.random_state = random_state
+        self.tol = tol
+        self.beta_1 = beta_1
+        self.beta_2 = beta_2
+        self.epsilon = epsilon
+        # Per-class loss weighting: dict class label -> non-negative float,
+        # materialized in classes_ order on first partial_fit
+        # (reference: torch_classifier.py:132-136).
+        self.class_weight = class_weight
+
+    # --- sklearn-compatible coefficient views -----------------------------
+
+    @property
+    def coefs_(self) -> list[np.ndarray]:
+        """Per-layer weight matrices, (in, out) float32 — sklearn naming, and
+        the contract the artifact exporter consumes."""
+        return [np.asarray(w) for w in self._params["W"]]
+
+    @property
+    def intercepts_(self) -> list[np.ndarray]:
+        return [np.asarray(b) for b in self._params["b"]]
+
+    # --- internals ----------------------------------------------------------
+
+    def _resolve_batch_size(self, n_samples: int) -> int:
+        if self.batch_size == "auto":
+            return min(200, n_samples)
+        return min(int(self.batch_size), n_samples)
+
+    def _seed_rng(self) -> np.random.Generator:
+        # Same seeding contract as the reference
+        # (reference: torch_classifier.py:143-157).
+        base_seed = self.random_state
+        if base_seed is not None:
+            return np.random.default_rng(int(base_seed))
+        if not hasattr(self, "_none_rng"):
+            self._none_rng = np.random.default_rng(
+                np.random.randint(0, np.iinfo(np.int32).max)
+            )
+        return self._none_rng
+
+    def _labels_to_indices(self, y: np.ndarray) -> np.ndarray:
+        y = np.asarray(y)
+        idx = np.searchsorted(self.classes_, y)
+        missing = idx >= len(self.classes_)
+        if missing.any() or not np.array_equal(self.classes_[idx], y):
+            bad = set(np.asarray(y).tolist()) - set(self.classes_.tolist())
+            raise ValueError(
+                f"Labels {sorted(bad)} are not in classes_"
+                f" {self.classes_.tolist()}. Pass all classes to the first"
+                f" partial_fit call."
+            )
+        return idx
+
+    def _layer_sizes(self) -> tuple[int, ...]:
+        return (self.n_features_in_, *self.hidden_layer_sizes, len(self.classes_))
+
+    def _init_params(self) -> None:
+        if self.random_state is not None:
+            key = jax.random.PRNGKey(int(self.random_state))
+        else:
+            key = jax.random.PRNGKey(np.random.randint(0, np.iinfo(np.int32).max))
+        sizes = self._layer_sizes()
+        weights, biases = [], []
+        for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+            weights.append(_xavier_uniform(jax.random.fold_in(key, i), fan_in, fan_out))
+            biases.append(jnp.zeros((fan_out,), dtype=jnp.float32))
+        self._params = {"W": weights, "b": biases}
+
+    def _init_optimizer(self) -> None:
+        opt = _make_optimizer(
+            self.learning_rate_init, self.beta_1, self.beta_2, self.epsilon
+        )
+        self._opt_state = opt.init(self._params)
+
+    def _build_class_weight_vector(self) -> np.ndarray | None:
+        """Materialize ``self.class_weight`` into a vector in classes_ order
+        (reference: torch_classifier.py:192-214)."""
+        if self.class_weight is None:
+            return None
+        weights: list[float] = []
+        for cls in self.classes_:
+            if cls not in self.class_weight:
+                bad = sorted(set(self.classes_.tolist()) - set(self.class_weight))
+                raise ValueError(
+                    f"class_weight is missing weights for {bad!r}."
+                    f" Pass weights for every class in classes_."
+                )
+            w = float(self.class_weight[cls])
+            if w < 0:
+                raise ValueError(
+                    f"class_weight for {cls!r} is negative ({w!r}); weights must be >= 0."
+                )
+            weights.append(w)
+        return np.asarray(weights, dtype=np.float32)
+
+    # --- training -----------------------------------------------------------
+
+    def partial_fit(
+        self,
+        X: np.ndarray | list[Any],
+        y: np.ndarray | list[Any],
+        classes: Sequence[Any] | None = None,
+    ) -> "MLPClassifier":
+        X_arr = np.asarray(X, dtype=np.float32)
+        if X_arr.ndim != 2:
+            raise ValueError(f"X must be 2D, got shape {X_arr.shape}")
+
+        first_call = not hasattr(self, "_params")
+        if first_call:
+            if classes is None:
+                self.classes_ = np.unique(np.asarray(y))
+            else:
+                self.classes_ = np.unique(np.asarray(classes))
+            self.n_features_in_ = int(X_arr.shape[1])
+            self.n_iter_ = 0
+            self.loss_curve_: list[float] = []
+            self._init_params()
+            self._init_optimizer()
+            self._class_weight_vector = self._build_class_weight_vector()
+        else:
+            if X_arr.shape[1] != self.n_features_in_:
+                raise ValueError(
+                    f"X has {X_arr.shape[1]} features, expected {self.n_features_in_}"
+                )
+
+        y_indices = self._labels_to_indices(np.asarray(y))
+        n_samples = X_arr.shape[0]
+        batch_size = self._resolve_batch_size(n_samples)
+
+        rng = self._seed_rng()
+        order = np.arange(n_samples)
+        if self.shuffle:
+            rng.shuffle(order)
+
+        X_shuf = X_arr[order]
+        y_shuf = y_indices[order].astype(np.int32)
+
+        # Pad to a whole number of fixed-shape mini-batches so one scan-based
+        # XLA program covers the epoch. Padding rows carry weight 0, so they
+        # contribute nothing to the data loss, and per-batch real counts keep
+        # the L2 scaling exact for the tail batch.
+        n_batches = -(-n_samples // batch_size)
+        n_padded = n_batches * batch_size
+        pad = n_padded - n_samples
+        if pad:
+            X_shuf = np.concatenate(
+                [X_shuf, np.zeros((pad, self.n_features_in_), dtype=np.float32)]
+            )
+            y_shuf = np.concatenate([y_shuf, np.zeros(pad, dtype=np.int32)])
+        sample_mask = np.ones(n_padded, dtype=np.float32)
+        if pad:
+            sample_mask[n_samples:] = 0.0
+        if self._class_weight_vector is not None:
+            sample_w = self._class_weight_vector[y_shuf] * sample_mask
+        else:
+            sample_w = sample_mask
+
+        xs = X_shuf.reshape(n_batches, batch_size, self.n_features_in_)
+        ys = y_shuf.reshape(n_batches, batch_size)
+        ws = sample_w.reshape(n_batches, batch_size)
+        ns = np.full(n_batches, batch_size, dtype=np.float32)
+        if pad:
+            ns[-1] = batch_size - pad
+
+        epoch_fn = _make_epoch_fn(
+            n_batches,
+            self._layer_sizes(),
+            float(self.learning_rate_init),
+            float(self.beta_1),
+            float(self.beta_2),
+            float(self.epsilon),
+            float(self.alpha),
+        )
+        self._params, self._opt_state, losses = epoch_fn(
+            self._params, self._opt_state, xs, ys, ws, ns
+        )
+
+        # Match sklearn: loss_curve_ records the regularised loss (data + L2)
+        # averaged across the full partial_fit input, weighted by real
+        # mini-batch size (reference: torch_classifier.py:295-301).
+        losses_np = np.asarray(losses, dtype=np.float64)
+        avg_loss = float(np.sum(losses_np * ns) / max(n_samples, 1))
+        self.loss_curve_.append(avg_loss)
+        self.n_iter_ += 1
+        return self
+
+    def fit(
+        self,
+        X: np.ndarray | list[Any],
+        y: np.ndarray | list[Any],
+    ) -> "MLPClassifier":
+        y_arr = np.asarray(y)
+        classes: list[Any] = np.unique(y_arr).tolist()
+        # Reset so fit() starts fresh even on a previously-trained instance
+        # (reference: torch_classifier.py:305-330).
+        for attr in (
+            "_params",
+            "_opt_state",
+            "classes_",
+            "n_features_in_",
+            "n_iter_",
+            "loss_curve_",
+        ):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        prev_loss = np.inf
+        for _ in range(self.max_iter):
+            self.partial_fit(X, y_arr, classes=classes)
+            cur = self.loss_curve_[-1]
+            if abs(prev_loss - cur) < self.tol:
+                break
+            prev_loss = cur
+        return self
+
+    # --- prediction -----------------------------------------------------------
+
+    def _forward_probs(self, X: np.ndarray | list[Any]) -> np.ndarray:
+        if not hasattr(self, "_params"):
+            raise RuntimeError(
+                "MLPClassifier is not fitted. Call partial_fit or fit"
+                " before predict/predict_proba."
+            )
+        X_arr = np.asarray(X, dtype=np.float32)
+        if X_arr.ndim != 2:
+            raise ValueError(f"X must be 2D, got shape {X_arr.shape}")
+        if X_arr.shape[1] != self.n_features_in_:
+            raise ValueError(
+                f"X has {X_arr.shape[1]} features, expected {self.n_features_in_}"
+            )
+        probs = _jitted_forward()(self._params, jnp.asarray(X_arr))
+        probs_np = np.asarray(probs).astype(np.float64)
+        # Renormalize so each row sums to exactly 1.0 in float64; warn beyond
+        # the expected float32 drift bound (reference: torch_classifier.py:349-370).
+        row_sums = probs_np.sum(axis=1)
+        max_drift = float(np.max(np.abs(row_sums - 1.0)))
+        if max_drift > _EXPECTED_FP_DRIFT_TOL:
+            warnings.warn(
+                f"predict_proba row sums deviate from 1.0 by up to "
+                f"{max_drift:.2e}, exceeding the expected float32 "
+                f"softmax drift bound ({_EXPECTED_FP_DRIFT_TOL:.0e}). "
+                f"Renormalizing anyway, but this likely indicates a "
+                f"numerical issue (extreme logits, NaN/Inf, or a bypassed "
+                f"softmax) rather than rounding.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        probs_np /= row_sums[:, np.newaxis]
+        return probs_np
+
+    def predict_proba(self, X: np.ndarray | list[Any]) -> np.ndarray:
+        return self._forward_probs(X)
+
+    def predict(self, X: np.ndarray | list[Any]) -> np.ndarray:
+        probs = self._forward_probs(X)
+        return self.classes_[np.argmax(probs, axis=1)]
+
+    # --- sklearn parameter protocol (lightweight) -------------------------
+
+    def get_params(self, deep: bool = True) -> dict[str, Any]:
+        return {
+            "hidden_layer_sizes": self.hidden_layer_sizes,
+            "activation": self.activation,
+            "solver": self.solver,
+            "alpha": self.alpha,
+            "batch_size": self.batch_size,
+            "learning_rate_init": self.learning_rate_init,
+            "max_iter": self.max_iter,
+            "shuffle": self.shuffle,
+            "random_state": self.random_state,
+            "tol": self.tol,
+            "beta_1": self.beta_1,
+            "beta_2": self.beta_2,
+            "epsilon": self.epsilon,
+            "class_weight": getattr(self, "class_weight", None),
+        }
+
+    def set_params(self, **params: Any) -> "MLPClassifier":
+        for key, value in params.items():
+            if not hasattr(self, key):
+                raise ValueError(f"Invalid parameter {key!r} for MLPClassifier")
+            setattr(self, key, value)
+        return self
+
+    # --- pickle support ---------------------------------------------------
+
+    def __getstate__(self) -> dict[str, Any]:
+        # Device arrays serialize as plain numpy (the analog of the
+        # reference's state_dict-based pickling, torch_classifier.py:410-444);
+        # the optimizer state is a pytree of arrays plus step counts.
+        state = self.__dict__.copy()
+        params = state.pop("_params", None)
+        opt_state = state.pop("_opt_state", None)
+        if params is not None:
+            state["_params_state"] = jax.tree.map(np.asarray, params)
+        if opt_state is not None:
+            state["_opt_state_state"] = jax.tree.map(np.asarray, opt_state)
+        return state
+
+    def __setstate__(self, state: dict[str, Any]) -> None:
+        params_state = state.pop("_params_state", None)
+        opt_state_state = state.pop("_opt_state_state", None)
+        self.__dict__.update(state)
+        # Backfill attributes added after the original release so old pickles
+        # unpickle cleanly (reference: torch_classifier.py:424-433).
+        self.__dict__.setdefault("class_weight", None)
+        self.__dict__.setdefault("_class_weight_vector", None)
+        if params_state is not None:
+            self._params = jax.tree.map(jnp.asarray, params_state)
+        if opt_state_state is not None:
+            self._opt_state = jax.tree.map(jnp.asarray, opt_state_state)
+
+    def __deepcopy__(self, memo: dict) -> "MLPClassifier":
+        # jax arrays are immutable, so a snapshot can share device buffers;
+        # training replaces (never mutates) self._params, which keeps
+        # deepcopied early-stopping snapshots intact.
+        clone = self.__class__.__new__(self.__class__)
+        memo[id(self)] = clone
+        for k, v in self.__dict__.items():
+            if k in ("_params", "_opt_state"):
+                clone.__dict__[k] = v
+            else:
+                import copy as _copy
+
+                clone.__dict__[k] = _copy.deepcopy(v, memo)
+        return clone

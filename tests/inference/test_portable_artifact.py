@@ -1,0 +1,144 @@
+"""Artifact round-trip, parity-gate, and manifest-gate tests
+(reference analog: tests/pyspacer/test_portable_artifact.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.inference import (
+    SCHEMA_VERSION,
+    JaxPinError,
+    ManifestError,
+    ParityError,
+    export_artifact,
+    load_predictor,
+)
+from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+
+@pytest.fixture(scope="module")
+def calibrated_model():
+    """A real fitted MLPClassifier wrapped in CalibratedClassifier, built the
+    same way the trainer does (reference analog:
+    tests/pyspacer/_calibrated_model_fixture.py)."""
+    rng = np.random.default_rng(0)
+    n, d, k = 240, 24, 4
+    centers = rng.normal(0, 3, size=(k, d))
+    y_idx = rng.integers(0, k, n)
+    X = (rng.normal(0, 1, size=(n, d)) + centers[y_idx]).astype(np.float32)
+    labels = np.array([f"label_{i}" for i in range(k)])
+    y = labels[y_idx]
+
+    clf = MLPClassifier(hidden_layer_sizes=(16, 8), random_state=0)
+    for _ in range(10):
+        clf.partial_fit(X, y, classes=list(labels))
+    preds = clf.predict_proba(X)
+    model = CalibratedClassifier.fit_from_scores(clf, preds, y)
+    return model, X
+
+
+class TestExportLoadRoundTrip:
+    def test_roundtrip_parity(self, calibrated_model, tmp_path):
+        model, X = calibrated_model
+        model_npz, manifest, max_diff = export_artifact(model, tmp_path, X[:32])
+        assert max_diff <= 1e-6
+        assert manifest["schema_version"] == SCHEMA_VERSION
+        assert manifest["input_dim"] == X.shape[1]
+        assert manifest["classes"] == [str(c) for c in model.classes_]
+
+        predictor = load_predictor(model_npz, tmp_path / "model.json")
+        got = predictor.predict_proba(X[:64])
+        expected = model.predict_proba(X[:64])
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+        assert got.dtype == np.float64
+        assert predictor.classes_ == manifest["classes"]
+
+    def test_artifact_is_pickle_free(self, calibrated_model, tmp_path):
+        model, X = calibrated_model
+        model_npz, _, _ = export_artifact(model, tmp_path, X[:8])
+        # np.load with allow_pickle=False must succeed — the archive holds
+        # only plain arrays, never serialized objects.
+        with np.load(model_npz, allow_pickle=False) as archive:
+            assert int(archive["n_layers"]) == 3
+            assert archive["W0"].dtype == np.float32
+
+    def test_parity_gate_failure_injection(self, calibrated_model, tmp_path):
+        model, X = calibrated_model
+
+        class Diverged:
+            classes_ = model.classes_
+            estimator = model.estimator
+            calibration_a_ = model.calibration_a_
+            calibration_b_ = model.calibration_b_
+
+            def predict_proba(self, feats):
+                return model.predict_proba(feats) + 1e-3
+
+        with pytest.raises(ParityError, match="diverges"):
+            export_artifact(Diverged(), tmp_path, X[:8])
+
+    def test_jax_pin_gate(self, calibrated_model, tmp_path, monkeypatch):
+        model, X = calibrated_model
+        import mermaid_classifier_tpu.inference.export as export_mod
+
+        monkeypatch.setattr(export_mod, "PARITY_PROVEN_JAX", "0.0")
+        with pytest.raises(JaxPinError, match="parity-proven"):
+            export_artifact(model, tmp_path, X[:8])
+        # Escape hatch mirrors the reference's enforce flag.
+        export_artifact(model, tmp_path, X[:8], enforce_jax_pin=False)
+
+    def test_binary_model_rejected(self, tmp_path):
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(60, 8)).astype(np.float32)
+        y = np.where(X[:, 0] > 0, "pos", "neg")
+        clf = MLPClassifier(hidden_layer_sizes=(4,), random_state=0)
+        clf.partial_fit(X, y, classes=["neg", "pos"])
+        model = CalibratedClassifier.fit_from_scores(
+            clf, clf.predict_proba(X)[:, 1:], y
+        )
+        with pytest.raises(ValueError, match="multiclass"):
+            export_artifact(model, tmp_path, X[:8])
+
+
+class TestManifestGates:
+    @pytest.fixture()
+    def exported(self, calibrated_model, tmp_path):
+        model, X = calibrated_model
+        model_npz, manifest, _ = export_artifact(model, tmp_path, X[:8])
+        return model_npz, tmp_path / "model.json", manifest
+
+    def test_schema_version_mismatch(self, exported):
+        model_npz, json_path, manifest = exported
+        manifest["schema_version"] = 999
+        json_path.write_text(json.dumps(manifest))
+        with pytest.raises(ManifestError, match="schema_version"):
+            load_predictor(model_npz, json_path)
+
+    def test_class_count_mismatch(self, exported):
+        model_npz, json_path, manifest = exported
+        manifest["classes"] = manifest["classes"][:-1]
+        json_path.write_text(json.dumps(manifest))
+        with pytest.raises(ManifestError, match="class-count"):
+            load_predictor(model_npz, json_path)
+
+    def test_input_dim_mismatch(self, exported):
+        model_npz, json_path, manifest = exported
+        manifest["input_dim"] = manifest["input_dim"] + 1
+        json_path.write_text(json.dumps(manifest))
+        with pytest.raises(ManifestError, match="input_dim"):
+            load_predictor(model_npz, json_path)
+
+    def test_corrupt_npz(self, exported, tmp_path):
+        _, json_path, _ = exported
+        bad = tmp_path / "bad.npz"
+        np.savez(bad, n_layers=np.asarray(2), W0=np.zeros((4, 4), np.float32))
+        with pytest.raises(ManifestError, match="missing required array"):
+            load_predictor(bad, json_path)
+
+    def test_predictor_input_validation(self, exported):
+        model_npz, json_path, manifest = exported
+        predictor = load_predictor(model_npz, json_path)
+        with pytest.raises(ValueError, match="features must be"):
+            predictor.predict_proba(np.zeros((3, manifest["input_dim"] + 2)))

@@ -1,0 +1,299 @@
+"""Differential and semantics tests for the JAX MLPClassifier.
+
+Modeled on the reference's differential test strategy
+(reference: tests/pyspacer/test_mlp_benchmark.py): the same battery runs
+against sklearn's MLPClassifier and ours, plus exact-step parity against a
+hand-written numpy Adam reference for the update-rule semantics.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+
+def make_clusters(n_per_class=200, n_classes=4, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 4.0, size=(n_classes, dim))
+    X, y = [], []
+    for k in range(n_classes):
+        X.append(rng.normal(0.0, 1.0, size=(n_per_class, dim)) + centers[k])
+        y.extend([f"class_{k}"] * n_per_class)
+    X = np.vstack(X).astype(np.float32)
+    y = np.asarray(y)
+    order = rng.permutation(len(y))
+    return X[order], y[order]
+
+
+class TestAPI:
+    def test_partial_fit_bookkeeping(self):
+        X, y = make_clusters(n_per_class=30)
+        clf = MLPClassifier(hidden_layer_sizes=(8,), random_state=0)
+        classes = sorted(set(y))
+        for i in range(3):
+            clf.partial_fit(X, y, classes=classes)
+            assert clf.n_iter_ == i + 1
+            assert len(clf.loss_curve_) == i + 1
+        assert list(clf.classes_) == classes
+        assert clf.n_features_in_ == X.shape[1]
+        proba = clf.predict_proba(X)
+        assert proba.shape == (len(y), len(classes))
+        np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-12)
+        preds = clf.predict(X)
+        assert set(preds) <= set(classes)
+
+    def test_unknown_label_raises(self):
+        X, y = make_clusters(n_per_class=10, n_classes=2)
+        clf = MLPClassifier(random_state=0)
+        clf.partial_fit(X, y, classes=sorted(set(y)))
+        bad_y = np.array(["nope"] * len(y))
+        with pytest.raises(ValueError, match="not in classes_"):
+            clf.partial_fit(X, bad_y)
+
+    def test_feature_count_mismatch_raises(self):
+        X, y = make_clusters(n_per_class=10, n_classes=2, dim=8)
+        clf = MLPClassifier(random_state=0)
+        clf.partial_fit(X, y, classes=sorted(set(y)))
+        with pytest.raises(ValueError, match="features"):
+            clf.partial_fit(X[:, :4], y)
+        with pytest.raises(ValueError, match="features"):
+            clf.predict_proba(X[:, :4])
+
+    def test_not_fitted_raises(self):
+        clf = MLPClassifier()
+        with pytest.raises(RuntimeError, match="not fitted"):
+            clf.predict(np.zeros((1, 4), dtype=np.float32))
+
+    def test_invalid_activation_solver(self):
+        with pytest.raises(ValueError, match="activation"):
+            MLPClassifier(activation="tanh")
+        with pytest.raises(ValueError, match="solver"):
+            MLPClassifier(solver="sgd")
+
+    def test_get_set_params(self):
+        clf = MLPClassifier(hidden_layer_sizes=(5,), alpha=0.5)
+        params = clf.get_params()
+        assert params["alpha"] == 0.5
+        clf.set_params(alpha=0.1)
+        assert clf.alpha == 0.1
+        with pytest.raises(ValueError, match="Invalid parameter"):
+            clf.set_params(bogus=1)
+
+    def test_class_weight_validation(self):
+        X, y = make_clusters(n_per_class=10, n_classes=3)
+        classes = sorted(set(y))
+        clf = MLPClassifier(class_weight={classes[0]: 1.0}, random_state=0)
+        with pytest.raises(ValueError, match="missing weights"):
+            clf.partial_fit(X, y, classes=classes)
+        clf = MLPClassifier(
+            class_weight={c: -1.0 for c in classes}, random_state=0
+        )
+        with pytest.raises(ValueError, match="negative"):
+            clf.partial_fit(X, y, classes=classes)
+
+
+class TestReproducibility:
+    def test_seeded_runs_identical(self):
+        X, y = make_clusters(n_per_class=50)
+        classes = sorted(set(y))
+        results = []
+        for _ in range(2):
+            clf = MLPClassifier(hidden_layer_sizes=(16,), random_state=7)
+            for _ in range(3):
+                clf.partial_fit(X, y, classes=classes)
+            results.append((list(clf.loss_curve_), clf.predict_proba(X[:20])))
+        assert results[0][0] == results[1][0]
+        np.testing.assert_array_equal(results[0][1], results[1][1])
+
+    def test_random_state_none_advances(self):
+        # random_state=None shuffles differently across calls but is made
+        # reproducible by np.random.seed (sklearn's global-singleton
+        # semantics; reference: torch_classifier.py:150-157).
+        X, y = make_clusters(n_per_class=50)
+        classes = sorted(set(y))
+
+        def run():
+            np.random.seed(123)
+            clf = MLPClassifier(hidden_layer_sizes=(16,), random_state=None)
+            for _ in range(2):
+                clf.partial_fit(X, y, classes=classes)
+            return list(clf.loss_curve_)
+
+        assert run() == run()
+
+    def test_pickle_roundtrip(self):
+        X, y = make_clusters(n_per_class=40)
+        classes = sorted(set(y))
+        clf = MLPClassifier(hidden_layer_sizes=(16,), random_state=3)
+        clf.partial_fit(X, y, classes=classes)
+        restored = pickle.loads(pickle.dumps(clf))
+        np.testing.assert_array_equal(
+            clf.predict_proba(X[:10]), restored.predict_proba(X[:10])
+        )
+        # Resumed training must continue from the same optimizer state:
+        # one more epoch on each must stay identical.
+        clf.partial_fit(X, y)
+        restored.partial_fit(X, y)
+        assert clf.loss_curve_ == restored.loss_curve_
+        np.testing.assert_array_equal(
+            clf.predict_proba(X[:10]), restored.predict_proba(X[:10])
+        )
+
+
+def _numpy_reference_epoch(weights, biases, adam_m, adam_v, t0, X, y_idx, *,
+                           batch_size, lr, b1, b2, eps, alpha, class_w, seed):
+    """Step-exact float32 numpy reference for one partial_fit call: seeded
+    shuffle, mini-batch weighted CE + per-batch L2, torch-style Adam."""
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    order = np.arange(n)
+    rng.shuffle(order)
+    Xs, ys = X[order].astype(np.float32), y_idx[order]
+    total_loss, t = 0.0, t0
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        xb, yb = Xs[start:end], ys[start:end]
+        mb = end - start
+        # forward
+        acts = [xb.astype(np.float32)]
+        for li, (W, b) in enumerate(zip(weights, biases)):
+            z = acts[-1] @ W + b
+            if li < len(weights) - 1:
+                z = np.maximum(z, 0.0)
+            acts.append(z.astype(np.float32))
+        logits = acts[-1].astype(np.float32)
+        zmax = logits.max(axis=1, keepdims=True)
+        ex = np.exp(logits - zmax)
+        p = ex / ex.sum(axis=1, keepdims=True)
+        w_i = class_w[yb] if class_w is not None else np.ones(mb, dtype=np.float32)
+        logp = (logits - zmax) - np.log(ex.sum(axis=1, keepdims=True))
+        ce = -logp[np.arange(mb), yb]
+        data_loss = float((w_i * ce).sum() / w_i.sum())
+        reg = 0.5 * alpha / mb * sum(float((W ** 2).sum()) for W in weights)
+        loss = data_loss + reg
+        # backward
+        onehot = np.zeros_like(p)
+        onehot[np.arange(mb), yb] = 1.0
+        dlogits = (p - onehot) * (w_i / w_i.sum())[:, None]
+        grads_W = [None] * len(weights)
+        grads_b = [None] * len(weights)
+        delta = dlogits
+        for li in range(len(weights) - 1, -1, -1):
+            grads_W[li] = acts[li].T @ delta + (alpha / mb) * weights[li]
+            grads_b[li] = delta.sum(axis=0)
+            if li > 0:
+                delta = (delta @ weights[li].T) * (acts[li] > 0)
+        # adam
+        t += 1
+        for li in range(len(weights)):
+            for g, param, m, v in (
+                (grads_W[li], weights, adam_m[0], adam_v[0]),
+                (grads_b[li], biases, adam_m[1], adam_v[1]),
+            ):
+                m[li] = b1 * m[li] + (1 - b1) * g
+                v[li] = b2 * v[li] + (1 - b2) * g * g
+                mhat = m[li] / (1 - b1 ** t)
+                vhat = v[li] / (1 - b2 ** t)
+                param[li] = param[li] - lr * mhat / (np.sqrt(vhat) + eps)
+        total_loss += loss * mb
+    return total_loss / n, t
+
+
+class TestNumericalParityVsNumpyReference:
+    def test_update_rule_matches_numpy_adam(self):
+        """The jitted scan epoch must match a step-by-step numpy Adam+CE
+        implementation: same shuffle, same weighted CE, same per-batch L2
+        scaling, same bias-corrected Adam — including an uneven tail batch."""
+        rng = np.random.default_rng(0)
+        n, d, k = 53, 12, 3  # 53 % batch_size(16) != 0 exercises tail padding
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        y = rng.integers(0, k, size=n)
+        labels = np.array([f"c{i}" for i in range(k)])
+        y_named = labels[y]
+        class_weight = {"c0": 0.5, "c1": 2.0, "c2": 1.0}
+
+        clf = MLPClassifier(
+            hidden_layer_sizes=(8,),
+            batch_size=16,
+            learning_rate_init=0.01,
+            alpha=0.3,
+            random_state=11,
+            class_weight=class_weight,
+        )
+        clf.partial_fit(X, y_named, classes=list(labels))
+
+        # numpy reference starting from the SAME initial weights
+        init = MLPClassifier(
+            hidden_layer_sizes=(8,), random_state=11, class_weight=class_weight
+        )
+        init.partial_fit(X[:1], y_named[:1], classes=list(labels))  # trigger init
+        # re-init cleanly: pull the xavier init by constructing fresh params
+        init2 = MLPClassifier(
+            hidden_layer_sizes=(8,), random_state=11, class_weight=class_weight
+        )
+        init2.classes_ = np.unique(labels)
+        init2.n_features_in_ = d
+        init2._init_params()
+        weights = [np.asarray(w, dtype=np.float32).copy() for w in init2._params["W"]]
+        biases = [np.asarray(b, dtype=np.float32).copy() for b in init2._params["b"]]
+        adam_m = (
+            [np.zeros_like(w) for w in weights],
+            [np.zeros_like(b) for b in biases],
+        )
+        adam_v = (
+            [np.zeros_like(w) for w in weights],
+            [np.zeros_like(b) for b in biases],
+        )
+        cw = np.array([class_weight[c] for c in labels], dtype=np.float32)
+        ref_loss, _ = _numpy_reference_epoch(
+            weights, biases, adam_m, adam_v, 0, X, y,
+            batch_size=16, lr=0.01, b1=0.9, b2=0.999, eps=1e-8,
+            alpha=0.3, class_w=cw, seed=11,
+        )
+
+        assert clf.loss_curve_[0] == pytest.approx(ref_loss, rel=1e-4, abs=1e-5)
+        for got_w, ref_w in zip(clf.coefs_, weights):
+            np.testing.assert_allclose(got_w, ref_w, rtol=1e-4, atol=1e-5)
+        for got_b, ref_b in zip(clf.intercepts_, biases):
+            np.testing.assert_allclose(got_b, ref_b, rtol=1e-4, atol=1e-5)
+
+
+class TestSklearnParity:
+    """Statistical parity with sklearn's MLPClassifier on separable clusters
+    (reference analog: tests/pyspacer/test_mlp_benchmark.py:285-407)."""
+
+    def test_accuracy_and_proba_close_to_sklearn(self):
+        from sklearn.neural_network import MLPClassifier as SkMLP
+
+        X, y = make_clusters(n_per_class=150, n_classes=4, dim=16, seed=1)
+        X_train, y_train = X[:480], y[:480]
+        X_test, y_test = X[480:], y[480:]
+        classes = sorted(set(y))
+
+        ours = MLPClassifier(hidden_layer_sizes=(32,), random_state=1)
+        theirs = SkMLP(hidden_layer_sizes=(32,), random_state=1, solver="adam")
+        for epoch in range(30):
+            ours.partial_fit(X_train, y_train, classes=classes)
+            theirs.partial_fit(X_train, y_train, classes=classes)
+
+        acc_ours = float(np.mean(ours.predict(X_test) == y_test))
+        acc_theirs = float(np.mean(theirs.predict(X_test) == y_test))
+        assert acc_ours >= acc_theirs - 0.05
+        assert acc_ours >= 0.85
+
+        proba_diff = np.mean(
+            np.abs(ours.predict_proba(X_test) - theirs.predict_proba(X_test))
+        )
+        assert proba_diff < 0.05
+
+    def test_fit_converges(self):
+        X, y = make_clusters(n_per_class=60, n_classes=3, dim=8, seed=2)
+        clf = MLPClassifier(
+            hidden_layer_sizes=(16,), random_state=0, max_iter=50, tol=1e-3
+        )
+        clf.fit(X, y)
+        assert clf.n_iter_ <= 50
+        assert clf.loss_curve_[-1] < clf.loss_curve_[0]
+        assert float(np.mean(clf.predict(X) == y)) > 0.9
