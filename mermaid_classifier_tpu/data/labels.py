@@ -1,0 +1,226 @@
+"""Point-label containers and the train/ref/val split.
+
+First-party equivalents of the pyspacer data classes the reference consumes
+(``ImageLabels`` / ``TrainingTaskLabels`` / ``preprocess_labels`` with
+``SplitMode.POINTS_STRATIFIED``; reference: dataset.py:615-697,
+trainer.py:83-145). The contracts preserved:
+
+- labels are (row, col, label) points grouped per image feature file;
+- ``load_data_in_batches(batch_size, random_seed)`` streams (X, y) batches
+  from disk so train/ref/val are never simultaneously in memory
+  (reference: trainer.py:43-53);
+- the split is per-POINT and stratified per class with deterministic,
+  seed-independent assignment, and every class keeps at least one training
+  point when it has any.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from mermaid_classifier_tpu.data.features_io import (
+    read_feature_file,
+    select_point_features,
+)
+
+Annotation = tuple[int, int, str]  # (row, col, label)
+
+
+class SplitMode(enum.Enum):
+    POINTS_STRATIFIED = "points_stratified"
+
+
+@dataclass
+class ImageLabels:
+    """Annotations grouped per image, keyed by the image's feature-file path."""
+
+    data: dict[str, list[Annotation]] = field(default_factory=dict)
+
+    def add_image(self, feature_path: str, annotations: list[Annotation]) -> None:
+        if feature_path in self.data:
+            raise ValueError(f"image {feature_path!r} already added.")
+        self.data[feature_path] = list(annotations)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    @property
+    def image_keys(self) -> list[str]:
+        return list(self.data.keys())
+
+    @property
+    def label_count(self) -> int:
+        return sum(len(anns) for anns in self.data.values())
+
+    @property
+    def classes_set(self) -> set[str]:
+        return {label for anns in self.data.values() for _, _, label in anns}
+
+    def annotation_items(self) -> Iterator[tuple[str, int, int, str]]:
+        """Yield (feature_path, row, col, label) in deterministic order:
+        sorted image key, then stored point order."""
+        for key in sorted(self.data.keys()):
+            for row, col, label in self.data[key]:
+                yield key, row, col, label
+
+    def load_image_data(self, feature_path: str) -> tuple[np.ndarray, list[str]]:
+        """Load this image's (features, labels) from its feature file,
+        aligned to the annotation order."""
+        annotations = self.data[feature_path]
+        rowcols, features = read_feature_file(feature_path)
+        x = select_point_features(
+            rowcols, features, [(r, c) for r, c, _ in annotations]
+        )
+        return x, [label for _, _, label in annotations]
+
+    def load_data_in_batches(
+        self,
+        batch_size: int,
+        random_seed: int | None = None,
+    ) -> Iterator[tuple[np.ndarray, list[str]]]:
+        """Stream (X, y) batches of ~batch_size points from disk.
+
+        Image order is sorted-key deterministic, shuffled per ``random_seed``
+        when given (the trainer passes the epoch index so every epoch sees a
+        different order reproducibly; reference: trainer.py:141-145). Memory
+        stays O(batch_size), never O(dataset).
+        """
+        keys = sorted(self.data.keys())
+        if random_seed is not None:
+            rng = np.random.default_rng(int(random_seed))
+            rng.shuffle(keys)
+
+        batch_x: list[np.ndarray] = []
+        batch_y: list[str] = []
+        count = 0
+        for key in keys:
+            x, y = self.load_image_data(key)
+            batch_x.append(x)
+            batch_y.extend(y)
+            count += len(y)
+            if count >= batch_size:
+                yield np.vstack(batch_x), batch_y
+                batch_x, batch_y, count = [], [], 0
+        if count:
+            yield np.vstack(batch_x), batch_y
+
+    def load_all(self) -> tuple[np.ndarray, list[str]]:
+        """Convenience for tests/small sets: everything in one array."""
+        xs, ys = [], []
+        for key in sorted(self.data.keys()):
+            x, y = self.load_image_data(key)
+            xs.append(x)
+            ys.extend(y)
+        return np.vstack(xs), ys
+
+
+@dataclass
+class TrainingTaskLabels:
+    """The train/ref/val triple (reference analog: pyspacer
+    TrainingTaskLabels, consumed at trainer.py:83-145)."""
+
+    train: ImageLabels
+    ref: ImageLabels
+    val: ImageLabels
+
+    @property
+    def label_count(self) -> int:
+        return self.train.label_count + self.ref.label_count + self.val.label_count
+
+
+def preprocess_labels(
+    labels: ImageLabels,
+    split_ratios: tuple[float, float] = (0.1, 0.1),
+    split_mode: SplitMode = SplitMode.POINTS_STRATIFIED,
+    split_seed: int = 0,
+) -> TrainingTaskLabels:
+    """Split per-point, stratified per class, into train/ref/val.
+
+    ``split_ratios`` = (ref_ratio, val_ratio); train gets the rest
+    (reference: options.py ref_val_ratios=(0.1, 0.1), dataset.py:692-697).
+
+    Determinism contract: assignment depends only on the label data and
+    ``split_seed`` (fixed by default), never on dict/iteration order — the
+    same discipline as the reference's ROW_NUMBER-ordered subsample
+    (reference: options.py:110-115). Every class with at least one point
+    keeps at least one point in train; ref/val allocations shrink before
+    train ever empties for a class.
+    """
+    if split_mode is not SplitMode.POINTS_STRATIFIED:
+        raise ValueError(f"Unsupported split mode: {split_mode}")
+    ref_ratio, val_ratio = split_ratios
+    if ref_ratio < 0 or val_ratio < 0 or ref_ratio + val_ratio >= 1.0:
+        raise ValueError(
+            f"split_ratios must be non-negative and sum to < 1; got {split_ratios}."
+        )
+
+    # Deterministic global point enumeration: (feature_path, point_idx).
+    points_by_class: dict[str, list[tuple[str, int]]] = {}
+    for key in sorted(labels.data.keys()):
+        for idx, (_, _, label) in enumerate(labels.data[key]):
+            points_by_class.setdefault(label, []).append((key, idx))
+
+    rng = np.random.default_rng(split_seed)
+    assignment: dict[tuple[str, int], str] = {}
+    # Iterate classes in sorted order so the per-class RNG draws are
+    # reproducible regardless of insertion order.
+    for label in sorted(points_by_class.keys()):
+        points = points_by_class[label]
+        n = len(points)
+        n_ref = int(round(n * ref_ratio))
+        n_val = int(round(n * val_ratio))
+        # Keep at least one training point per class.
+        while n_ref + n_val >= n and (n_ref or n_val):
+            if n_val >= n_ref and n_val > 0:
+                n_val -= 1
+            elif n_ref > 0:
+                n_ref -= 1
+        order = rng.permutation(n)
+        for rank, point_pos in enumerate(order):
+            if rank < n_ref:
+                split = "ref"
+            elif rank < n_ref + n_val:
+                split = "val"
+            else:
+                split = "train"
+            assignment[points[point_pos]] = split
+
+    out = {"train": ImageLabels(), "ref": ImageLabels(), "val": ImageLabels()}
+    for key in sorted(labels.data.keys()):
+        per_split: dict[str, list[Annotation]] = {"train": [], "ref": [], "val": []}
+        for idx, ann in enumerate(labels.data[key]):
+            per_split[assignment[(key, idx)]].append(ann)
+        for split, anns in per_split.items():
+            if anns:
+                out[split].add_image(key, anns)
+
+    return TrainingTaskLabels(train=out["train"], ref=out["ref"], val=out["val"])
+
+
+def evaluate_classifier(
+    clf: Any,
+    labels: ImageLabels,
+    batch_size: int = 5000,
+) -> tuple[list[str], list[str], list[float]]:
+    """Evaluate a calibrated classifier on a label set by streaming batches.
+
+    Returns (ground_truths, estimates, scores) where score is the
+    probability of the predicted class — the pyspacer evaluate_classifier
+    contract the trainer and ValResults consume (reference: trainer.py:271-292).
+    """
+    classes = list(clf.classes_)
+    gts: list[str] = []
+    ests: list[str] = []
+    scores: list[float] = []
+    for x, y in labels.load_data_in_batches(batch_size=batch_size):
+        proba = clf.predict_proba(x)
+        top = np.argmax(proba, axis=1)
+        gts.extend(y)
+        ests.extend(classes[i] for i in top)
+        scores.extend(float(proba[i, j]) for i, j in enumerate(top))
+    return gts, ests, scores

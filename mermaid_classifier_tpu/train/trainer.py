@@ -1,0 +1,335 @@
+"""MermaidTrainer: the epoch loop with streaming evaluation, early stopping,
+batched Platt calibration, and per-epoch callbacks.
+
+Semantics mirror the reference trainer
+(reference: mermaid_classifier/pyspacer/trainer.py:43-403):
+
+- fixed production architecture (500, 300, 100) @ lr 1e-4, random_state=0;
+- per epoch: stream train batches from disk into ``partial_fit`` (epoch index
+  as the shuffle seed), then streamed ref accuracy and val accuracy+log-loss;
+- early stopping on val_loss with a deepcopy best snapshot that is restored
+  even when the full epoch budget runs out;
+- calibration streams ref data, accumulating only (N, K) scores — never
+  (N, 4096) features;
+- per-epoch callback dict with one-shot final-epoch summary fields.
+
+Train/ref/val data are never simultaneously in memory (reference:
+trainer.py:43-53): each evaluation pass re-streams from disk after the
+training batches go out of scope.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from collections.abc import Callable
+from contextlib import contextmanager
+from logging import getLogger
+from typing import Any
+
+import numpy as np
+from sklearn.metrics import accuracy_score
+from sklearn.metrics import log_loss as sklearn_log_loss
+
+from mermaid_classifier_tpu.data.labels import (
+    ImageLabels,
+    TrainingTaskLabels,
+    evaluate_classifier,
+)
+from mermaid_classifier_tpu.data.results import TrainClassifierReturnMsg, ValResults
+from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+logger = getLogger(__name__)
+
+# Production MLP architecture from the reference's hidden-layer experiments
+# (reference: trainer.py:114-123, docs/research/hidden-layer-experiments.md).
+PRODUCTION_HIDDEN_LAYERS = (500, 300, 100)
+PRODUCTION_LEARNING_RATE = 1e-4
+PRODUCTION_RANDOM_STATE = 0
+
+
+@contextmanager
+def _log_entry_and_exit(name: str):
+    """DEBUG-level enter/exit timing around a pipeline phase
+    (reference: trainer.py:30-40)."""
+    start_time = time.time()
+    logger.debug("Entering: %s", name)
+    try:
+        yield
+    finally:
+        logger.debug("Exiting: %s after %f seconds.", name, time.time() - start_time)
+
+
+class MermaidTrainer:
+    """Epoch-loop trainer producing a calibrated classifier + val results."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        on_epoch_end: Callable[[dict[str, Any]], None] | None = None,
+        class_weight: dict[str, float] | None = None,
+        early_stopping_patience: int | None = None,
+    ):
+        if early_stopping_patience is not None and early_stopping_patience < 1:
+            raise ValueError(
+                f"early_stopping_patience must be >= 1 or None, got"
+                f" {early_stopping_patience!r}"
+            )
+        self.batch_size = batch_size
+        self.on_epoch_end = on_epoch_end
+        self.class_weight = class_weight
+        self.early_stopping_patience = early_stopping_patience
+        # Populated by __call__; readable by the runner for tracking
+        # (reference: trainer.py:79-81).
+        self._early_stop_info: dict[str, Any] | None = None
+
+    def _make_classifier(self, class_weight: dict[str, float] | None) -> MLPClassifier:
+        """Hook for tests to swap the classifier architecture."""
+        return MLPClassifier(
+            hidden_layer_sizes=PRODUCTION_HIDDEN_LAYERS,
+            learning_rate_init=PRODUCTION_LEARNING_RATE,
+            class_weight=class_weight,
+            random_state=PRODUCTION_RANDOM_STATE,
+        )
+
+    def __call__(
+        self,
+        labels: TrainingTaskLabels,
+        nbr_epochs: int,
+        pc_models: list[Any],
+        **_kwargs: Any,
+    ) -> tuple[CalibratedClassifier, ValResults, TrainClassifierReturnMsg]:
+        logger.debug(
+            "Unique classes: Train + Ref = %d, Val = %d",
+            len(labels.ref.classes_set),
+            len(labels.val.classes_set),
+        )
+        logger.debug(
+            "Label count: Train = %d, Ref = %d, Val = %d, Total = %d",
+            labels.train.label_count,
+            labels.ref.label_count,
+            labels.val.label_count,
+            labels.label_count,
+        )
+        logger.debug("Batch size: %d labels", self.batch_size)
+
+        classes_list = sorted(labels.ref.classes_set)
+
+        with _log_entry_and_exit("training MLP"):
+            clf = self._make_classifier(self.class_weight)
+
+            ref_accs: list[float] = []
+            t0 = time.time()
+
+            best_val_loss: float = float("inf")
+            best_clf_snapshot = None
+            best_epoch_idx: int | None = None
+            epochs_since_best: int = 0
+            stop_reason: str = "budget_exhausted"
+            epoch: int = 0
+
+            for epoch in range(nbr_epochs):
+                # Training: stream batches from disk, partial_fit, release.
+                for x, y in labels.train.load_data_in_batches(
+                    batch_size=self.batch_size,
+                    random_seed=epoch,
+                ):
+                    clf.partial_fit(x, y, classes=classes_list)
+
+                ref_accs.append(self._calc_acc_batched(clf, labels.ref))
+                logger.debug("Epoch %d, acc: %s", epoch, ref_accs[-1])
+
+                # Per-epoch val accuracy + log_loss streamed the same way;
+                # computed on the UNCALIBRATED head — the trend is the
+                # overfitting signal, not the absolute value
+                # (reference: trainer.py:153-168).
+                val_acc, val_loss = self._calc_acc_and_log_loss_batched(
+                    clf, labels.val, classes_list
+                )
+                logger.debug(
+                    "Epoch %d, val_acc: %s, val_loss: %s", epoch, val_acc, val_loss
+                )
+
+                if self.early_stopping_patience is not None:
+                    if val_loss < best_val_loss:
+                        best_val_loss = val_loss
+                        best_epoch_idx = epoch
+                        best_clf_snapshot = copy.deepcopy(clf)
+                        epochs_since_best = 0
+                    else:
+                        epochs_since_best += 1
+
+                will_stop_after_this = epoch == nbr_epochs - 1 or (
+                    self.early_stopping_patience is not None
+                    and epochs_since_best >= self.early_stopping_patience
+                )
+
+                if self.on_epoch_end is not None:
+                    loss_curve = getattr(clf, "loss_curve_", [None])
+                    cb_metrics: dict[str, Any] = {
+                        "epoch": epoch,
+                        "ref_accuracy": ref_accs[-1],
+                        "val_accuracy": val_acc,
+                        "val_loss": val_loss,
+                        "training_loss": loss_curve[-1] if loss_curve else None,
+                        "cumulative_seconds": time.time() - t0,
+                    }
+                    if will_stop_after_this:
+                        # One-shot summary fields fire only on the final epoch
+                        # (reference: trainer.py:201-215).
+                        early_stopped = (
+                            self.early_stopping_patience is not None
+                            and epochs_since_best >= self.early_stopping_patience
+                        )
+                        cb_metrics["final_epoch"] = epoch + 1
+                        cb_metrics["early_stopped"] = early_stopped
+                        if best_epoch_idx is not None:
+                            cb_metrics["best_val_epoch"] = best_epoch_idx + 1
+                            cb_metrics["best_val_loss"] = best_val_loss
+                    self.on_epoch_end(cb_metrics)
+
+                if (
+                    self.early_stopping_patience is not None
+                    and epochs_since_best >= self.early_stopping_patience
+                ):
+                    stop_reason = "early_stopping"
+                    logger.info(
+                        "Early stopping at epoch %d: val_loss has not improved"
+                        " for %d consecutive epochs. Best was epoch %d"
+                        " (val_loss=%.4f).",
+                        epoch + 1,
+                        self.early_stopping_patience,
+                        (best_epoch_idx or 0) + 1,
+                        best_val_loss,
+                    )
+                    break
+
+            # Restore the best-val_loss classifier unconditionally when early
+            # stopping is active, so a full-budget run still ships the best
+            # snapshot (reference: trainer.py:232-249).
+            if (
+                self.early_stopping_patience is not None
+                and best_clf_snapshot is not None
+                and best_epoch_idx != epoch
+            ):
+                logger.info(
+                    "Restoring classifier from epoch %d (val_loss=%.4f);"
+                    " latest epoch was %d epochs past best.",
+                    (best_epoch_idx or 0) + 1,
+                    best_val_loss,
+                    epochs_since_best,
+                )
+                clf = best_clf_snapshot
+            self._early_stop_info = {
+                "enabled": self.early_stopping_patience is not None,
+                "patience": self.early_stopping_patience,
+                "stop_reason": stop_reason,
+                "final_epoch": epoch + 1,
+                "best_val_epoch": (
+                    best_epoch_idx + 1 if best_epoch_idx is not None else None
+                ),
+                "best_val_loss": (
+                    best_val_loss if best_val_loss != float("inf") else None
+                ),
+            }
+
+        # Calibration: stream ref data in batches — O(N*K) accumulation, not
+        # O(N*4096) (reference: trainer.py:261-265).
+        with _log_entry_and_exit("calibration"):
+            clf_calibrated = self._calibrate_in_batches(clf, labels.ref)
+
+        classes = list(clf_calibrated.classes_)
+
+        # Evaluate the new classifier on the validation set.
+        val_gts, val_ests, val_scores = evaluate_classifier(
+            clf_calibrated, labels.val, batch_size=self.batch_size
+        )
+
+        # Evaluate previous classifiers on the validation set.
+        pc_accs = []
+        for pc_model in pc_models:
+            pc_gts, pc_ests, _ = evaluate_classifier(
+                pc_model, labels.val, batch_size=self.batch_size
+            )
+            pc_accs.append(float(accuracy_score(pc_gts, pc_ests)))
+
+        val_results = ValResults(
+            scores=val_scores,
+            gt=[classes.index(member) for member in val_gts],
+            est=[classes.index(member) for member in val_ests],
+            classes=classes,
+        )
+
+        return_message = TrainClassifierReturnMsg(
+            acc=float(accuracy_score(val_gts, val_ests)),
+            pc_accs=pc_accs,
+            ref_accs=ref_accs,
+            runtime=time.time() - t0,
+        )
+
+        return clf_calibrated, val_results, return_message
+
+    def _calc_acc_batched(self, clf: MLPClassifier, labels: ImageLabels) -> float:
+        """Streamed accuracy: only predictions accumulate, not features
+        (reference: trainer.py:295-307)."""
+        gt: list[str] = []
+        pred: list[str] = []
+        for x, y in labels.load_data_in_batches(batch_size=self.batch_size):
+            pred.extend(clf.predict(x))
+            gt.extend(y)
+        return float(accuracy_score(gt, pred))
+
+    def _calc_acc_and_log_loss_batched(
+        self,
+        clf: MLPClassifier,
+        labels: ImageLabels,
+        classes_list: list[Any],
+    ) -> tuple[float, float]:
+        """Streamed accuracy AND log_loss in one pass
+        (reference: trainer.py:309-342)."""
+        gt: list[Any] = []
+        all_proba: list[np.ndarray] = []
+        for x, y in labels.load_data_in_batches(batch_size=self.batch_size):
+            all_proba.append(clf.predict_proba(x))
+            gt.extend(y)
+        proba = np.vstack(all_proba)
+        clf_classes = list(clf.classes_)
+        pred = [clf_classes[i] for i in proba.argmax(axis=1)]
+        acc = float(accuracy_score(gt, pred))
+        # Explicit labels= keeps column ordering correct when some classes
+        # are absent from this eval set.
+        loss = float(sklearn_log_loss(gt, proba, labels=clf_classes))
+        return acc, loss
+
+    def _calibrate_in_batches(
+        self,
+        clf: MLPClassifier,
+        ref_labels: ImageLabels,
+    ) -> CalibratedClassifier:
+        """Platt calibration from streamed uncalibrated scores
+        (reference: trainer.py:344-396)."""
+        all_preds: list[np.ndarray] = []
+        all_y: list[np.ndarray] = []
+
+        for x_batch, y_batch in ref_labels.load_data_in_batches(
+            batch_size=self.batch_size
+        ):
+            preds = clf.predict_proba(np.asarray(x_batch))
+            # Binary: _fit-style calibration expects just the positive-class
+            # column (reference: trainer.py:366-374).
+            if len(clf.classes_) == 2:
+                preds = preds[:, 1:]
+            all_preds.append(preds)
+            all_y.append(np.asarray(y_batch))
+
+        predictions = np.vstack(all_preds)
+        y = np.concatenate(all_y)
+        return CalibratedClassifier.fit_from_scores(clf, predictions, y)
+
+    def serialize(self) -> dict[str, Any]:
+        return {
+            "trainer": type(self).__name__,
+            "batch_size": self.batch_size,
+            # on_epoch_end is not JSON-serializable; excluded.
+        }

@@ -1,0 +1,194 @@
+"""Tests for feature-file IO, ImageLabels streaming, and the stratified
+per-point split."""
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.data.features_io import (
+    read_feature_file,
+    read_legacy_featurevector_json,
+    select_point_features,
+    write_feature_file,
+)
+from mermaid_classifier_tpu.data.labels import (
+    ImageLabels,
+    SplitMode,
+    preprocess_labels,
+)
+
+
+def build_synthetic_labels(tmp_path, n_images=20, pts_per_image=10, n_classes=4,
+                           dim=8, seed=0):
+    """Write per-image feature files and the matching ImageLabels."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 3, size=(n_classes, dim)).astype(np.float32)
+    class_names = [f"BA{k}::GF{k}" for k in range(n_classes)]
+    labels = ImageLabels()
+    for i in range(n_images):
+        rowcols = np.stack(
+            [np.arange(pts_per_image) * 7 + 5, np.arange(pts_per_image) * 11 + 3],
+            axis=1,
+        ).astype(np.int32)
+        y_idx = rng.integers(0, n_classes, pts_per_image)
+        feats = centers[y_idx] + rng.normal(0, 0.5, size=(pts_per_image, dim)).astype(
+            np.float32
+        )
+        path = str(tmp_path / f"img_{i:03d}.features.npz")
+        write_feature_file(path, rowcols, feats)
+        labels.add_image(
+            path,
+            [
+                (int(r), int(c), class_names[k])
+                for (r, c), k in zip(rowcols, y_idx)
+            ],
+        )
+    return labels, class_names
+
+
+class TestFeatureIO:
+    def test_roundtrip(self, tmp_path):
+        rowcols = np.array([[1, 2], [3, 4]], dtype=np.int32)
+        feats = np.arange(8, dtype=np.float32).reshape(2, 4)
+        path = tmp_path / "a.features.npz"
+        write_feature_file(path, rowcols, feats)
+        r2, f2 = read_feature_file(path)
+        np.testing.assert_array_equal(r2, rowcols)
+        np.testing.assert_array_equal(f2, feats)
+        # No leftover temp files (atomic write).
+        assert list(tmp_path.glob("*.part")) == []
+
+    def test_shape_validation(self, tmp_path):
+        with pytest.raises(ValueError, match="rowcols"):
+            write_feature_file(tmp_path / "x.npz", np.zeros((2, 3)), np.zeros((2, 4)))
+        with pytest.raises(ValueError, match="features"):
+            write_feature_file(tmp_path / "x.npz", np.zeros((2, 2)), np.zeros((3, 4)))
+
+    def test_select_point_features(self):
+        rowcols = np.array([[10, 20], [30, 40], [50, 60]], dtype=np.int32)
+        feats = np.arange(9, dtype=np.float32).reshape(3, 3)
+        out = select_point_features(rowcols, feats, [(50, 60), (10, 20)])
+        np.testing.assert_array_equal(out, feats[[2, 0]])
+        with pytest.raises(KeyError, match="not present"):
+            select_point_features(rowcols, feats, [(1, 1)])
+
+    def test_legacy_json_reader(self, tmp_path):
+        import json
+
+        payload = {
+            "point_features": [
+                {"row": 5, "col": 9, "data": [0.1, 0.2]},
+                {"row": 7, "col": 3, "data": [0.3, 0.4]},
+            ]
+        }
+        p = tmp_path / "legacy.featurevector"
+        p.write_text(json.dumps(payload))
+        rowcols, feats = read_legacy_featurevector_json(p)
+        np.testing.assert_array_equal(rowcols, [[5, 9], [7, 3]])
+        np.testing.assert_allclose(feats, [[0.1, 0.2], [0.3, 0.4]], rtol=1e-6)
+
+
+class TestImageLabels:
+    def test_bookkeeping(self, tmp_path):
+        labels, class_names = build_synthetic_labels(tmp_path, n_images=5)
+        assert len(labels) == 5
+        assert labels.label_count == 50
+        assert labels.classes_set <= set(class_names)
+        with pytest.raises(ValueError, match="already added"):
+            labels.add_image(labels.image_keys[0], [])
+
+    def test_load_data_in_batches(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=10, pts_per_image=10)
+        batches = list(labels.load_data_in_batches(batch_size=25))
+        total = sum(len(y) for _, y in batches)
+        assert total == 100
+        # every batch except maybe the last reaches the threshold
+        for x, y in batches[:-1]:
+            assert len(y) >= 25
+            assert x.shape[0] == len(y)
+
+    def test_batch_order_seeded(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=10)
+        a1 = np.vstack([x for x, _ in labels.load_data_in_batches(30, random_seed=1)])
+        a2 = np.vstack([x for x, _ in labels.load_data_in_batches(30, random_seed=1)])
+        b = np.vstack([x for x, _ in labels.load_data_in_batches(30, random_seed=2)])
+        np.testing.assert_array_equal(a1, a2)
+        assert not np.array_equal(a1, b)
+
+    def test_features_align_with_labels(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=3, dim=4)
+        x, y = labels.load_all()
+        assert x.shape == (30, 4)
+        assert len(y) == 30
+
+
+class TestPreprocessLabels:
+    def test_split_ratios_and_determinism(self, tmp_path):
+        labels, _ = build_synthetic_labels(
+            tmp_path, n_images=50, pts_per_image=20, n_classes=4
+        )
+        t1 = preprocess_labels(labels, split_ratios=(0.1, 0.1))
+        t2 = preprocess_labels(labels, split_ratios=(0.1, 0.1))
+        assert t1.train.data == t2.train.data
+        assert t1.ref.data == t2.ref.data
+        assert t1.val.data == t2.val.data
+
+        total = labels.label_count
+        assert t1.label_count == total
+        assert t1.ref.label_count == pytest.approx(0.1 * total, rel=0.15)
+        assert t1.val.label_count == pytest.approx(0.1 * total, rel=0.15)
+        assert t1.train.label_count > 0.7 * total
+
+    def test_stratified_per_class(self, tmp_path):
+        labels, class_names = build_synthetic_labels(
+            tmp_path, n_images=60, pts_per_image=20, n_classes=3
+        )
+        triple = preprocess_labels(labels, split_ratios=(0.2, 0.2))
+
+        def per_class_counts(img_labels):
+            counts = dict.fromkeys(class_names, 0)
+            for anns in img_labels.data.values():
+                for _, _, lab in anns:
+                    counts[lab] += 1
+            return counts
+
+        total_counts = per_class_counts(labels)
+        ref_counts = per_class_counts(triple.ref)
+        val_counts = per_class_counts(triple.val)
+        for c in class_names:
+            if total_counts[c] == 0:
+                continue
+            assert ref_counts[c] == pytest.approx(0.2 * total_counts[c], abs=2, rel=0.2)
+            assert val_counts[c] == pytest.approx(0.2 * total_counts[c], abs=2, rel=0.2)
+
+    def test_tiny_class_keeps_train_point(self, tmp_path):
+        # A class with a single point must land in train, not ref/val.
+        rowcols = np.array([[1, 1], [2, 2], [3, 3]], dtype=np.int32)
+        feats = np.zeros((3, 4), dtype=np.float32)
+        path = str(tmp_path / "only.features.npz")
+        write_feature_file(path, rowcols, feats)
+        labels = ImageLabels()
+        labels.add_image(
+            path, [(1, 1, "rare"), (2, 2, "common"), (3, 3, "common")]
+        )
+        triple = preprocess_labels(labels, split_ratios=(0.4, 0.4))
+        assert "rare" in triple.train.classes_set
+        assert "rare" not in triple.ref.classes_set
+        assert "rare" not in triple.val.classes_set
+
+    def test_invalid_ratios(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=2)
+        with pytest.raises(ValueError, match="split_ratios"):
+            preprocess_labels(labels, split_ratios=(0.6, 0.5))
+        with pytest.raises(ValueError, match="Unsupported split mode"):
+            preprocess_labels(labels, split_mode="bogus")
+
+    def test_split_independent_of_insertion_order(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=10)
+        reordered = ImageLabels()
+        for key in reversed(labels.image_keys):
+            reordered.add_image(key, labels.data[key])
+        t1 = preprocess_labels(labels)
+        t2 = preprocess_labels(reordered)
+        assert t1.train.data == t2.train.data
+        assert t1.val.data == t2.val.data
+        assert SplitMode.POINTS_STRATIFIED.value == "points_stratified"

@@ -1,0 +1,182 @@
+"""Trainer tests: end-to-end run, early-stopping behavior matrix, batched
+calibration equivalence (reference analog: tests/pyspacer/test_trainer.py)."""
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.data.labels import preprocess_labels
+from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+from mermaid_classifier_tpu.train.trainer import MermaidTrainer
+
+from tests.data.test_labels import build_synthetic_labels
+
+
+class SmallNetTrainer(MermaidTrainer):
+    """Production arch shrunk for seconds-fast tests; semantics unchanged."""
+
+    def _make_classifier(self, class_weight):
+        return MLPClassifier(
+            hidden_layer_sizes=(16,),
+            learning_rate_init=1e-2,
+            class_weight=class_weight,
+            random_state=0,
+        )
+
+
+@pytest.fixture()
+def task_labels(tmp_path):
+    labels, _ = build_synthetic_labels(
+        tmp_path, n_images=40, pts_per_image=10, n_classes=3, dim=8, seed=0
+    )
+    return preprocess_labels(labels, split_ratios=(0.15, 0.15))
+
+
+class TestEndToEnd:
+    def test_training_run(self, task_labels):
+        epochs_seen = []
+        trainer = SmallNetTrainer(
+            batch_size=64, on_epoch_end=lambda m: epochs_seen.append(m)
+        )
+        clf_cal, val_results, msg = trainer(task_labels, nbr_epochs=8, pc_models=[])
+
+        assert isinstance(clf_cal, CalibratedClassifier)
+        assert len(msg.ref_accs) == 8
+        assert msg.acc > 0.8  # separable clusters
+        assert msg.runtime > 0
+        assert len(epochs_seen) == 8
+        # One-shot summary fields only on the final epoch.
+        assert "final_epoch" not in epochs_seen[0]
+        assert epochs_seen[-1]["final_epoch"] == 8
+        assert epochs_seen[-1]["early_stopped"] is False
+        # ValResults indices are consistent.
+        n_val = task_labels.val.label_count
+        assert len(val_results.scores) == n_val
+        assert val_results.classes == sorted(task_labels.ref.classes_set)
+
+        info = trainer._early_stop_info
+        assert info["enabled"] is False
+        assert info["stop_reason"] == "budget_exhausted"
+        assert info["final_epoch"] == 8
+
+    def test_previous_classifier_accs(self, task_labels):
+        trainer = SmallNetTrainer(batch_size=64)
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=4, pc_models=[])
+        _, _, msg = trainer(task_labels, nbr_epochs=2, pc_models=[clf_cal])
+        assert len(msg.pc_accs) == 1
+        assert 0.0 <= msg.pc_accs[0] <= 1.0
+
+    def test_class_weight_passthrough(self, task_labels):
+        classes = sorted(task_labels.ref.classes_set)
+        weights = {c: 1.0 for c in classes}
+        trainer = SmallNetTrainer(batch_size=64, class_weight=weights)
+        clf_cal, _, msg = trainer(task_labels, nbr_epochs=3, pc_models=[])
+        assert msg.acc > 0.5
+
+    def test_invalid_patience(self):
+        with pytest.raises(ValueError, match="early_stopping_patience"):
+            MermaidTrainer(batch_size=10, early_stopping_patience=0)
+
+
+class ScriptedValLossTrainer(SmallNetTrainer):
+    """Overrides the val metric with a scripted loss sequence so the
+    early-stopping state machine is testable deterministically
+    (reference analog: tests/pyspacer/test_trainer.py:192-358)."""
+
+    def __init__(self, scripted_losses, **kwargs):
+        super().__init__(**kwargs)
+        self.scripted_losses = list(scripted_losses)
+        self._call_idx = 0
+
+    def _calc_acc_and_log_loss_batched(self, clf, labels, classes_list):
+        loss = self.scripted_losses[self._call_idx]
+        self._call_idx += 1
+        return 0.5, loss
+
+
+class TestEarlyStopping:
+    def test_stops_on_patience(self, task_labels):
+        # best at epoch 2 (idx 1), then two non-improving epochs → stop at 4.
+        trainer = ScriptedValLossTrainer(
+            [0.5, 0.4, 0.6, 0.7, 0.3, 0.2],
+            batch_size=64,
+            early_stopping_patience=2,
+        )
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=6, pc_models=[])
+        info = trainer._early_stop_info
+        assert info["stop_reason"] == "early_stopping"
+        assert info["final_epoch"] == 4
+        assert info["best_val_epoch"] == 2
+        assert info["best_val_loss"] == 0.4
+        # Restored classifier is the epoch-2 snapshot: it saw exactly 2
+        # epochs of partial_fit batches.
+        n_batches_per_epoch = len(
+            list(task_labels.train.load_data_in_batches(batch_size=64, random_seed=0))
+        )
+        assert clf_cal.estimator.n_iter_ == 2 * n_batches_per_epoch
+
+    def test_budget_exhausted_still_restores_best(self, task_labels):
+        trainer = ScriptedValLossTrainer(
+            [0.5, 0.3, 0.6, 0.55],
+            batch_size=64,
+            early_stopping_patience=5,
+        )
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=4, pc_models=[])
+        info = trainer._early_stop_info
+        assert info["stop_reason"] == "budget_exhausted"
+        assert info["final_epoch"] == 4
+        assert info["best_val_epoch"] == 2
+        n_batches_per_epoch = len(
+            list(task_labels.train.load_data_in_batches(batch_size=64, random_seed=0))
+        )
+        assert clf_cal.estimator.n_iter_ == 2 * n_batches_per_epoch
+
+    def test_no_restore_when_last_is_best(self, task_labels):
+        trainer = ScriptedValLossTrainer(
+            [0.5, 0.4, 0.3],
+            batch_size=64,
+            early_stopping_patience=2,
+        )
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=3, pc_models=[])
+        info = trainer._early_stop_info
+        assert info["best_val_epoch"] == 3
+        n_batches_per_epoch = len(
+            list(task_labels.train.load_data_in_batches(batch_size=64, random_seed=0))
+        )
+        assert clf_cal.estimator.n_iter_ == 3 * n_batches_per_epoch
+
+    def test_callback_summary_fields_on_early_stop(self, task_labels):
+        seen = []
+        trainer = ScriptedValLossTrainer(
+            [0.5, 0.6, 0.7],
+            batch_size=64,
+            early_stopping_patience=2,
+            on_epoch_end=seen.append,
+        )
+        trainer(task_labels, nbr_epochs=10, pc_models=[])
+        assert len(seen) == 3
+        assert "final_epoch" not in seen[0]
+        assert seen[-1]["early_stopped"] is True
+        assert seen[-1]["best_val_epoch"] == 1
+
+
+class TestBatchedCalibration:
+    def test_batched_equals_whole(self, task_labels):
+        """Calibrating from streamed batches must equal calibrating from the
+        whole ref set at once (reference: test_trainer.py:104-118)."""
+        trainer = SmallNetTrainer(batch_size=32)
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=4, pc_models=[])
+
+        clf = clf_cal.estimator
+        x_ref, y_ref = task_labels.ref.load_all()
+        whole = CalibratedClassifier.fit_from_scores(
+            clf, clf.predict_proba(x_ref), np.asarray(y_ref)
+        )
+        # Streaming order differs from load_all order only in grouping, not
+        # content; per-class sigmoid params must agree tightly.
+        np.testing.assert_allclose(
+            clf_cal.calibration_a_, whole.calibration_a_, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            clf_cal.calibration_b_, whole.calibration_b_, rtol=1e-8
+        )
