@@ -1,0 +1,243 @@
+"""EfficientNet-B0 feature backbone in Flax.
+
+TPU-native replacement for the reference's pretrained torch EfficientNet
+(``efficientnet.pt``) that turns a 224x224 patch into a feature vector
+(reference: scripts/build_feature_bucket.py:375-448, settings.py:7-8).
+The network is inference-only here — the backbone is a fixed pretrained
+artifact in the production pipeline; head training happens on precomputed
+features.
+
+Architecture notes:
+- Canonical B0 stage layout (MBConv expand/kernel/stride/repeats), SE ratio
+  0.25, SiLU activations, BatchNorm eps 1e-3 with running stats.
+- Symmetric spatial padding p=(k-1)//2 everywhere (torchvision-style); the
+  torch mirror used by the weight-conversion parity tests uses the same, so
+  converted weights are layer-for-layer aligned.
+- The trunk pools to 1280 dims; the extractor contract is ``feature_dim``
+  floats per patch (production default 4096, reference: settings.py:7-8),
+  produced by a final projection layer. When converting real production
+  weights, the converter maps whatever layer emits the 4096-dim output onto
+  this projection.
+- Everything is fixed-shape and jit/vmap/shard_map friendly; batch-norm uses
+  running averages so the whole forward is a pure function of (params, x).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# (expand_ratio, channels, repeats, stride, kernel_size) per stage — B0.
+B0_STAGES: tuple[tuple[int, int, int, int, int], ...] = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99
+
+
+@dataclass(frozen=True)
+class EfficientNetConfig:
+    stem_channels: int = 32
+    stages: tuple[tuple[int, int, int, int, int], ...] = B0_STAGES
+    head_channels: int = 1280
+    se_ratio: float = 0.25
+    # Output feature dimensionality per patch. 4096 is the production
+    # contract (reference: settings.py:7-8); 1280 means "raw pooled trunk,
+    # no projection".
+    feature_dim: int = 4096
+    # ImageNet preprocessing constants applied by the patch pipeline.
+    mean_rgb: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std_rgb: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    patch_size: int = 224
+
+    def to_dict(self) -> dict:
+        return {
+            "stem_channels": self.stem_channels,
+            "stages": [list(s) for s in self.stages],
+            "head_channels": self.head_channels,
+            "se_ratio": self.se_ratio,
+            "feature_dim": self.feature_dim,
+            "mean_rgb": list(self.mean_rgb),
+            "std_rgb": list(self.std_rgb),
+            "patch_size": self.patch_size,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EfficientNetConfig":
+        return cls(
+            stem_channels=d["stem_channels"],
+            stages=tuple(tuple(s) for s in d["stages"]),
+            head_channels=d["head_channels"],
+            se_ratio=d["se_ratio"],
+            feature_dim=d["feature_dim"],
+            mean_rgb=tuple(d["mean_rgb"]),
+            std_rgb=tuple(d["std_rgb"]),
+            patch_size=d["patch_size"],
+        )
+
+
+def _same_pad(kernel: int) -> Sequence[tuple[int, int]]:
+    p = (kernel - 1) // 2
+    return ((p, p), (p, p))
+
+
+class ConvBNAct(nn.Module):
+    """Conv -> BatchNorm(running stats) -> optional SiLU."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=_same_pad(self.kernel),
+            feature_group_count=self.groups,
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=True,
+            epsilon=BN_EPS,
+            momentum=BN_MOMENTUM,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """SE block: global pool -> reduce(SiLU) -> expand(sigmoid) -> scale."""
+
+    channels: int
+    se_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.se_channels, (1, 1), use_bias=True, name="reduce")(s)
+        s = nn.silu(s)
+        s = nn.Conv(self.channels, (1, 1), use_bias=True, name="expand")(s)
+        return x * nn.sigmoid(s)
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with SE and residual."""
+
+    in_channels: int
+    out_channels: int
+    expand_ratio: int
+    kernel: int
+    stride: int
+    se_ratio: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inp = x
+        mid = self.in_channels * self.expand_ratio
+        if self.expand_ratio != 1:
+            x = ConvBNAct(mid, kernel=1, name="expand")(x)
+        x = ConvBNAct(
+            mid, kernel=self.kernel, stride=self.stride, groups=mid, name="depthwise"
+        )(x)
+        se_channels = max(1, int(self.in_channels * self.se_ratio))
+        x = SqueezeExcite(mid, se_channels, name="se")(x)
+        x = ConvBNAct(self.out_channels, kernel=1, act=False, name="project")(x)
+        if self.stride == 1 and self.in_channels == self.out_channels:
+            x = x + inp
+        return x
+
+
+class EfficientNetBackbone(nn.Module):
+    """Stem -> MBConv stages -> head conv -> global average pool ->
+    feature projection. Input is a normalized (N, H, W, 3) float32 batch;
+    output is (N, feature_dim) float32."""
+
+    config: EfficientNetConfig = field(default_factory=EfficientNetConfig)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = ConvBNAct(cfg.stem_channels, kernel=3, stride=2, name="stem")(x)
+        in_ch = cfg.stem_channels
+        for stage_idx, (expand, out_ch, repeats, stride, kernel) in enumerate(
+            cfg.stages
+        ):
+            for block_idx in range(repeats):
+                x = MBConv(
+                    in_channels=in_ch,
+                    out_channels=out_ch,
+                    expand_ratio=expand,
+                    kernel=kernel,
+                    stride=stride if block_idx == 0 else 1,
+                    se_ratio=cfg.se_ratio,
+                    name=f"stage{stage_idx}_block{block_idx}",
+                )(x)
+                in_ch = out_ch
+        x = ConvBNAct(cfg.head_channels, kernel=1, name="head")(x)
+        x = jnp.mean(x, axis=(1, 2))
+        if cfg.feature_dim != cfg.head_channels:
+            x = nn.Dense(cfg.feature_dim, name="feature_projection")(x)
+        return x
+
+
+def init_backbone_params(rng_key_or_seed, config: EfficientNetConfig | None = None):
+    """Initialize (params + batch_stats) variables for the backbone.
+
+    Used for tests/bench and as the fallback when no pretrained weights are
+    provided. Shapes come from ``jax.eval_shape`` (pure tracing, zero device
+    work — flax's eager ``init`` costs minutes of per-op dispatch through a
+    tunneled TPU); values are materialized host-side with numpy, seeded
+    per-parameter-path so the result is deterministic across processes and
+    backends: conv/dense kernels get fan-in-scaled normals, biases/BN means
+    zeros, BN scales/vars ones.
+    """
+    import zlib
+
+    import jax
+    import numpy as np
+
+    config = config or EfficientNetConfig()
+    model = EfficientNetBackbone(config=config)
+    dummy = jax.ShapeDtypeStruct(
+        (1, config.patch_size, config.patch_size, 3), jnp.float32
+    )
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy)
+
+    if hasattr(rng_key_or_seed, "dtype") and not isinstance(rng_key_or_seed, int):
+        seed = int(np.asarray(jax.random.key_data(rng_key_or_seed)).ravel()[-1])
+    else:
+        seed = int(rng_key_or_seed)
+
+    def materialize(path, leaf):
+        name = jax.tree_util.keystr(path)
+        terminal = name.rsplit("'", 2)[-2] if "'" in name else name
+        if terminal in ("bias", "mean"):
+            return np.zeros(leaf.shape, leaf.dtype)
+        if terminal in ("scale", "var"):
+            return np.ones(leaf.shape, leaf.dtype)
+        # kernels: fan-in-scaled normal (path-seeded, process-independent).
+        rng = np.random.default_rng(
+            (zlib.crc32(name.encode()) ^ (seed & 0xFFFFFFFF)) & 0xFFFFFFFF
+        )
+        fan_in = int(np.prod(leaf.shape[:-1])) if len(leaf.shape) > 1 else 1
+        std = float(np.sqrt(1.0 / max(fan_in, 1)))
+        return (rng.standard_normal(leaf.shape) * std).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(materialize, shapes)

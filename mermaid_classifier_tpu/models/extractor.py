@@ -1,0 +1,235 @@
+"""FeatureExtractor: decoded image + annotated points -> feature vectors.
+
+TPU-native replacement for the reference's ``_DeviceCachingExtractor`` torch
+path (reference: scripts/build_feature_bucket.py:375-448): the network is
+built once and cached, patches are gathered and normalized on device (Pallas
+kernel on TPU, identical-math XLA path elsewhere), and the backbone runs in
+fixed-size batches so XLA compiles a handful of programs total instead of one
+per image.
+
+Static-shape discipline (SURVEY.md §7 "fixed shapes vs ragged data"):
+
+- images are bucketed: spatial dims padded up to multiples of
+  ``image_bucket`` (bottom/right, zeros) after the centered patch pad, so
+  the gather compiles once per size bucket, not per image;
+- point counts are padded up to multiples of ``point_bucket`` (duplicating
+  point 0) and trimmed after the forward;
+- the backbone always sees (backbone_batch, ps, ps, 3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mermaid_classifier_tpu.models.efficientnet import (
+    EfficientNetBackbone,
+    EfficientNetConfig,
+    init_backbone_params,
+)
+from mermaid_classifier_tpu.ops.patch_ops import (
+    channel_scale_bias,
+    default_pallas_interpret,
+    extract_patches_pallas,
+    extract_patches_xla,
+    make_affine_rows,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class DeviceNumericsError(RuntimeError):
+    """Raised when the device backbone diverges from the host-CPU backbone
+    beyond the cosine-similarity gate (reference analog:
+    scripts/build_feature_bucket.py:451-502, min cosine >= 0.999)."""
+
+
+class FeatureExtractor:
+    """Cached-backbone batched point-feature extractor."""
+
+    def __init__(
+        self,
+        variables: Any,
+        config: EfficientNetConfig | None = None,
+        *,
+        backbone_batch: int = 128,
+        point_bucket: int = 32,
+        image_bucket: int = 256,
+        use_pallas: bool | None = None,
+    ) -> None:
+        self.config = config or EfficientNetConfig()
+        self.variables = variables
+        self.backbone_batch = int(backbone_batch)
+        self.point_bucket = int(point_bucket)
+        self.image_bucket = int(image_bucket)
+        # Default: the XLA gather path. XLA fuses the dynamic_slice gather
+        # with the normalize affine and the crop is a negligible fraction of
+        # the extraction FLOPs; the Pallas kernel remains available but the
+        # current Mosaic stack cannot lower any dynamic sub-tile shift
+        # (arbitrary-offset DMA, value dynamic_slice, and dynamic roll all
+        # rejected on v5e — see ops/patch_ops.py docstring), so it requires
+        # tile-aligned point offsets.
+        self.use_pallas = bool(use_pallas) if use_pallas is not None else False
+        self._model = EfficientNetBackbone(config=self.config)
+        scale, bias = channel_scale_bias(self.config.mean_rgb, self.config.std_rgb)
+        self._scale = jnp.asarray(scale)
+        self._bias = jnp.asarray(bias)
+        scale_row, bias_row = make_affine_rows(scale, bias, self.config.patch_size)
+        self._scale_row = jnp.asarray(scale_row)
+        self._bias_row = jnp.asarray(bias_row)
+
+        self._apply = jax.jit(self._model.apply)
+        self._gather_xla = jax.jit(
+            functools.partial(extract_patches_xla, patch_size=self.config.patch_size),
+            static_argnames=(),
+        )
+
+    @property
+    def feature_dim(self) -> int:
+        return self.config.feature_dim
+
+    # -- patch gathering ----------------------------------------------------
+
+    def _prepare_image(self, image: np.ndarray) -> np.ndarray:
+        """Centered zero pad (ps//2 each side) + bottom/right pad to the
+        size bucket. Host-side numpy: cheap, and keeps the device transfer
+        a single contiguous buffer per bucket shape."""
+        if image.ndim != 3 or image.shape[2] != 3:
+            raise ValueError(f"image must be (H, W, 3), got {image.shape}")
+        ps = self.config.patch_size
+        half = ps // 2
+        h, w, _ = image.shape
+        hp = _round_up(h + 2 * half, self.image_bucket)
+        wp = _round_up(w + 2 * half, self.image_bucket)
+        out = np.zeros((hp, wp, 3), dtype=image.dtype)
+        out[half : half + h, half : half + w] = image
+        return out
+
+    def _gather(self, padded: np.ndarray, starts: np.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            return extract_patches_pallas(
+                jnp.asarray(padded),
+                jnp.asarray(starts, jnp.int32),
+                self.config.patch_size,
+                self._scale_row,
+                self._bias_row,
+                interpret=default_pallas_interpret(),
+            )
+        return self._gather_xla(
+            jnp.asarray(padded),
+            jnp.asarray(starts, jnp.int32),
+            scale=self._scale,
+            bias=self._bias,
+        )
+
+    def extract_patches(
+        self, image: np.ndarray, rowcols: np.ndarray
+    ) -> jnp.ndarray:
+        """(H, W, 3) uint8 + (P, 2) points -> (P, ps, ps, 3) float32
+        normalized patches (padding points trimmed)."""
+        rowcols = np.asarray(rowcols, dtype=np.int32)
+        if rowcols.ndim != 2 or rowcols.shape[1] != 2:
+            raise ValueError(f"rowcols must be (P, 2), got {rowcols.shape}")
+        n = rowcols.shape[0]
+        if n == 0:
+            ps = self.config.patch_size
+            return jnp.zeros((0, ps, ps, 3), jnp.float32)
+        h, w, _ = image.shape
+        if (rowcols < 0).any() or (rowcols[:, 0] >= h).any() or (
+            rowcols[:, 1] >= w
+        ).any():
+            raise ValueError(
+                "rowcols contains points outside the image"
+                f" (image is {h}x{w})."
+            )
+        padded = self._prepare_image(image)
+        n_pad = _round_up(n, self.point_bucket)
+        starts = np.zeros((n_pad, 2), dtype=np.int32)
+        # With centered pad ps//2, the crop starting at r - ps//2 in the
+        # original image begins exactly at row r of the padded image.
+        starts[:n] = rowcols
+        starts[n:] = rowcols[0]
+        patches = self._gather(padded, starts)
+        return patches[:n]
+
+    # -- backbone -----------------------------------------------------------
+
+    def features_for_patches(self, patches: jnp.ndarray) -> np.ndarray:
+        """(P, ps, ps, 3) float32 -> (P, D) float32, batching the backbone at
+        the fixed backbone_batch shape."""
+        n = patches.shape[0]
+        if n == 0:
+            return np.zeros((0, self.feature_dim), np.float32)
+        bb = self.backbone_batch
+        n_pad = _round_up(n, bb)
+        if n_pad != n:
+            patches = jnp.concatenate(
+                [patches, jnp.zeros((n_pad - n, *patches.shape[1:]), patches.dtype)]
+            )
+        outs = []
+        for i in range(0, n_pad, bb):
+            outs.append(self._apply(self.variables, patches[i : i + bb]))
+        return np.asarray(jnp.concatenate(outs)[:n])
+
+    def extract_features(
+        self, image: np.ndarray, rowcols: np.ndarray
+    ) -> np.ndarray:
+        """The per-image entry point: decoded image + points -> (P, D)
+        float32 feature vectors (reference contract:
+        build_feature_bucket.py:415-446)."""
+        patches = self.extract_patches(image, rowcols)
+        return self.features_for_patches(patches)
+
+    # -- numerics self-check --------------------------------------------------
+
+    def verify_device_numerics(
+        self, n_patches: int = 8, min_cosine: float = 0.999, seed: int = 0
+    ) -> float:
+        """Run random patches through the backbone on the default device and
+        on the host CPU backend; gate on min cosine similarity
+        (reference: scripts/build_feature_bucket.py:451-502)."""
+        ps = self.config.patch_size
+        rng = np.random.default_rng(seed)
+        patches = rng.random((n_patches, ps, ps, 3)).astype(np.float32)
+
+        device_out = np.asarray(self._apply(self.variables, jnp.asarray(patches)))
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cpu_vars = jax.device_put(
+                jax.tree.map(np.asarray, self.variables), cpu
+            )
+            cpu_out = np.asarray(
+                jax.jit(self._model.apply)(cpu_vars, jnp.asarray(patches))
+            )
+
+        num = np.sum(device_out * cpu_out, axis=1)
+        denom = np.linalg.norm(device_out, axis=1) * np.linalg.norm(cpu_out, axis=1)
+        cosines = num / np.maximum(denom, 1e-12)
+        worst = float(np.min(cosines))
+        if worst < min_cosine:
+            raise DeviceNumericsError(
+                f"device backbone features diverge from CPU: min cosine"
+                f" {worst:.6f} < {min_cosine}. Refusing to extract."
+            )
+        return worst
+
+
+def build_extractor(
+    weights: Any | None = None,
+    config: EfficientNetConfig | None = None,
+    seed: int = 0,
+    **kwargs: Any,
+) -> FeatureExtractor:
+    """Construct an extractor from a weights bundle (variables pytree) or,
+    when None, deterministic seeded-random weights (tests/bench)."""
+    config = config or EfficientNetConfig()
+    if weights is None:
+        weights = init_backbone_params(jax.random.PRNGKey(seed), config)
+    return FeatureExtractor(weights, config, **kwargs)

@@ -1,0 +1,86 @@
+"""Object-store tests: atomic/idempotent writes, listing as progress truth,
+parallel downloads with failure collection (reference analog: fake-S3 tests,
+tests/pyspacer/test_build_feature_bucket.py:169-360)."""
+
+import pytest
+
+from mermaid_classifier_tpu.data.store import (
+    LocalFSObjectStore,
+    ObjectStoreError,
+    download_parallel,
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LocalFSObjectStore(tmp_path / "store")
+
+
+class TestLocalFSObjectStore:
+    def test_put_get_exists(self, store):
+        store.put_bytes("bucket", "a/b/c.bin", b"data")
+        assert store.exists("bucket", "a/b/c.bin")
+        assert not store.exists("bucket", "a/b/missing.bin")
+        assert store.get_bytes("bucket", "a/b/c.bin") == b"data"
+
+    def test_get_missing_raises(self, store):
+        with pytest.raises(ObjectStoreError, match="not found"):
+            store.get_bytes("bucket", "nope")
+
+    def test_overwrite_idempotent(self, store):
+        store.put_bytes("b", "k", b"v1")
+        store.put_bytes("b", "k", b"v2")
+        assert store.get_bytes("b", "k") == b"v2"
+
+    def test_list_keys_prefix_and_no_part_files(self, store, tmp_path):
+        store.put_bytes("b", "s1/i1.npz", b"x")
+        store.put_bytes("b", "s1/i2.npz", b"x")
+        store.put_bytes("b", "s2/i3.npz", b"x")
+        # a stray .part file must never appear in listings
+        (store.root / "b" / "s1" / "stray.part").write_bytes(b"junk")
+        assert sorted(store.list_keys("b")) == ["s1/i1.npz", "s1/i2.npz", "s2/i3.npz"]
+        assert sorted(store.list_keys("b", prefix="s1/")) == ["s1/i1.npz", "s1/i2.npz"]
+        assert list(store.list_keys("empty_bucket")) == []
+
+    def test_key_escape_rejected(self, store):
+        with pytest.raises(ObjectStoreError, match="escapes"):
+            store.put_bytes("b", "../../etc/passwd", b"x")
+
+    def test_download_atomic(self, store, tmp_path):
+        store.put_bytes("b", "k", b"payload")
+        local = tmp_path / "dl" / "k.bin"
+        store.download("b", "k", local)
+        assert local.read_bytes() == b"payload"
+        assert list(local.parent.glob("*.part")) == []
+
+    def test_delete(self, store):
+        store.put_bytes("b", "k", b"x")
+        store.delete("b", "k")
+        assert not store.exists("b", "k")
+        store.delete("b", "k")  # idempotent
+
+
+class TestDownloadParallel:
+    def test_downloads_and_collects_failures(self, store, tmp_path):
+        store.put_bytes("b", "ok1", b"1")
+        store.put_bytes("b", "ok2", b"2")
+        jobs = {
+            ("b", "ok1"): str(tmp_path / "out/ok1"),
+            ("b", "ok2"): str(tmp_path / "out/ok2"),
+            ("b", "missing"): str(tmp_path / "out/missing"),
+        }
+        failed = download_parallel(store, jobs, max_workers=4)
+        assert failed == {("b", "missing")}
+        assert (tmp_path / "out/ok1").read_bytes() == b"1"
+        assert not (tmp_path / "out/missing").exists()
+
+    def test_skip_existing(self, store, tmp_path):
+        local = tmp_path / "out/k"
+        local.parent.mkdir(parents=True)
+        local.write_bytes(b"already here")
+        store.put_bytes("b", "k", b"fresh")
+        failed = download_parallel(store, {("b", "k"): str(local)}, skip_existing=True)
+        assert not failed
+        assert local.read_bytes() == b"already here"
+        download_parallel(store, {("b", "k"): str(local)}, skip_existing=False)
+        assert local.read_bytes() == b"fresh"

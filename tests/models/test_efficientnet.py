@@ -1,0 +1,136 @@
+"""Backbone shape/determinism tests and the torch->flax weight-conversion
+parity gate (the layer-by-layer diff harness SURVEY.md §7 calls for)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.models.convert import (
+    WeightConversionError,
+    load_backbone_npz,
+    save_backbone_npz,
+    torch_state_dict_to_variables,
+)
+from mermaid_classifier_tpu.models.efficientnet import (
+    EfficientNetBackbone,
+    EfficientNetConfig,
+    init_backbone_params,
+)
+
+# A shrunk config keeps tests seconds-fast while exercising every layer type
+# (expand==1 stage, expand>1 stages, stride-2, 5x5 kernels, SE, projection).
+TINY = EfficientNetConfig(
+    stem_channels=8,
+    stages=(
+        (1, 8, 1, 1, 3),
+        (6, 12, 2, 2, 3),
+        (6, 16, 1, 2, 5),
+    ),
+    head_channels=32,
+    feature_dim=48,
+    patch_size=32,
+)
+
+
+class TestBackbone:
+    def test_output_shape_and_determinism(self):
+        variables = init_backbone_params(jax.random.PRNGKey(0), TINY)
+        model = EfficientNetBackbone(config=TINY)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((3, 32, 32, 3)).astype(np.float32)
+        )
+        out1 = model.apply(variables, x)
+        out2 = model.apply(variables, x)
+        assert out1.shape == (3, 48)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_b0_default_structure(self):
+        cfg = EfficientNetConfig()
+        assert cfg.feature_dim == 4096  # production contract (settings.py:7-8)
+        assert cfg.patch_size == 224
+        # eval_shape traces without compiling — full-B0 init on CPU is slow.
+        model = EfficientNetBackbone(config=cfg)
+        variables = jax.eval_shape(
+            model.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.patch_size, cfg.patch_size, 3), jnp.float32),
+        )
+        params = variables["params"]
+        # 7 stages totalling 16 blocks + stem + head + projection.
+        blocks = [k for k in params if k.startswith("stage")]
+        assert len(blocks) == 16
+        assert "feature_projection" in params
+
+    def test_config_roundtrip(self):
+        d = TINY.to_dict()
+        assert EfficientNetConfig.from_dict(d) == TINY
+
+    def test_npz_bundle_roundtrip(self, tmp_path):
+        variables = init_backbone_params(jax.random.PRNGKey(0), TINY)
+        path = str(tmp_path / "backbone.npz")
+        save_backbone_npz(path, jax.device_get(variables))
+        restored = load_backbone_npz(path)
+        model = EfficientNetBackbone(config=TINY)
+        x = jnp.asarray(
+            np.random.default_rng(1).random((2, 32, 32, 3)).astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(model.apply(variables, x)),
+            np.asarray(model.apply(restored, x)),
+        )
+
+
+class TestTorchConversionParity:
+    """Converted torch weights must reproduce torch outputs within the
+    production feature-fidelity gate (<1e-4 MAE; BASELINE.md targets)."""
+
+    @pytest.fixture(scope="class")
+    def torch_and_flax(self):
+        import torch
+
+        from tests.parity.torch_efficientnet_ref import (
+            TorchEfficientNetBackbone,
+            randomize_bn_stats,
+        )
+
+        torch.manual_seed(0)
+        tmodel = TorchEfficientNetBackbone(TINY)
+        randomize_bn_stats(tmodel, seed=1)
+        tmodel.eval()
+        variables = torch_state_dict_to_variables(tmodel.state_dict(), TINY)
+        return tmodel, variables
+
+    def test_feature_parity(self, torch_and_flax):
+        import torch
+
+        tmodel, variables = torch_and_flax
+        rng = np.random.default_rng(0)
+        x = rng.random((4, 32, 32, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            expected = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got = np.asarray(
+            EfficientNetBackbone(config=TINY).apply(variables, jnp.asarray(x))
+        )
+        mae = float(np.mean(np.abs(expected - got)))
+        assert mae < 1e-4, f"feature MAE {mae} exceeds the 1e-4 fidelity gate"
+        np.testing.assert_allclose(got, expected, atol=5e-4)
+
+    def test_missing_key_fails_loudly(self, torch_and_flax):
+        tmodel, _ = torch_and_flax
+        sd = dict(tmodel.state_dict())
+        sd.pop("stem.conv.weight")
+        with pytest.raises(WeightConversionError, match="missing key"):
+            torch_state_dict_to_variables(sd, TINY)
+
+    def test_unconsumed_key_fails_loudly(self, torch_and_flax):
+        import torch
+
+        tmodel, _ = torch_and_flax
+        sd = dict(tmodel.state_dict())
+        sd["rogue.weight"] = torch.zeros(1)
+        with pytest.raises(WeightConversionError, match="unconsumed"):
+            torch_state_dict_to_variables(sd, TINY)
+        # strict=False tolerates extras (e.g. training-only buffers).
+        torch_state_dict_to_variables(sd, TINY, strict=False)

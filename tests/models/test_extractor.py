@@ -1,0 +1,86 @@
+"""FeatureExtractor tests: end-to-end patch->feature path, static-shape
+bucketing, point validation, device-numerics self-check."""
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.models.extractor import build_extractor
+from tests.models.test_efficientnet import TINY
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    # XLA gather path on the CPU test backend; Pallas equivalence is pinned
+    # separately in test_patch_ops.py.
+    return build_extractor(
+        config=TINY, backbone_batch=8, point_bucket=4, image_bucket=64,
+        use_pallas=False,
+    )
+
+
+class TestExtractFeatures:
+    def test_shapes_and_determinism(self, extractor):
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 256, size=(100, 140, 3), dtype=np.uint8)
+        rowcols = np.array([[10, 10], [50, 70], [99, 139], [0, 0], [30, 100]])
+        f1 = extractor.extract_features(image, rowcols)
+        f2 = extractor.extract_features(image, rowcols)
+        assert f1.shape == (5, TINY.feature_dim)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_point_padding_does_not_leak(self, extractor):
+        """Features must be identical whether a point set needs padding to
+        the bucket or not."""
+        rng = np.random.default_rng(1)
+        image = rng.integers(0, 256, size=(80, 80, 3), dtype=np.uint8)
+        pts5 = np.array([[10, 10], [20, 30], [40, 40], [60, 20], [70, 70]])
+        f_all = extractor.extract_features(image, pts5)  # padded 5 -> 8
+        f_first4 = extractor.extract_features(image, pts5[:4])  # exact bucket
+        np.testing.assert_allclose(f_all[:4], f_first4, atol=1e-5)
+
+    def test_image_bucketing_invariance(self, extractor):
+        """The same image content must yield the same features regardless of
+        which size bucket the image lands in (bottom/right zero pad only)."""
+        rng = np.random.default_rng(2)
+        small = rng.integers(0, 256, size=(60, 60, 3), dtype=np.uint8)
+        # Embed in a larger canvas of zeros: identical crops for interior
+        # points far from the new padding.
+        big = np.zeros((100, 100, 3), np.uint8)
+        big[:60, :60] = small
+        pts = np.array([[30, 30], [20, 40]])
+        f_small = extractor.extract_features(small, pts)
+        f_big = extractor.extract_features(big, pts)
+        np.testing.assert_allclose(f_small, f_big, atol=1e-5)
+
+    def test_out_of_bounds_point_rejected(self, extractor):
+        image = np.zeros((50, 50, 3), np.uint8)
+        with pytest.raises(ValueError, match="outside the image"):
+            extractor.extract_features(image, np.array([[50, 10]]))
+        with pytest.raises(ValueError, match="outside the image"):
+            extractor.extract_features(image, np.array([[-1, 10]]))
+
+    def test_empty_points(self, extractor):
+        image = np.zeros((50, 50, 3), np.uint8)
+        out = extractor.extract_features(image, np.zeros((0, 2), np.int32))
+        assert out.shape == (0, TINY.feature_dim)
+
+    def test_seeded_weights_reproducible(self):
+        e1 = build_extractor(config=TINY, seed=7, use_pallas=False)
+        e2 = build_extractor(config=TINY, seed=7, use_pallas=False)
+        image = np.full((40, 40, 3), 128, np.uint8)
+        pts = np.array([[20, 20]])
+        np.testing.assert_array_equal(
+            e1.extract_features(image, pts), e2.extract_features(image, pts)
+        )
+
+
+class TestDeviceNumerics:
+    def test_self_check_passes_on_cpu(self, extractor):
+        worst = extractor.verify_device_numerics(n_patches=4)
+        assert worst >= 0.999
+
+    def test_self_check_gate_fires(self, extractor, monkeypatch):
+        from mermaid_classifier_tpu.models.extractor import DeviceNumericsError
+
+        with pytest.raises(DeviceNumericsError, match="min cosine"):
+            extractor.verify_device_numerics(n_patches=4, min_cosine=1.1)
