@@ -61,6 +61,15 @@ class ImageLabels:
     def classes_set(self) -> set[str]:
         return {label for anns in self.data.values() for _, _, label in anns}
 
+    @property
+    def label_count_per_class(self) -> dict[str, int]:
+        """Per-class point counts (the runner's class-weighting input)."""
+        counts: dict[str, int] = {}
+        for anns in self.data.values():
+            for _, _, label in anns:
+                counts[label] = counts.get(label, 0) + 1
+        return counts
+
     def annotation_items(self) -> Iterator[tuple[str, int, int, str]]:
         """Yield (feature_path, row, col, label) in deterministic order:
         sorted image key, then stored point order."""
