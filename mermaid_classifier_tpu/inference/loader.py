@@ -58,14 +58,27 @@ def _load_head_params(model_npz_path: str | Path) -> HeadParams:
 
 
 def load_predictor(
-    model_npz_path: str | Path, model_json_path: str | Path
+    model_npz_path: str | Path, model_json_path: str | Path | None = None
 ) -> Predictor:
     """Load model.npz + model.json, validating compatibility loudly.
 
+    Accepts either the two file paths, or a single artifact *directory*
+    containing ``model.npz`` + ``model.json`` (the export_artifact layout).
     Raises ManifestError on schema-version, class-count, or input_dim
     mismatch rather than returning a silently-mispredicting predictor
     (reference: inference/loader.py:38-75).
     """
+    if model_json_path is None:
+        artifact_dir = Path(model_npz_path)
+        if not artifact_dir.is_dir():
+            raise ManifestError(
+                f"load_predictor got a single argument {artifact_dir} that is"
+                " not an artifact directory; pass (model.npz, model.json)"
+                " paths or a directory containing both."
+            )
+        return load_predictor(
+            artifact_dir / "model.npz", artifact_dir / "model.json"
+        )
     manifest = json.loads(Path(model_json_path).read_text())
 
     schema_version = manifest.get("schema_version")
