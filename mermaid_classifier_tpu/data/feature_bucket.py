@@ -1,0 +1,248 @@
+"""Feature-bucket builder: resumable, idempotent at-scale extraction.
+
+The library core of the reference's extraction workhorse
+(reference: scripts/build_feature_bucket.py:1-923), rebuilt around the
+object-store abstraction and the TPU FeatureExtractor:
+
+- **The bucket is the source of truth for progress**: every write is
+  idempotent at (source, image); with skip_existing (default) the target
+  bucket is re-listed and done images are skipped, so a crashed or
+  preempted worker resumes by re-running (reference: :15-22, :337-349).
+- Per-image failures are caught, recorded to an append-only JSONL progress
+  log and a CSV error log, and the run continues; the run result carries
+  counters and the exit code reflects failures (reference: :774-823, :919).
+- Optional device-vs-CPU numerics self-check before any extraction
+  (reference: :451-502, min cosine >= 0.999).
+
+Input layout (source bucket):
+  ``s{source_id}/annotations.csv`` — columns image_id, image_key, row, col
+  (image_key is the image object's key in the same bucket);
+  image objects at their image_key (PNG/JPEG).
+
+Output layout (target bucket, consumed by data/dataset.py):
+  ``s{source_id}/features/i{image_id}.features.npz``
+  ``s{source_id}/annotations.csv`` (copied once, idempotent).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import re
+import time
+from dataclasses import dataclass, field
+from logging import getLogger
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from mermaid_classifier_tpu.data.features_io import write_feature_file
+from mermaid_classifier_tpu.data.store import ObjectStore
+
+logger = getLogger(__name__)
+
+_FEATURE_KEY_RE = re.compile(r"^s(?P<source>[^/]+)/features/i(?P<image>.+)\.features\.npz$")
+
+ANNOTATION_COLUMNS = ("image_id", "image_key", "row", "col")
+
+
+def feature_key(source_id: str, image_id: str) -> str:
+    return f"s{source_id}/features/i{image_id}.features.npz"
+
+
+def annotations_key(source_id: str) -> str:
+    return f"s{source_id}/annotations.csv"
+
+
+@dataclass
+class SourceResult:
+    source_id: str
+    images_total: int = 0
+    images_done: int = 0
+    images_skipped: int = 0
+    images_failed: int = 0
+    points_done: int = 0
+    failures: list[tuple[str, str]] = field(default_factory=list)
+
+
+@dataclass
+class RunResult:
+    sources: list[SourceResult] = field(default_factory=list)
+
+    @property
+    def images_failed(self) -> int:
+        return sum(s.images_failed for s in self.sources)
+
+    @property
+    def exit_code(self) -> int:
+        return 1 if self.images_failed else 0
+
+    def describe(self) -> str:
+        done = sum(s.images_done for s in self.sources)
+        skipped = sum(s.images_skipped for s in self.sources)
+        points = sum(s.points_done for s in self.sources)
+        return (
+            f"{len(self.sources)} sources: {done} images extracted"
+            f" ({points} points), {skipped} skipped (already done),"
+            f" {self.images_failed} failed."
+        )
+
+
+class FeatureBucketBuilder:
+    """Drives extraction for a list of sources against source/target buckets."""
+
+    def __init__(
+        self,
+        store: ObjectStore,
+        source_bucket: str,
+        target_bucket: str,
+        extractor,
+        *,
+        skip_existing: bool = True,
+        progress_log: str | Path | None = None,
+        error_log: str | Path | None = None,
+        decode_image=None,
+    ) -> None:
+        self.store = store
+        self.source_bucket = source_bucket
+        self.target_bucket = target_bucket
+        self.extractor = extractor
+        self.skip_existing = skip_existing
+        self.progress_log = Path(progress_log) if progress_log else None
+        self.error_log = Path(error_log) if error_log else None
+        self._decode_image = decode_image or _decode_image_bytes
+
+    # -- logs ---------------------------------------------------------------
+
+    def _record_progress(self, record: dict) -> None:
+        if self.progress_log is None:
+            return
+        self.progress_log.parent.mkdir(parents=True, exist_ok=True)
+        with self.progress_log.open("a") as f:
+            f.write(json.dumps({"time": time.time(), **record}) + "\n")
+
+    def _record_failure(self, source_id: str, image_id: str, error: str) -> None:
+        if self.error_log is None:
+            return
+        self.error_log.parent.mkdir(parents=True, exist_ok=True)
+        new = not self.error_log.exists()
+        with self.error_log.open("a", newline="") as f:
+            writer = csv.writer(f)
+            if new:
+                writer.writerow(["time", "source_id", "image_id", "error"])
+            writer.writerow([time.time(), source_id, image_id, error])
+
+    # -- per-source pipeline ------------------------------------------------
+
+    def read_annotations(self, source_id: str) -> pd.DataFrame:
+        raw = self.store.get_bytes(self.source_bucket, annotations_key(source_id))
+        df = pd.read_csv(io.BytesIO(raw), keep_default_na=False)
+        missing = set(ANNOTATION_COLUMNS) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"source {source_id} annotations.csv missing columns"
+                f" {sorted(missing)}"
+            )
+        df["image_id"] = df["image_id"].astype(str)
+        df["row"] = df["row"].astype(int)
+        df["col"] = df["col"].astype(int)
+        return df
+
+    def upload_annotations_csv(self, source_id: str) -> None:
+        """Copy the source's annotations.csv to the target bucket once —
+        idempotent skip when present (reference: :673-688)."""
+        key = annotations_key(source_id)
+        if self.store.exists(self.target_bucket, key):
+            return
+        self.store.put_bytes(
+            self.target_bucket, key, self.store.get_bytes(self.source_bucket, key)
+        )
+
+    def list_existing_feature_image_ids(self, source_id: str) -> set[str]:
+        """Resume state from the TARGET bucket listing (reference: :337-349)."""
+        prefix = f"s{source_id}/features/"
+        existing = set()
+        for key in self.store.list_keys(self.target_bucket, prefix=prefix):
+            m = _FEATURE_KEY_RE.match(key)
+            if m and m.group("source") == str(source_id):
+                existing.add(m.group("image"))
+        return existing
+
+    def process_source(self, source_id: str) -> SourceResult:
+        source_id = str(source_id)
+        result = SourceResult(source_id=source_id)
+        annotations = self.read_annotations(source_id)
+        self.upload_annotations_csv(source_id)
+
+        existing = (
+            self.list_existing_feature_image_ids(source_id)
+            if self.skip_existing
+            else set()
+        )
+
+        groups = annotations.groupby("image_id", sort=True)
+        result.images_total = groups.ngroups
+        for image_id, rows in groups:
+            if image_id in existing:
+                result.images_skipped += 1
+                continue
+            try:
+                n_points = self._process_image(source_id, image_id, rows)
+            except Exception as exc:  # noqa: BLE001 - per-image isolation
+                result.images_failed += 1
+                result.failures.append((image_id, str(exc)))
+                self._record_failure(source_id, image_id, str(exc))
+                logger.warning(
+                    "source %s image %s failed: %s", source_id, image_id, exc
+                )
+                continue
+            result.images_done += 1
+            result.points_done += n_points
+            self._record_progress(
+                {"source_id": source_id, "image_id": image_id, "points": n_points}
+            )
+        return result
+
+    def _process_image(self, source_id: str, image_id: str, rows: pd.DataFrame) -> int:
+        image_keys = rows["image_key"].unique()
+        if len(image_keys) != 1:
+            raise ValueError(
+                f"image {image_id} maps to {len(image_keys)} distinct"
+                f" image_keys; expected exactly 1."
+            )
+        image = self._decode_image(
+            self.store.get_bytes(self.source_bucket, str(image_keys[0]))
+        )
+        rowcols = rows[["row", "col"]].to_numpy(dtype=np.int32)
+        features = self.extractor.extract_features(image, rowcols)
+
+        # Atomic write through a local temp file, then idempotent upload.
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            local = Path(td) / "f.npz"
+            write_feature_file(local, rowcols, features)
+            self.store.upload(local, self.target_bucket, feature_key(source_id, image_id))
+        return len(rowcols)
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self, source_ids: list[str], *, verify_numerics: bool = False) -> RunResult:
+        if verify_numerics:
+            worst = self.extractor.verify_device_numerics()
+            logger.info("device numerics check passed: min cosine %.6f", worst)
+        result = RunResult()
+        for source_id in source_ids:
+            logger.info("processing source %s", source_id)
+            result.sources.append(self.process_source(str(source_id)))
+        logger.info(result.describe())
+        return result
+
+
+def _decode_image_bytes(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""CLI for the feature-bucket builder: at-scale, resumable point-feature
+extraction (reference analog: scripts/build_feature_bucket.py:829-923).
+
+Usage:
+    python scripts/build_feature_bucket.py \
+        --source-ids 1,2,3            # or --source-ids-csv sources.csv \
+        --source-bucket reef-images --target-bucket reef-features \
+        [--no-skip-existing] [--verify-numerics] \
+        [--progress-log progress.jsonl] [--error-log errors.csv] \
+        [--backbone-weights weights.npz]
+
+Exit code is 1 when any image failed (reference: :919).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+logger = logging.getLogger("build_feature_bucket")
+
+
+def parse_source_ids(args) -> list[str]:
+    """Source IDs from --source-ids or a CSV with a source_id column
+    (auto-detecting the column, reference: :218-260)."""
+    if args.source_ids:
+        return [s.strip() for s in args.source_ids.split(",") if s.strip()]
+    import pandas as pd
+
+    df = pd.read_csv(args.source_ids_csv)
+    for col in ("source_id", "source", "id"):
+        if col in df.columns:
+            return [str(v) for v in df[col].tolist()]
+    if len(df.columns) == 1:
+        return [str(v) for v in df[df.columns[0]].tolist()]
+    raise ValueError(
+        f"cannot find a source-id column in {args.source_ids_csv};"
+        f" has {list(df.columns)}"
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--source-ids", default=None)
+    group.add_argument("--source-ids-csv", default=None)
+    parser.add_argument("--source-bucket", required=True)
+    parser.add_argument("--target-bucket", required=True)
+    parser.add_argument("--no-skip-existing", action="store_true")
+    parser.add_argument("--verify-numerics", action="store_true")
+    parser.add_argument("--progress-log", default=None)
+    parser.add_argument("--error-log", default=None)
+    parser.add_argument("--backbone-weights", default=None)
+    parser.add_argument("--backbone-batch", type=int, default=128)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    source_ids = parse_source_ids(args)
+    logger.info("sources to process: %s", source_ids)
+
+    from mermaid_classifier_tpu.data.feature_bucket import FeatureBucketBuilder
+    from mermaid_classifier_tpu.data.store import get_default_store
+    from mermaid_classifier_tpu.models.extractor import build_extractor
+
+    weights = None
+    if args.backbone_weights:
+        from mermaid_classifier_tpu.models.convert import load_backbone_npz
+
+        weights = load_backbone_npz(args.backbone_weights)
+
+    extractor = build_extractor(weights, backbone_batch=args.backbone_batch)
+    builder = FeatureBucketBuilder(
+        get_default_store(),
+        args.source_bucket,
+        args.target_bucket,
+        extractor,
+        skip_existing=not args.no_skip_existing,
+        progress_log=args.progress_log,
+        error_log=args.error_log,
+    )
+    result = builder.run(source_ids, verify_numerics=args.verify_numerics)
+    logger.info(result.describe())
+    return result.exit_code
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Launch the sharded extraction fan-out from a run YAML
+(reference analog: scripts/launch_processing.py:178-254).
+
+Usage:
+    python scripts/launch_processing.py --run-config runs/extract.yaml \
+        [--run-id my-run] [--dry-run] [--log-dir logs/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+logger = logging.getLogger("launch_processing")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--run-config", required=True)
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--log-dir", default=None)
+    parser.add_argument("--no-wait", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+
+    from mermaid_classifier_tpu.jobs import (
+        JobStatus,
+        LocalProcessBackend,
+        launch_processing,
+        parse_run_config,
+        wait_for_completion,
+    )
+
+    config = parse_run_config(args.run_config, strict=True)
+    run_id = args.run_id or f"extract-{int(time.time())}"
+    backend = LocalProcessBackend(log_dir=args.log_dir)
+    job_ids = launch_processing(config, backend, run_id, dry_run=args.dry_run)
+    if args.dry_run:
+        return 0
+    logger.info("submitted %d workers", len(job_ids))
+    if args.no_wait:
+        return 0
+    statuses = wait_for_completion(backend, job_ids)
+    return 0 if all(s is JobStatus.COMPLETED for s in statuses.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
