@@ -35,6 +35,12 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--image-size", type=int, default=1536)
+    parser.add_argument(
+        "--dtype", choices=("bfloat16", "float32"), default="bfloat16",
+        help="backbone compute dtype; bfloat16 is the production extraction"
+        " fast path, gated on the same >=0.999 cosine check the reference"
+        " applies to its mps/cuda path (build_feature_bucket.py:451-502)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -53,7 +59,7 @@ def main() -> None:
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    config = EfficientNetConfig()  # production B0 -> 4096
+    config = EfficientNetConfig(compute_dtype=args.dtype)  # production B0 -> 4096
     model = EfficientNetBackbone(config=config)
     variables = init_backbone_params(0, config)
 
@@ -84,6 +90,27 @@ def main() -> None:
     dp = jnp.asarray(padded)
     ds = jnp.asarray(scale)
     db = jnp.asarray(bias)
+
+    if args.dtype != "float32":
+        # Numerics gate before extracting at reduced precision — the same
+        # discipline as the reference's device-vs-CPU check
+        # (build_feature_bucket.py:451-502), run device-vs-device against
+        # the float32 graph on identical weights.
+        model_f32 = EfficientNetBackbone(
+            config=EfficientNetConfig(compute_dtype="float32")
+        )
+        probe = rng.random((8, ps, ps, 3)).astype(np.float32)
+        ref = np.asarray(jax.jit(model_f32.apply)(variables, jnp.asarray(probe)))
+        got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(probe)))
+        num = np.sum(ref * got, axis=1)
+        den = np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
+        worst = float(np.min(num / np.maximum(den, 1e-12)))
+        log(f"{args.dtype} numerics gate: min cosine {worst:.6f} vs float32")
+        if worst < 0.999:
+            raise SystemExit(
+                f"{args.dtype} backbone failed the 0.999 cosine gate"
+                f" ({worst:.6f}); run with --dtype float32."
+            )
 
     log(f"compiling + warmup ({args.warmup} steps, {args.points} patches/step)…")
     for i in range(max(args.warmup, 1)):

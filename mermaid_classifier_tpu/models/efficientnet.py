@@ -51,6 +51,13 @@ class EfficientNetConfig:
     stages: tuple[tuple[int, int, int, int, int], ...] = B0_STAGES
     head_channels: int = 1280
     se_ratio: float = 0.25
+    # Computation dtype for the conv trunk ("float32" or "bfloat16").
+    # Parameters stay float32 either way; bfloat16 halves HBM traffic and
+    # runs the MXU single-pass, at a fidelity cost that must pass the
+    # device-numerics cosine gate (extractor.verify_device_numerics) —
+    # the production parity path (<1e-4 MAE, BASELINE.md) stays float32.
+    # The final pool + feature projection always compute in float32.
+    compute_dtype: str = "float32"
     # Output feature dimensionality per patch. 4096 is the production
     # contract (reference: settings.py:7-8); 1280 means "raw pooled trunk,
     # no projection".
@@ -70,6 +77,7 @@ class EfficientNetConfig:
             "mean_rgb": list(self.mean_rgb),
             "std_rgb": list(self.std_rgb),
             "patch_size": self.patch_size,
+            "compute_dtype": self.compute_dtype,
         }
 
     @classmethod
@@ -83,6 +91,7 @@ class EfficientNetConfig:
             mean_rgb=tuple(d["mean_rgb"]),
             std_rgb=tuple(d["std_rgb"]),
             patch_size=d["patch_size"],
+            compute_dtype=d.get("compute_dtype", "float32"),
         )
 
 
@@ -99,6 +108,7 @@ class ConvBNAct(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -109,12 +119,14 @@ class ConvBNAct(nn.Module):
             padding=_same_pad(self.kernel),
             feature_group_count=self.groups,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=True,
             epsilon=BN_EPS,
             momentum=BN_MOMENTUM,
+            dtype=self.dtype,
             name="bn",
         )(x)
         if self.act:
@@ -127,13 +139,20 @@ class SqueezeExcite(nn.Module):
 
     channels: int
     se_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.se_channels, (1, 1), use_bias=True, name="reduce")(s)
+        s = nn.Conv(
+            self.se_channels, (1, 1), use_bias=True, dtype=self.dtype,
+            name="reduce",
+        )(s)
         s = nn.silu(s)
-        s = nn.Conv(self.channels, (1, 1), use_bias=True, name="expand")(s)
+        s = nn.Conv(
+            self.channels, (1, 1), use_bias=True, dtype=self.dtype,
+            name="expand",
+        )(s)
         return x * nn.sigmoid(s)
 
 
@@ -146,19 +165,24 @@ class MBConv(nn.Module):
     kernel: int
     stride: int
     se_ratio: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         mid = self.in_channels * self.expand_ratio
         if self.expand_ratio != 1:
-            x = ConvBNAct(mid, kernel=1, name="expand")(x)
+            x = ConvBNAct(mid, kernel=1, dtype=self.dtype, name="expand")(x)
         x = ConvBNAct(
-            mid, kernel=self.kernel, stride=self.stride, groups=mid, name="depthwise"
+            mid, kernel=self.kernel, stride=self.stride, groups=mid,
+            dtype=self.dtype, name="depthwise",
         )(x)
         se_channels = max(1, int(self.in_channels * self.se_ratio))
-        x = SqueezeExcite(mid, se_channels, name="se")(x)
-        x = ConvBNAct(self.out_channels, kernel=1, act=False, name="project")(x)
+        x = SqueezeExcite(mid, se_channels, dtype=self.dtype, name="se")(x)
+        x = ConvBNAct(
+            self.out_channels, kernel=1, act=False, dtype=self.dtype,
+            name="project",
+        )(x)
         if self.stride == 1 and self.in_channels == self.out_channels:
             x = x + inp
         return x
@@ -174,7 +198,11 @@ class EfficientNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        x = ConvBNAct(cfg.stem_channels, kernel=3, stride=2, name="stem")(x)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(dtype)
+        x = ConvBNAct(
+            cfg.stem_channels, kernel=3, stride=2, dtype=dtype, name="stem"
+        )(x)
         in_ch = cfg.stem_channels
         for stage_idx, (expand, out_ch, repeats, stride, kernel) in enumerate(
             cfg.stages
@@ -187,11 +215,14 @@ class EfficientNetBackbone(nn.Module):
                     kernel=kernel,
                     stride=stride if block_idx == 0 else 1,
                     se_ratio=cfg.se_ratio,
+                    dtype=dtype,
                     name=f"stage{stage_idx}_block{block_idx}",
                 )(x)
                 in_ch = out_ch
-        x = ConvBNAct(cfg.head_channels, kernel=1, name="head")(x)
-        x = jnp.mean(x, axis=(1, 2))
+        x = ConvBNAct(cfg.head_channels, kernel=1, dtype=dtype, name="head")(x)
+        # Pool + projection in float32 regardless of trunk dtype: the 4096-dim
+        # output is the artifact contract, and the final matmul is cheap.
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         if cfg.feature_dim != cfg.head_channels:
             x = nn.Dense(cfg.feature_dim, name="feature_projection")(x)
         return x

@@ -134,3 +134,49 @@ class TestTorchConversionParity:
             torch_state_dict_to_variables(sd, TINY)
         # strict=False tolerates extras (e.g. training-only buffers).
         torch_state_dict_to_variables(sd, TINY, strict=False)
+
+
+class TestComputeDtype:
+    """bfloat16 trunk: opt-in fast path, float32 output contract intact."""
+
+    def test_bf16_close_to_f32(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetBackbone,
+            EfficientNetConfig,
+            init_backbone_params,
+        )
+
+        cfg32 = EfficientNetConfig(
+            stem_channels=8,
+            stages=((1, 8, 1, 1, 3), (6, 16, 1, 2, 3)),
+            head_channels=32,
+            feature_dim=32,
+            patch_size=32,
+        )
+        cfg16 = EfficientNetConfig(**{**cfg32.to_dict(), "stages": cfg32.stages,
+                                      "mean_rgb": cfg32.mean_rgb,
+                                      "std_rgb": cfg32.std_rgb,
+                                      "compute_dtype": "bfloat16"})
+        variables = init_backbone_params(0, cfg32)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((4, 32, 32, 3)).astype(np.float32)
+        )
+        f32 = np.asarray(jax.jit(EfficientNetBackbone(config=cfg32).apply)(variables, x))
+        f16 = np.asarray(jax.jit(EfficientNetBackbone(config=cfg16).apply)(variables, x))
+        assert f16.dtype == np.float32  # output contract stays float32
+        num = np.sum(f32 * f16, axis=1)
+        den = np.linalg.norm(f32, axis=1) * np.linalg.norm(f16, axis=1)
+        assert float(np.min(num / np.maximum(den, 1e-12))) > 0.999
+
+    def test_config_dict_roundtrip_carries_dtype(self):
+        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
+
+        cfg = EfficientNetConfig(compute_dtype="bfloat16")
+        assert EfficientNetConfig.from_dict(cfg.to_dict()).compute_dtype == "bfloat16"
+        # Older serialized configs (no compute_dtype key) default to float32.
+        d = cfg.to_dict()
+        del d["compute_dtype"]
+        assert EfficientNetConfig.from_dict(d).compute_dtype == "float32"
