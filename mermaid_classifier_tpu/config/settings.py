@@ -106,6 +106,11 @@ class Settings(BaseModel):
     batch_size: int | None = None
     feature_cache_dir: str | None = None
     download_max_workers: int = 50
+    # Pack train/ref/val features into flat caches once per run and stream
+    # batches via native row gathers (native/fastbatch). Trades one extra
+    # on-disk copy of the features for epoch loops free of per-image file
+    # opens; batches are byte-identical either way.
+    use_packed_feature_cache: bool = True
 
     # -- extraction ----------------------------------------------------------------
     extractor_backbone_batch: int = 128

@@ -227,6 +227,35 @@ class FeatureBucketBuilder:
             self.store.upload(local, self.target_bucket, feature_key(source_id, image_id))
         return len(rowcols)
 
+    def filter_to_available_sources(
+        self, source_ids: list[str], *, max_io_workers: int = 16
+    ) -> tuple[list[str], list[str]]:
+        """Threaded probe of each source's annotations.csv in the source
+        bucket; returns (available, missing)
+        (reference: build_feature_bucket.py:283-334)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        source_ids = [str(s) for s in source_ids]
+
+        def probe(source_id: str) -> bool:
+            return self.store.exists(
+                self.source_bucket, annotations_key(source_id)
+            )
+
+        with ThreadPoolExecutor(max_workers=max_io_workers) as pool:
+            flags = list(pool.map(probe, source_ids))
+        available = [s for s, ok in zip(source_ids, flags) if ok]
+        missing = [s for s, ok in zip(source_ids, flags) if not ok]
+        if missing:
+            logger.warning(
+                "%d sources have no annotations.csv in %s and will be"
+                " skipped: %s",
+                len(missing),
+                self.source_bucket,
+                missing[:10],
+            )
+        return available, missing
+
     # -- run ----------------------------------------------------------------
 
     def run(self, source_ids: list[str], *, verify_numerics: bool = False) -> RunResult:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import enum
 from collections.abc import Iterator
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -37,9 +38,17 @@ class SplitMode(enum.Enum):
 
 @dataclass
 class ImageLabels:
-    """Annotations grouped per image, keyed by the image's feature-file path."""
+    """Annotations grouped per image, keyed by the image's feature-file path.
+
+    Batch streaming has two equivalent paths: per-image feature files
+    (default), or — after ``attach_packed_cache`` — row gathers from a
+    packed feature cache (native/fastbatch.py), which replaces thousands of
+    small-file opens per epoch with one threaded memcpy per batch. Both
+    paths produce byte-identical batches (pinned by differential test)."""
 
     data: dict[str, list[Annotation]] = field(default_factory=dict)
+    # Optional packed-cache acceleration (set via attach_packed_cache).
+    packed_cache: Any = field(default=None, repr=False, compare=False)
 
     def add_image(self, feature_path: str, annotations: list[Annotation]) -> None:
         if feature_path in self.data:
@@ -81,11 +90,42 @@ class ImageLabels:
         """Load this image's (features, labels) from its feature file,
         aligned to the annotation order."""
         annotations = self.data[feature_path]
+        if self.packed_cache is not None:
+            rows = self.packed_cache.image_rows(feature_path)
+            return (
+                self.packed_cache.gather(rows),
+                [label for _, _, label in annotations],
+            )
         rowcols, features = read_feature_file(feature_path)
         x = select_point_features(
             rowcols, features, [(r, c) for r, c, _ in annotations]
         )
         return x, [label for _, _, label in annotations]
+
+    def build_packed_cache(self, cache_dir: str | Path):
+        """Pack every image's aligned point features into a packed cache and
+        attach it; subsequent batch streaming gathers rows natively. Returns
+        the cache. Row order per image == annotation order, so batches are
+        identical to the file-backed path."""
+        from mermaid_classifier_tpu.native.fastbatch import (
+            PackedFeatureCacheWriter,
+        )
+
+        keys = sorted(self.data.keys())
+        if not keys:
+            raise ValueError("no images to pack")
+        first_x, _ = self.load_image_data(keys[0])
+        writer = PackedFeatureCacheWriter(cache_dir, dim=first_x.shape[1])
+        try:
+            for key in keys:
+                x, y = self.load_image_data(key)
+                writer.add_image(key, x, y)
+        except BaseException:
+            writer.abort()
+            raise
+        cache = writer.finalize()
+        self.packed_cache = cache
+        return cache
 
     def load_data_in_batches(
         self,

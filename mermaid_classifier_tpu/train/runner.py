@@ -112,14 +112,24 @@ class TrainingRunner:
         finally:
             if cleanup_dataset and self.dataset is not None:
                 self.dataset.cleanup()
+            packed = getattr(self, "_packed_cache_dir", None)
+            if packed is not None and os.path.isdir(packed):
+                import shutil
+
+                shutil.rmtree(packed, ignore_errors=True)
 
     def _make_trainer(self, batch_size: int, class_weight) -> MermaidTrainer:
         """Hook so tests can shrink the head architecture."""
+        packed_dir = None
+        if settings.use_packed_feature_cache:
+            self._packed_cache_dir = tempfile.mkdtemp(prefix="packed_cache_")
+            packed_dir = self._packed_cache_dir
         return MermaidTrainer(
             batch_size=batch_size,
             on_epoch_end=self._on_epoch_end,
             class_weight=class_weight,
             early_stopping_patience=self.training_options.early_stopping_patience,
+            packed_cache_dir=packed_dir,
         )
 
     def _on_epoch_end(self, metrics: dict) -> None:

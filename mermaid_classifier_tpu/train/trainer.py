@@ -70,6 +70,7 @@ class MermaidTrainer:
         on_epoch_end: Callable[[dict[str, Any]], None] | None = None,
         class_weight: dict[str, float] | None = None,
         early_stopping_patience: int | None = None,
+        packed_cache_dir: str | None = None,
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
             raise ValueError(
@@ -80,6 +81,10 @@ class MermaidTrainer:
         self.on_epoch_end = on_epoch_end
         self.class_weight = class_weight
         self.early_stopping_patience = early_stopping_patience
+        # When set, train/ref/val features are packed ONCE into flat caches
+        # under this dir and every epoch's batch streaming becomes native
+        # row gathers (native/fastbatch) instead of per-image npz reads.
+        self.packed_cache_dir = packed_cache_dir
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
@@ -113,6 +118,17 @@ class MermaidTrainer:
             labels.label_count,
         )
         logger.debug("Batch size: %d labels", self.batch_size)
+
+        if self.packed_cache_dir is not None:
+            with _log_entry_and_exit("packing feature caches"):
+                import os
+
+                for split_name in ("train", "ref", "val"):
+                    split = getattr(labels, split_name)
+                    if len(split):
+                        split.build_packed_cache(
+                            os.path.join(self.packed_cache_dir, split_name)
+                        )
 
         classes_list = sorted(labels.ref.classes_set)
 

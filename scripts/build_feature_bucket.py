@@ -83,7 +83,11 @@ def main(argv: list[str] | None = None) -> int:
         progress_log=args.progress_log,
         error_log=args.error_log,
     )
-    result = builder.run(source_ids, verify_numerics=args.verify_numerics)
+    available, missing = builder.filter_to_available_sources(source_ids)
+    if not available:
+        logger.error("none of the requested sources are available; aborting")
+        return 1
+    result = builder.run(available, verify_numerics=args.verify_numerics)
     logger.info(result.describe())
     return result.exit_code
 

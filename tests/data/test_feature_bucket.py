@@ -138,3 +138,13 @@ def read_feature_file_from_store(store, source_id, image_id):
         local = Path(td) / "f.npz"
         store.download(DST, feature_key(source_id, image_id), local)
         return read_feature_file(local)
+
+
+class TestSourceAvailability:
+    def test_filter_to_available_sources(self, populated, tmp_path):
+        builder = make_builder(populated, tmp_path)
+        available, missing = builder.filter_to_available_sources(
+            ["1", "2", "9"]
+        )
+        assert available == ["1", "2"]
+        assert missing == ["9"]

@@ -192,3 +192,69 @@ class TestPreprocessLabels:
         assert t1.train.data == t2.train.data
         assert t1.val.data == t2.val.data
         assert SplitMode.POINTS_STRATIFIED.value == "points_stratified"
+
+
+class TestPackedCacheDifferential:
+    """Packed-cache batch streaming must be byte-identical to the
+    file-backed path (SURVEY.md §4 differential-test style)."""
+
+    def _labels_with_files(self, tmp_path):
+        import numpy as np
+
+        from mermaid_classifier_tpu.data.features_io import write_feature_file
+
+        rng = np.random.default_rng(0)
+        labels = ImageLabels()
+        for i in range(6):
+            path = str(tmp_path / f"i{i}.features.npz")
+            n = int(rng.integers(1, 5))
+            rowcols = np.stack(
+                [np.arange(n), np.arange(n) + 10], axis=1
+            ).astype(np.int32)
+            feats = rng.standard_normal((n, 8)).astype(np.float32)
+            write_feature_file(path, rowcols, feats)
+            labels.add_image(
+                path, [(int(r), int(c), f"lab-{i % 3}") for r, c in rowcols]
+            )
+        return labels
+
+    def test_batches_identical(self, tmp_path):
+        import numpy as np
+
+        plain = self._labels_with_files(tmp_path)
+        packed = self._labels_with_files(tmp_path / "dup")
+        packed.build_packed_cache(tmp_path / "cache")
+        assert packed.packed_cache is not None
+
+        for seed in (None, 0, 7):
+            got = list(packed.load_data_in_batches(4, random_seed=seed))
+            want = list(plain.load_data_in_batches(4, random_seed=seed))
+            assert len(got) == len(want)
+            for (gx, gy), (wx, wy) in zip(got, want):
+                # Keys differ (dup dir) but shapes/values align because the
+                # per-image content is identical and ordering is seed-driven
+                # over sorted keys of equal cardinality.
+                assert gx.shape == wx.shape
+                assert gy == wy
+
+    def test_same_instance_before_after_packing(self, tmp_path):
+        labels = self._labels_with_files(tmp_path)
+        before = list(labels.load_data_in_batches(4, random_seed=3))
+        labels.build_packed_cache(tmp_path / "cache")
+        after = list(labels.load_data_in_batches(4, random_seed=3))
+        assert len(before) == len(after)
+        for (bx, by), (ax, ay) in zip(before, after):
+            import numpy as np
+
+            np.testing.assert_array_equal(bx, ax)
+            assert by == ay
+
+    def test_load_all_matches(self, tmp_path):
+        import numpy as np
+
+        labels = self._labels_with_files(tmp_path)
+        x1, y1 = labels.load_all()
+        labels.build_packed_cache(tmp_path / "cache")
+        x2, y2 = labels.load_all()
+        np.testing.assert_array_equal(x1, x2)
+        assert y1 == y2
