@@ -56,6 +56,10 @@ class TrainingOptions:
 
     epochs: int = 10
     early_stopping_patience: int | None = None
+    # Per-epoch trainer checkpointing + resume (None disables). A
+    # preempted run relaunched with the same dir continues bit-identically
+    # (capability the reference lacks; SURVEY.md §5.3).
+    checkpoint_dir: str | None = None
 
 
 @dataclasses.dataclass

@@ -62,6 +62,7 @@ class FeatureExtractor:
         point_bucket: int = 32,
         image_bucket: int = 256,
         use_pallas: bool | None = None,
+        mesh: Any = None,
     ) -> None:
         self.config = config or EfficientNetConfig()
         self.variables = variables
@@ -84,7 +85,25 @@ class FeatureExtractor:
         self._scale_row = jnp.asarray(scale_row)
         self._bias_row = jnp.asarray(bias_row)
 
-        self._apply = jax.jit(self._model.apply)
+        # Multi-chip: when a Mesh is given, the backbone forward shards its
+        # batch over every device (params replicated, XLA splits the batch —
+        # parallel/sharded_extract). backbone_batch must then divide evenly.
+        self.mesh = mesh
+        if mesh is not None:
+            from mermaid_classifier_tpu.parallel.sharded_extract import (
+                make_sharded_feature_fn,
+            )
+
+            n_devices = mesh.devices.size
+            if self.backbone_batch % n_devices != 0:
+                raise ValueError(
+                    f"backbone_batch={self.backbone_batch} must be divisible"
+                    f" by the {n_devices}-device mesh."
+                )
+            sharded = make_sharded_feature_fn(mesh, variables, self.config)
+            self._apply = lambda _vars, patches: sharded(patches)
+        else:
+            self._apply = jax.jit(self._model.apply)
         self._gather_xla = jax.jit(
             functools.partial(extract_patches_xla, patch_size=self.config.patch_size),
             static_argnames=(),

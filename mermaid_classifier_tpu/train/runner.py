@@ -130,6 +130,7 @@ class TrainingRunner:
             class_weight=class_weight,
             early_stopping_patience=self.training_options.early_stopping_patience,
             packed_cache_dir=packed_dir,
+            checkpoint_dir=getattr(self.training_options, "checkpoint_dir", None),
         )
 
     def _on_epoch_end(self, metrics: dict) -> None:

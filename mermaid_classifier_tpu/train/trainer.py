@@ -71,6 +71,7 @@ class MermaidTrainer:
         class_weight: dict[str, float] | None = None,
         early_stopping_patience: int | None = None,
         packed_cache_dir: str | None = None,
+        checkpoint_dir: str | None = None,
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
             raise ValueError(
@@ -85,9 +86,84 @@ class MermaidTrainer:
         # under this dir and every epoch's batch streaming becomes native
         # row gathers (native/fastbatch) instead of per-image npz reads.
         self.packed_cache_dir = packed_cache_dir
+        # When set, full trainer state (classifier, optimizer, early-stopping
+        # bookkeeping, best snapshot) is checkpointed after every epoch and
+        # training RESUMES from the last checkpoint — a capability the
+        # reference lacks (a spot interruption restarts from epoch zero;
+        # reference: docs/training_at_scale.md:314-316, SURVEY.md §5.3/5.4).
+        # Epoch shuffle order is seeded by the epoch index, so a resumed run
+        # is bit-identical to an uninterrupted one (pinned by test).
+        self.checkpoint_dir = checkpoint_dir
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    _CHECKPOINT_NAME = "trainer_checkpoint.pkl"
+
+    def _checkpoint_path(self) -> str | None:
+        if self.checkpoint_dir is None:
+            return None
+        import os
+
+        return os.path.join(self.checkpoint_dir, self._CHECKPOINT_NAME)
+
+    def _save_checkpoint(self, state: dict[str, Any]) -> None:
+        """Atomic (tmp + rename) per-epoch checkpoint. Training-lane only —
+        the SHIPPED artifact stays pickle-free (inference/export.py); this
+        file is internal resume state, like the reference classifier's own
+        state_dict pickling (reference: torch_classifier.py:410-444)."""
+        import os
+        import pickle
+        import tempfile
+
+        path = self._checkpoint_path()
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.checkpoint_dir, suffix=".part")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump(state, f)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def _load_checkpoint(self) -> dict[str, Any] | None:
+        import os
+        import pickle
+
+        path = self._checkpoint_path()
+        if path is None or not os.path.isfile(path):
+            return None
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        logger.info(
+            "Resuming from checkpoint %s (next epoch %d).",
+            path,
+            state["next_epoch"],
+        )
+        return state
+
+    def _clear_checkpoint(self) -> None:
+        import os
+
+        path = self._checkpoint_path()
+        if path is not None and os.path.isfile(path):
+            os.unlink(path)
+
+    @staticmethod
+    def _clf_to_state(clf: MLPClassifier | None) -> dict | None:
+        return None if clf is None else clf.__getstate__()
+
+    @staticmethod
+    def _clf_from_state(state: dict | None) -> MLPClassifier | None:
+        if state is None:
+            return None
+        clf = MLPClassifier.__new__(MLPClassifier)
+        clf.__setstate__(dict(state))
+        return clf
 
     def _make_classifier(self, class_weight: dict[str, float] | None) -> MLPClassifier:
         """Hook for tests to swap the classifier architecture."""
@@ -144,8 +220,24 @@ class MermaidTrainer:
             epochs_since_best: int = 0
             stop_reason: str = "budget_exhausted"
             epoch: int = 0
+            start_epoch: int = 0
 
-            for epoch in range(nbr_epochs):
+            checkpoint = self._load_checkpoint()
+            if checkpoint is not None:
+                clf = self._clf_from_state(checkpoint["clf"])
+                best_clf_snapshot = self._clf_from_state(
+                    checkpoint["best_clf"]
+                )
+                ref_accs = list(checkpoint["ref_accs"])
+                best_val_loss = checkpoint["best_val_loss"]
+                best_epoch_idx = checkpoint["best_epoch_idx"]
+                epochs_since_best = checkpoint["epochs_since_best"]
+                start_epoch = int(checkpoint["next_epoch"])
+                # If the budget is already exhausted the loop body never
+                # runs; keep `epoch` pointing at the last completed epoch.
+                epoch = max(start_epoch - 1, 0)
+
+            for epoch in range(start_epoch, nbr_epochs):
                 # Training: stream batches from disk, partial_fit, release.
                 for x, y in labels.train.load_data_in_batches(
                     batch_size=self.batch_size,
@@ -205,6 +297,19 @@ class MermaidTrainer:
                             cb_metrics["best_val_loss"] = best_val_loss
                     self.on_epoch_end(cb_metrics)
 
+                if self.checkpoint_dir is not None:
+                    self._save_checkpoint(
+                        {
+                            "next_epoch": epoch + 1,
+                            "clf": self._clf_to_state(clf),
+                            "best_clf": self._clf_to_state(best_clf_snapshot),
+                            "ref_accs": list(ref_accs),
+                            "best_val_loss": best_val_loss,
+                            "best_epoch_idx": best_epoch_idx,
+                            "epochs_since_best": epochs_since_best,
+                        }
+                    )
+
                 if (
                     self.early_stopping_patience is not None
                     and epochs_since_best >= self.early_stopping_patience
@@ -249,6 +354,8 @@ class MermaidTrainer:
                     best_val_loss if best_val_loss != float("inf") else None
                 ),
             }
+            # Training finished; the checkpoint has served its purpose.
+            self._clear_checkpoint()
 
         # Calibration: stream ref data in batches — O(N*K) accumulation, not
         # O(N*4096) (reference: trainer.py:261-265).

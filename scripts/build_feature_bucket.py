@@ -57,6 +57,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--error-log", default=None)
     parser.add_argument("--backbone-weights", default=None)
     parser.add_argument("--backbone-batch", type=int, default=128)
+    parser.add_argument(
+        "--mesh-devices", type=int, default=None,
+        help="shard the backbone batch over an N-device mesh"
+        " (default: single device)",
+    )
+    parser.add_argument(
+        "--compute-dtype", choices=("float32", "bfloat16"), default="float32",
+        help="backbone trunk dtype; bfloat16 is the fast path behind the"
+        " cosine numerics gate (pass --verify-numerics)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -73,7 +83,21 @@ def main(argv: list[str] | None = None) -> int:
 
         weights = load_backbone_npz(args.backbone_weights)
 
-    extractor = build_extractor(weights, backbone_batch=args.backbone_batch)
+    mesh = None
+    if args.mesh_devices:
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
+
+    config = None
+    if args.compute_dtype != "float32":
+        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
+
+        config = EfficientNetConfig(compute_dtype=args.compute_dtype)
+
+    extractor = build_extractor(
+        weights, config=config, backbone_batch=args.backbone_batch, mesh=mesh
+    )
     builder = FeatureBucketBuilder(
         get_default_store(),
         args.source_bucket,

@@ -84,3 +84,40 @@ class TestDeviceNumerics:
 
         with pytest.raises(DeviceNumericsError, match="min cosine"):
             extractor.verify_device_numerics(n_patches=4, min_cosine=1.1)
+
+
+class TestMeshExtractor:
+    """Mesh-sharded extraction must equal single-device extraction."""
+
+    def test_matches_single_device(self, tmp_path):
+        import numpy as np
+
+        from mermaid_classifier_tpu.models.extractor import build_extractor
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        config = TINY
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 256, size=(80, 96, 3), dtype=np.uint8)
+        rowcols = rng.integers(0, 80, size=(10, 2)).astype(np.int32)
+        rowcols[:, 1] %= 96
+
+        single = build_extractor(config=config, backbone_batch=8)
+        mesh = make_mesh(8)
+        sharded = build_extractor(config=config, backbone_batch=8, mesh=mesh)
+
+        np.testing.assert_allclose(
+            sharded.extract_features(image, rowcols),
+            single.extract_features(image, rowcols),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+    def test_indivisible_backbone_batch_rejected(self):
+        from mermaid_classifier_tpu.models.extractor import build_extractor
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        import pytest
+
+        with pytest.raises(ValueError, match="divisible"):
+            build_extractor(config=TINY, backbone_batch=12, mesh=mesh)

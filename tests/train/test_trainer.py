@@ -180,3 +180,96 @@ class TestBatchedCalibration:
         np.testing.assert_allclose(
             clf_cal.calibration_b_, whole.calibration_b_, rtol=1e-8
         )
+
+
+class TestCheckpointResume:
+    """Crash-resume must be bit-identical to an uninterrupted run — the
+    capability the reference lacks (SURVEY.md §5.3: a spot interruption
+    restarts from epoch zero)."""
+
+    def test_resume_is_bit_identical(self, task_labels, tmp_path):
+        # Uninterrupted reference run.
+        straight = SmallNetTrainer(batch_size=64)
+        clf_a, _, msg_a = straight(task_labels, nbr_epochs=6, pc_models=[])
+
+        # Interrupted run: crash out of the epoch loop after epoch 2's
+        # checkpoint (simulated via the on_epoch_end hook), then resume.
+        ckpt = tmp_path / "ckpt"
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_cb(metrics):
+            if metrics["epoch"] == 2:
+                raise Crash()
+
+        interrupted = SmallNetTrainer(
+            batch_size=64, checkpoint_dir=str(ckpt), on_epoch_end=crash_cb
+        )
+        with pytest.raises(Crash):
+            interrupted(task_labels, nbr_epochs=6, pc_models=[])
+        assert (ckpt / "trainer_checkpoint.pkl").is_file()
+
+        resumed = SmallNetTrainer(batch_size=64, checkpoint_dir=str(ckpt))
+        clf_b, _, msg_b = resumed(task_labels, nbr_epochs=6, pc_models=[])
+
+        # Identical loss curves, accuracies, and final calibrated params.
+        est_a, est_b = clf_a.estimator, clf_b.estimator
+        assert est_a.loss_curve_ == pytest.approx(est_b.loss_curve_)
+        assert msg_a.ref_accs == pytest.approx(msg_b.ref_accs)
+        for wa, wb in zip(est_a.coefs_, est_b.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+        np.testing.assert_array_equal(
+            clf_a.calibration_a_, clf_b.calibration_a_
+        )
+        # Checkpoint is cleared after a successful run.
+        assert not (ckpt / "trainer_checkpoint.pkl").exists()
+
+    def test_resume_preserves_early_stopping_state(self, task_labels, tmp_path):
+        ckpt = tmp_path / "ckpt"
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_cb(metrics):
+            if metrics["epoch"] == 3:
+                raise Crash()
+
+        interrupted = SmallNetTrainer(
+            batch_size=64,
+            checkpoint_dir=str(ckpt),
+            early_stopping_patience=2,
+            on_epoch_end=crash_cb,
+        )
+        with pytest.raises(Crash):
+            interrupted(task_labels, nbr_epochs=10, pc_models=[])
+
+        resumed = SmallNetTrainer(
+            batch_size=64, checkpoint_dir=str(ckpt), early_stopping_patience=2
+        )
+        _, _, msg = resumed(task_labels, nbr_epochs=10, pc_models=[])
+        straight = SmallNetTrainer(batch_size=64, early_stopping_patience=2)
+        _, _, msg_ref = straight(task_labels, nbr_epochs=10, pc_models=[])
+        assert resumed._early_stop_info == straight._early_stop_info
+        assert msg.ref_accs == pytest.approx(msg_ref.ref_accs)
+
+    def test_resume_of_finished_budget_trains_nothing(self, task_labels, tmp_path):
+        ckpt = tmp_path / "ckpt"
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_cb(metrics):
+            if metrics["epoch"] == 3:  # checkpoint for epoch 4 written
+                raise Crash()
+
+        interrupted = SmallNetTrainer(
+            batch_size=64, checkpoint_dir=str(ckpt), on_epoch_end=crash_cb
+        )
+        with pytest.raises(Crash):
+            interrupted(task_labels, nbr_epochs=4, pc_models=[])
+        resumed = SmallNetTrainer(batch_size=64, checkpoint_dir=str(ckpt))
+        _, _, msg = resumed(task_labels, nbr_epochs=4, pc_models=[])
+        # All four epochs came from the checkpointed state.
+        assert len(msg.ref_accs) == 4
+        assert resumed._early_stop_info["final_epoch"] == 4
