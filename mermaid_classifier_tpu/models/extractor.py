@@ -104,8 +104,15 @@ class FeatureExtractor:
             self._apply = lambda _vars, patches: sharded(patches)
         else:
             self._apply = jax.jit(self._model.apply)
+        # Gather emits the trunk's compute dtype so the materialized patch
+        # tensor (the pipeline's largest intermediate) is half-size under a
+        # bfloat16 trunk.
         self._gather_xla = jax.jit(
-            functools.partial(extract_patches_xla, patch_size=self.config.patch_size),
+            functools.partial(
+                extract_patches_xla,
+                patch_size=self.config.patch_size,
+                out_dtype=jnp.dtype(self.config.compute_dtype),
+            ),
             static_argnames=(),
         )
 

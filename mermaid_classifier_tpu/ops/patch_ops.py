@@ -86,11 +86,16 @@ def extract_patches_xla(
     patch_size: int,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Gather + normalize via vmapped dynamic_slice.
 
     padded_image: (Hp, Wp, 3) uint8 (or float32); starts: (P, 2) int32;
-    returns (P, ps, ps, 3) float32.
+    returns (P, ps, ps, 3) in ``out_dtype``. The affine always computes in
+    float32; ``out_dtype=bfloat16`` halves the materialized patch tensor's
+    HBM traffic when feeding a bfloat16 trunk (the gather output is the
+    single largest intermediate in the extraction pipeline: P*ps*ps*3
+    floats).
     """
 
     def one(start):
@@ -99,7 +104,7 @@ def extract_patches_xla(
             (start[0], start[1], 0),
             (patch_size, patch_size, 3),
         )
-        return patch.astype(jnp.float32) * scale + bias
+        return (patch.astype(jnp.float32) * scale + bias).astype(out_dtype)
 
     return jax.vmap(one)(starts)
 
