@@ -297,3 +297,65 @@ class TestSklearnParity:
         assert clf.n_iter_ <= 50
         assert clf.loss_curve_[-1] < clf.loss_curve_[0]
         assert float(np.mean(clf.predict(X) == y)) > 0.9
+
+
+class TestBatchingEquivalence:
+    """Gradient-step accounting and loss-curve semantics
+    (reference analog: test_mlp_benchmark.py BatchingEquivalenceTest)."""
+
+    def _opt_step_count(self, clf) -> int:
+        import jax
+
+        leaves = jax.tree.leaves(clf._opt_state)
+        # optax.adam's count leaf is the only scalar int32.
+        counts = [int(x) for x in leaves if getattr(x, "shape", None) == ()]
+        assert counts, "no count leaf found in opt state"
+        return counts[0]
+
+    def test_steps_per_partial_fit(self):
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((10, 4)).astype(np.float32)
+        y = np.array(["a", "b"] * 5)
+        clf = MLPClassifier((4,), batch_size=4, random_state=0)
+        clf.partial_fit(X, y, classes=["a", "b"])
+        # ceil(10 / 4) = 3 optimizer steps per partial_fit call.
+        assert self._opt_step_count(clf) == 3
+        clf.partial_fit(X, y)
+        assert self._opt_step_count(clf) == 6
+        assert clf.n_iter_ == 2
+        assert len(clf.loss_curve_) == 2
+
+    def test_full_batch_equals_manual_single_step(self):
+        # batch_size >= n gives exactly one Adam step whose loss equals the
+        # full-batch regularised loss.
+        rng = np.random.default_rng(1)
+        X = rng.standard_normal((8, 3)).astype(np.float32)
+        y = np.array(["a", "b"] * 4)
+        clf = MLPClassifier((4,), batch_size=100, random_state=0, alpha=0.01,
+                            shuffle=False)
+        clf.partial_fit(X, y, classes=["a", "b"])
+        assert self._opt_step_count(clf) == 1
+
+    def test_loss_curve_is_size_weighted_average(self):
+        # With two mini-batches of sizes 4 and 2, loss_curve_[0] must be
+        # (4*l0 + 2*l1)/6 — the reference's averaging contract
+        # (torch_classifier.py:295-301). Verify against a manual replay of
+        # the same shuffled order.
+        rng = np.random.default_rng(2)
+        n, d = 6, 3
+        X = rng.standard_normal((n, d)).astype(np.float32)
+        y = np.array(["a", "b", "a", "b", "a", "b"])
+
+        clf = MLPClassifier((4,), batch_size=4, random_state=5, alpha=0.0)
+        clf.partial_fit(X, y, classes=["a", "b"])
+
+        # Replay: same seed -> same shuffle order; same init (random_state).
+        order = np.arange(n)
+        np.random.default_rng(5).shuffle(order)
+        ref = MLPClassifier((4,), batch_size=4, random_state=5, alpha=0.0,
+                            shuffle=False)
+        # Losses of each mini-batch BEFORE its update, from a fresh clone
+        # stepping through the same batches.
+        Xs, ys = X[order], y[order]
+        ref.partial_fit(Xs, ys, classes=["a", "b"])
+        assert clf.loss_curve_[0] == pytest.approx(ref.loss_curve_[0], rel=1e-5)
