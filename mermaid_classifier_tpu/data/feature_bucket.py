@@ -104,6 +104,8 @@ class FeatureBucketBuilder:
         progress_log: str | Path | None = None,
         error_log: str | Path | None = None,
         decode_image=None,
+        decode_workers: int = 4,
+        prefetch: int = 8,
     ) -> None:
         self.store = store
         self.source_bucket = source_bucket
@@ -113,6 +115,12 @@ class FeatureBucketBuilder:
         self.progress_log = Path(progress_log) if progress_log else None
         self.error_log = Path(error_log) if error_log else None
         self._decode_image = decode_image or _decode_image_bytes
+        # Decode-ahead pipeline: fetch+decode of upcoming images overlaps the
+        # device extraction of the current one (JPEG decode, not the
+        # backbone, is the classic loader bottleneck — PAPERS.md). Bounded
+        # in-flight window caps host memory at ~prefetch decoded images.
+        self.decode_workers = max(1, int(decode_workers))
+        self.prefetch = max(1, int(prefetch))
 
     # -- logs ---------------------------------------------------------------
 
@@ -184,37 +192,66 @@ class FeatureBucketBuilder:
 
         groups = annotations.groupby("image_id", sort=True)
         result.images_total = groups.ngroups
-        for image_id, rows in groups:
-            if image_id in existing:
-                result.images_skipped += 1
-                continue
-            try:
-                n_points = self._process_image(source_id, image_id, rows)
-            except Exception as exc:  # noqa: BLE001 - per-image isolation
-                result.images_failed += 1
-                result.failures.append((image_id, str(exc)))
-                self._record_failure(source_id, image_id, str(exc))
-                logger.warning(
-                    "source %s image %s failed: %s", source_id, image_id, exc
+        todo = [
+            (image_id, rows)
+            for image_id, rows in groups
+            if image_id not in existing
+        ]
+        result.images_skipped = result.images_total - len(todo)
+
+        # Decode-ahead: a bounded window of (download + decode) futures runs
+        # ahead of the device loop, so host IO/decode overlaps extraction.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch_decode(item):
+            image_id, rows = item
+            image_keys = rows["image_key"].unique()
+            if len(image_keys) != 1:
+                raise ValueError(
+                    f"image {image_id} maps to {len(image_keys)} distinct"
+                    f" image_keys; expected exactly 1."
                 )
-                continue
-            result.images_done += 1
-            result.points_done += n_points
-            self._record_progress(
-                {"source_id": source_id, "image_id": image_id, "points": n_points}
+            return self._decode_image(
+                self.store.get_bytes(self.source_bucket, str(image_keys[0]))
             )
+
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+            in_flight: list = []
+            cursor = 0
+            while cursor < len(todo) or in_flight:
+                while cursor < len(todo) and len(in_flight) < self.prefetch:
+                    item = todo[cursor]
+                    in_flight.append((item, pool.submit(fetch_decode, item)))
+                    cursor += 1
+                (image_id, rows), future = in_flight.pop(0)
+                try:
+                    image = future.result()
+                    n_points = self._process_image(
+                        source_id, image_id, rows, image
+                    )
+                except Exception as exc:  # noqa: BLE001 - per-image isolation
+                    result.images_failed += 1
+                    result.failures.append((image_id, str(exc)))
+                    self._record_failure(source_id, image_id, str(exc))
+                    logger.warning(
+                        "source %s image %s failed: %s", source_id, image_id, exc
+                    )
+                    continue
+                result.images_done += 1
+                result.points_done += n_points
+                self._record_progress(
+                    {"source_id": source_id, "image_id": image_id,
+                     "points": n_points}
+                )
         return result
 
-    def _process_image(self, source_id: str, image_id: str, rows: pd.DataFrame) -> int:
-        image_keys = rows["image_key"].unique()
-        if len(image_keys) != 1:
-            raise ValueError(
-                f"image {image_id} maps to {len(image_keys)} distinct"
-                f" image_keys; expected exactly 1."
-            )
-        image = self._decode_image(
-            self.store.get_bytes(self.source_bucket, str(image_keys[0]))
-        )
+    def _process_image(
+        self,
+        source_id: str,
+        image_id: str,
+        rows: pd.DataFrame,
+        image: np.ndarray,
+    ) -> int:
         rowcols = rows[["row", "col"]].to_numpy(dtype=np.int32)
         features = self.extractor.extract_features(image, rowcols)
 
