@@ -98,6 +98,28 @@ def build_training_request(config: RunConfig, run_id: str) -> JobRequest:
     )
 
 
+def stage_config_dir(
+    store, bucket: str, run_id: str, config_dir
+) -> list[str]:
+    """Copy the run's config dir into the store under
+    ``runs/<run_id>/config/`` so remote workers fetch the exact bytes the
+    launcher validated (reference: launch_processing.py:168-175). Returns
+    the written keys."""
+    from pathlib import Path
+
+    config_dir = Path(config_dir)
+    if not config_dir.is_dir():
+        raise FileNotFoundError(f"config dir {config_dir} does not exist.")
+    written = []
+    for path in sorted(p for p in config_dir.rglob("*") if p.is_file()):
+        key = f"runs/{run_id}/config/{path.relative_to(config_dir)}"
+        store.put_bytes(bucket, key, path.read_bytes())
+        written.append(key)
+    if not written:
+        raise ValueError(f"config dir {config_dir} is empty.")
+    return written
+
+
 def launch_processing(
     config: RunConfig,
     backend: JobBackend,

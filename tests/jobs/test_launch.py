@@ -155,3 +155,41 @@ class TestLocalBackend(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestStageConfigDir(unittest.TestCase):
+    def test_uploads_tree(self):
+        from mermaid_classifier_tpu.data.store import LocalFSObjectStore
+        from mermaid_classifier_tpu.jobs.launch import stage_config_dir
+
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td)
+            config = tmp / "config"
+            (config / "sub").mkdir(parents=True)
+            (config / "training_config.yaml").write_text("a: 1\n")
+            (config / "sub" / "labels.csv").write_text("ba_id\nx\n")
+            store = LocalFSObjectStore(tmp / "store")
+            written = stage_config_dir(store, "staging", "run7", config)
+            self.assertEqual(
+                sorted(written),
+                ["runs/run7/config/sub/labels.csv",
+                 "runs/run7/config/training_config.yaml"],
+            )
+            self.assertEqual(
+                store.get_bytes("staging", "runs/run7/config/training_config.yaml"),
+                b"a: 1\n",
+            )
+
+    def test_missing_or_empty_dir(self):
+        from mermaid_classifier_tpu.data.store import LocalFSObjectStore
+        from mermaid_classifier_tpu.jobs.launch import stage_config_dir
+
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td)
+            store = LocalFSObjectStore(tmp / "store")
+            with self.assertRaises(FileNotFoundError):
+                stage_config_dir(store, "b", "r", tmp / "nope")
+            empty = tmp / "empty"
+            empty.mkdir()
+            with self.assertRaises(ValueError):
+                stage_config_dir(store, "b", "r", empty)
