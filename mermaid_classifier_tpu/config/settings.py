@@ -111,6 +111,8 @@ class Settings(BaseModel):
     # on-disk copy of the features for epoch loops free of per-image file
     # opens; batches are byte-identical either way.
     use_packed_feature_cache: bool = True
+    # Data-parallel head training over an N-device mesh; None = one device.
+    train_mesh_devices: int | None = None
 
     # -- extraction ----------------------------------------------------------------
     extractor_backbone_batch: int = 128

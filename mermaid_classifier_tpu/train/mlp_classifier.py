@@ -177,6 +177,7 @@ class MLPClassifier:
         beta_2: float = 0.999,
         epsilon: float = 1e-8,
         class_weight: dict[Any, float] | None = None,
+        mesh: Any = None,
     ):
         if activation != "relu":
             raise ValueError(
@@ -202,6 +203,12 @@ class MLPClassifier:
         # materialized in classes_ order on first partial_fit
         # (reference: torch_classifier.py:132-136).
         self.class_weight = class_weight
+        # Optional jax.sharding.Mesh: each mini-batch's row dimension shards
+        # over every device (params replicated; XLA inserts the gradient
+        # all-reduce). Semantics are identical to single-device training —
+        # the update is the same global mini-batch Adam step — so all pinned
+        # sklearn/torch behaviors hold; differential test enforces it.
+        self.mesh = mesh
 
     # --- sklearn-compatible coefficient views -----------------------------
 
@@ -358,6 +365,34 @@ class MLPClassifier:
         if pad:
             ns[-1] = batch_size - pad
 
+        if self.mesh is not None:
+            # Shard each mini-batch's rows over every device; the scan axis
+            # (axis 0) stays unsharded so the sequential Adam semantics are
+            # untouched. Params stay replicated. Sharded placement needs the
+            # row dim divisible by the device count, so pad every mini-batch
+            # with weight-0 rows — inert by construction: the data loss is
+            # sum(w*ce)/sum(w) and the L2 scale divides by the REAL row
+            # count ns, so padded rows contribute exactly nothing.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_devices = self.mesh.devices.size
+            row_pad = -batch_size % n_devices
+            if row_pad:
+                xs = np.concatenate(
+                    [xs, np.zeros((n_batches, row_pad, self.n_features_in_),
+                                  np.float32)], axis=1)
+                ys = np.concatenate(
+                    [ys, np.zeros((n_batches, row_pad), np.int32)], axis=1)
+                ws = np.concatenate(
+                    [ws, np.zeros((n_batches, row_pad), np.float32)], axis=1)
+            all_axes = P(None, self.mesh.axis_names)
+            xs = jax.device_put(
+                jnp.asarray(xs),
+                NamedSharding(self.mesh, P(None, self.mesh.axis_names, None)),
+            )
+            ys = jax.device_put(jnp.asarray(ys), NamedSharding(self.mesh, all_axes))
+            ws = jax.device_put(jnp.asarray(ws), NamedSharding(self.mesh, all_axes))
+
         epoch_fn = _make_epoch_fn(
             n_batches,
             self._layer_sizes(),
@@ -468,6 +503,7 @@ class MLPClassifier:
             "beta_2": self.beta_2,
             "epsilon": self.epsilon,
             "class_weight": getattr(self, "class_weight", None),
+            "mesh": getattr(self, "mesh", None),
         }
 
     def set_params(self, **params: Any) -> "MLPClassifier":
@@ -484,6 +520,9 @@ class MLPClassifier:
         # reference's state_dict-based pickling, torch_classifier.py:410-444);
         # the optimizer state is a pytree of arrays plus step counts.
         state = self.__dict__.copy()
+        # The mesh holds live device handles; checkpoints/pickles restore
+        # mesh-less (re-attach by assigning .mesh after unpickling).
+        state["mesh"] = None
         params = state.pop("_params", None)
         opt_state = state.pop("_opt_state", None)
         if params is not None:
@@ -500,6 +539,7 @@ class MLPClassifier:
         # unpickle cleanly (reference: torch_classifier.py:424-433).
         self.__dict__.setdefault("class_weight", None)
         self.__dict__.setdefault("_class_weight_vector", None)
+        self.__dict__.setdefault("mesh", None)
         if params_state is not None:
             self._params = jax.tree.map(jnp.asarray, params_state)
         if opt_state_state is not None:

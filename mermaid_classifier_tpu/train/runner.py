@@ -131,7 +131,16 @@ class TrainingRunner:
             early_stopping_patience=self.training_options.early_stopping_patience,
             packed_cache_dir=packed_dir,
             checkpoint_dir=getattr(self.training_options, "checkpoint_dir", None),
+            mesh=self._make_training_mesh(),
         )
+
+    def _make_training_mesh(self):
+        if settings.train_mesh_devices is None:
+            return None
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        # Pure data parallelism for the head: batch over every device.
+        return make_mesh(settings.train_mesh_devices, model_parallel=1)
 
     def _on_epoch_end(self, metrics: dict) -> None:
         """Override for logging."""

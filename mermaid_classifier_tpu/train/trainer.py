@@ -72,6 +72,7 @@ class MermaidTrainer:
         early_stopping_patience: int | None = None,
         packed_cache_dir: str | None = None,
         checkpoint_dir: str | None = None,
+        mesh=None,
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
             raise ValueError(
@@ -94,6 +95,9 @@ class MermaidTrainer:
         # Epoch shuffle order is seeded by the epoch index, so a resumed run
         # is bit-identical to an uninterrupted one (pinned by test).
         self.checkpoint_dir = checkpoint_dir
+        # Optional device mesh: the classifier trains data-parallel over it
+        # (identical numerics; see MLPClassifier.mesh).
+        self.mesh = mesh
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
@@ -172,6 +176,7 @@ class MermaidTrainer:
             learning_rate_init=PRODUCTION_LEARNING_RATE,
             class_weight=class_weight,
             random_state=PRODUCTION_RANDOM_STATE,
+            mesh=self.mesh,
         )
 
     def __call__(
@@ -225,6 +230,8 @@ class MermaidTrainer:
             checkpoint = self._load_checkpoint()
             if checkpoint is not None:
                 clf = self._clf_from_state(checkpoint["clf"])
+                # Checkpoints serialize mesh-less; re-attach this trainer's.
+                clf.mesh = self.mesh
                 best_clf_snapshot = self._clf_from_state(
                     checkpoint["best_clf"]
                 )

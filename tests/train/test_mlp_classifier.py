@@ -359,3 +359,49 @@ class TestBatchingEquivalence:
         Xs, ys = X[order], y[order]
         ref.partial_fit(Xs, ys, classes=["a", "b"])
         assert clf.loss_curve_[0] == pytest.approx(ref.loss_curve_[0], rel=1e-5)
+
+
+class TestMeshDataParallel:
+    """mesh-sharded partial_fit must be numerically identical to
+    single-device (the global mini-batch Adam step is the same update)."""
+
+    def test_identical_to_single_device(self):
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        n, d, k = 64, 12, 4
+        X = rng.standard_normal((n, d)).astype(np.float32)
+        y = np.asarray([f"c{i}" for i in rng.integers(0, k, n)])
+        classes = sorted(set(y.tolist()) | {f"c{i}" for i in range(k)})
+
+        plain = MLPClassifier((8,), batch_size=16, random_state=3)
+        sharded = MLPClassifier((8,), batch_size=16, random_state=3,
+                                mesh=make_mesh(8))
+        for _ in range(3):
+            plain.partial_fit(X, y, classes=classes)
+            sharded.partial_fit(X, y, classes=classes)
+
+        assert plain.loss_curve_ == pytest.approx(sharded.loss_curve_, rel=2e-5)
+        for wa, wb in zip(plain.coefs_, sharded.coefs_):
+            np.testing.assert_allclose(wa, wb, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            plain.predict_proba(X), sharded.predict_proba(X),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_pickle_drops_mesh(self):
+        import pickle
+
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        clf = MLPClassifier((4,), batch_size=8, random_state=0,
+                            mesh=make_mesh(8))
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((16, 4)).astype(np.float32)
+        y = np.asarray(["a", "b"] * 8)
+        clf.partial_fit(X, y, classes=["a", "b"])
+        restored = pickle.loads(pickle.dumps(clf))
+        assert restored.mesh is None
+        np.testing.assert_allclose(
+            restored.predict_proba(X), clf.predict_proba(X), rtol=1e-6
+        )

@@ -273,3 +273,21 @@ class TestCheckpointResume:
         # All four epochs came from the checkpointed state.
         assert len(msg.ref_accs) == 4
         assert resumed._early_stop_info["final_epoch"] == 4
+
+
+class TestMeshTrainer:
+    def test_mesh_trainer_matches_single_device(self, task_labels):
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        class MeshSmallNetTrainer(SmallNetTrainer):
+            def _make_classifier(self, class_weight):
+                clf = super()._make_classifier(class_weight)
+                clf.mesh = self.mesh
+                return clf
+
+        plain = SmallNetTrainer(batch_size=64)
+        _, _, msg_a = plain(task_labels, nbr_epochs=3, pc_models=[])
+        sharded = MeshSmallNetTrainer(batch_size=64, mesh=make_mesh(8))
+        _, _, msg_b = sharded(task_labels, nbr_epochs=3, pc_models=[])
+        assert msg_a.ref_accs == pytest.approx(msg_b.ref_accs, abs=1e-6)
+        assert msg_a.acc == pytest.approx(msg_b.acc, abs=1e-6)
