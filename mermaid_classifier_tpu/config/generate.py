@@ -104,21 +104,24 @@ def select_labels(
         {"ba_id": ba_id, "gf_id": ""} for ba_id in selected
     ] + bucket_rows
 
-    # Rollups.
+    # Rollups. Every annotated (ba, gf) combo must end at an included label
+    # or be explicitly excluded — nothing may silently fall through the
+    # inclusion filter.
     rollup_rows: list[dict] = []
     excluded_ids: list[str] = []
     for ba_id in per_ba.index:
+        annotated_gfs = set(
+            counts.loc[counts["ba_id"] == ba_id, "gf_id"].astype(str)
+        )
         if ba_id in selected_set:
-            # Non-bucketed GFs of a bucketed BA collapse to the bare BA.
-            if ba_id in bucket_index:
-                annotated_gfs = set(
-                    counts.loc[counts["ba_id"] == ba_id, "gf_id"].astype(str)
-                ) - {""}
-                for gf_id in sorted(annotated_gfs - bucket_index[ba_id]):
-                    rollup_rows.append(
-                        {"from_ba_id": ba_id, "from_gf_id": gf_id,
-                         "to_ba_id": ba_id, "to_gf_id": ""}
-                    )
+            # GFs outside the BA's bucket set (all GFs, for non-bucketed
+            # BAs) collapse to the bare BA.
+            kept_gfs = bucket_index.get(ba_id, set())
+            for gf_id in sorted((annotated_gfs - {""}) - kept_gfs):
+                rollup_rows.append(
+                    {"from_ba_id": ba_id, "from_gf_id": gf_id,
+                     "to_ba_id": ba_id, "to_gf_id": ""}
+                )
             continue
         target = next(
             (a for a in reversed(ba_library.get_ancestor_ids(ba_id))
@@ -128,10 +131,13 @@ def select_labels(
         if target is None:
             excluded_ids.append(ba_id)
             continue
-        rollup_rows.append(
-            {"from_ba_id": ba_id, "from_gf_id": "",
-             "to_ba_id": target, "to_gf_id": ""}
-        )
+        # One rule per annotated combo of this BA (GF'd or bare), all
+        # landing on the bare target label.
+        for gf_id in sorted(annotated_gfs):
+            rollup_rows.append(
+                {"from_ba_id": ba_id, "from_gf_id": gf_id,
+                 "to_ba_id": target, "to_gf_id": ""}
+            )
 
     return GeneratedConfig(
         included=pd.DataFrame(

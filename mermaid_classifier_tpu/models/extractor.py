@@ -217,22 +217,34 @@ class FeatureExtractor:
     def verify_device_numerics(
         self, n_patches: int = 8, min_cosine: float = 0.999, seed: int = 0
     ) -> float:
-        """Run random patches through the backbone on the default device and
-        on the host CPU backend; gate on min cosine similarity
-        (reference: scripts/build_feature_bucket.py:451-502)."""
+        """Run random patches through the backbone AS CONFIGURED (device,
+        compute dtype) and through a float32 reference graph on the host
+        CPU; gate on min cosine similarity. This is what makes the gate
+        meaningful for reduced-precision trunks — the reference side is
+        always float32 (reference: scripts/build_feature_bucket.py:451-502)."""
         ps = self.config.patch_size
         rng = np.random.default_rng(seed)
         patches = rng.random((n_patches, ps, ps, 3)).astype(np.float32)
 
-        device_out = np.asarray(self._apply(self.variables, jnp.asarray(patches)))
+        # Probe through a direct jit of the configured model (NOT the
+        # mesh-sharded runner, whose divisibility contract is about batch
+        # layout, not numerics — the per-example math is identical).
+        device_out = np.asarray(
+            jax.jit(self._model.apply)(self.variables, jnp.asarray(patches))
+        )
 
+        from dataclasses import replace
+
+        f32_model = EfficientNetBackbone(
+            config=replace(self.config, compute_dtype="float32")
+        )
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             cpu_vars = jax.device_put(
                 jax.tree.map(np.asarray, self.variables), cpu
             )
             cpu_out = np.asarray(
-                jax.jit(self._model.apply)(cpu_vars, jnp.asarray(patches))
+                jax.jit(f32_model.apply)(cpu_vars, jnp.asarray(patches))
             )
 
         num = np.sum(device_out * cpu_out, axis=1)

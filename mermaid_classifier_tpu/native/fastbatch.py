@@ -55,18 +55,25 @@ def ensure_built() -> Path | None:
     if lib.is_file():
         return lib
     _BUILD_DIR.mkdir(exist_ok=True)
+    # Compile to a private temp name, then atomically rename: concurrent
+    # builders (parallel jobs on a fresh checkout) never dlopen a
+    # half-written .so.
+    tmp = lib.with_name(f".{lib.name}.{os.getpid()}.part")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-pthread",
-        "-o", str(lib), str(_SRC),
+        "-o", str(tmp), str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, lib)
     except (OSError, subprocess.CalledProcessError) as exc:
         detail = getattr(exc, "stderr", "") or str(exc)
         logger.warning(
             "fastbatch native build failed (%s); using the numpy fallback",
             detail.strip()[:500],
         )
+        if tmp.exists():
+            tmp.unlink()
         return None
     return lib
 
@@ -79,7 +86,17 @@ def _load_lib() -> ctypes.CDLL | None:
     if path is None:
         _lib_failed = True
         return None
-    lib = ctypes.CDLL(str(path))
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError as exc:
+        logger.warning(
+            "fastbatch library %s failed to load (%s); using the numpy"
+            " fallback",
+            path,
+            exc,
+        )
+        _lib_failed = True
+        return None
     lib.fc_open.restype = ctypes.c_void_p
     lib.fc_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
     lib.fc_close.argtypes = [ctypes.c_void_p]

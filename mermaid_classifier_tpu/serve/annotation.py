@@ -61,8 +61,8 @@ def resolve_classifier_artifact(
         parts = spec[len("models:/"):].strip("/").split("/")
         name = parts[0]
         if len(parts) > 1:
-            version_dir = tracker.root / "_models" / name / parts[1]
-            if not version_dir.is_dir():
+            version_dir = tracker.model_version(name, parts[1])
+            if version_dir is None:
                 raise FileNotFoundError(
                     f"registered model {name!r} has no version {parts[1]!r}"
                     f" under {tracker.root}."

@@ -97,12 +97,13 @@ def release_artifact(
     artifact_dir = Path(artifact_dir)
     manifest = validate_artifact(artifact_dir, task=task)
 
-    prefix = f"{RELEASE_PREFIX}/{version}"
+    # Trailing slash: "classifier/v1" must not prefix-match "classifier/v12".
+    prefix = f"{RELEASE_PREFIX}/{version}/"
     existing = list(store.list_keys(bucket, prefix=prefix))
     if existing:
         raise ReleaseError(
             f"release {version} already exists in {bucket} ({len(existing)}"
-            f" objects under {prefix}/) — releases are immutable."
+            f" objects under {prefix}) — releases are immutable."
         )
 
     files: list[Path] = [artifact_dir / "model.npz", artifact_dir / "model.json"]
@@ -115,7 +116,7 @@ def release_artifact(
     written: list[str] = []
     try:
         for f in files:
-            key = f"{prefix}/{f.name}"
+            key = f"{prefix}{f.name}"
             store.put_bytes(bucket, key, f.read_bytes())
             written.append(key)
     except BaseException:

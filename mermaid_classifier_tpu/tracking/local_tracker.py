@@ -283,6 +283,14 @@ class LocalTracker:
         (version_dir / "registry_meta.json").write_text(json.dumps(meta, indent=2))
         return version_dir
 
+    def model_version(self, name: str, version: str) -> Path | None:
+        """Directory of a specific registered version ('v<N>'), or None.
+        Applies the same name sanitization as register_model."""
+        if not re.fullmatch(r"v\d+", version):
+            return None
+        version_dir = self.root / "_models" / _safe_path_segment(name) / version
+        return version_dir if version_dir.is_dir() else None
+
     def latest_model_version(self, name: str) -> Path | None:
         model_root = self.root / "_models" / _safe_path_segment(name)
         if not model_root.is_dir():

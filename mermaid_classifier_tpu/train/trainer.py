@@ -361,9 +361,6 @@ class MermaidTrainer:
                     best_val_loss if best_val_loss != float("inf") else None
                 ),
             }
-            # Training finished; the checkpoint has served its purpose.
-            self._clear_checkpoint()
-
         # Calibration: stream ref data in batches — O(N*K) accumulation, not
         # O(N*4096) (reference: trainer.py:261-265).
         with _log_entry_and_exit("calibration"):
@@ -397,6 +394,11 @@ class MermaidTrainer:
             ref_accs=ref_accs,
             runtime=time.time() - t0,
         )
+
+        # The whole call (training + calibration + evaluation) succeeded —
+        # only now has the checkpoint served its purpose. A preemption during
+        # calibration/eval resumes from the final epoch, not epoch zero.
+        self._clear_checkpoint()
 
         return clf_calibrated, val_results, return_message
 

@@ -111,7 +111,15 @@ def main(argv: list[str] | None = None) -> int:
     if not available:
         logger.error("none of the requested sources are available; aborting")
         return 1
-    result = builder.run(available, verify_numerics=args.verify_numerics)
+    # Reduced-precision trunks never run ungated (CLAUDE.md invariant):
+    # the cosine check vs the float32 reference is mandatory for them.
+    verify = args.verify_numerics or args.compute_dtype != "float32"
+    if verify and not args.verify_numerics:
+        logger.info(
+            "compute_dtype=%s: device-numerics gate enforced automatically",
+            args.compute_dtype,
+        )
+    result = builder.run(available, verify_numerics=verify)
     logger.info(result.describe())
     return result.exit_code
 

@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
+    # Console INFO above; a fresh DEBUG trace file per run alongside it
+    # (reference: utils.py:11-46).
+    from mermaid_classifier_tpu.utils.logging_config import (
+        logging_config_for_script,
+    )
+
+    debug_file = logging_config_for_script("classifier_train")
+    logger.info("debug log: %s", debug_file)
 
     config_path = Path(args.config_dir) / args.config_name
     # Load + apply env BEFORE importing the training stack: the env block can

@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--log-dir", default=None)
+    parser.add_argument(
+        "--staging-bucket", default=None,
+        help="stage the training config dir into the store under"
+        " runs/<run-id>/config/ before submitting",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -40,6 +45,18 @@ def main(argv: list[str] | None = None) -> int:
 
     config = parse_run_config(args.run_config, strict=True)
     run_id = args.run_id or f"train-{int(time.time())}"
+    if args.staging_bucket:
+        from mermaid_classifier_tpu.data.store import get_default_store
+        from mermaid_classifier_tpu.jobs.launch import stage_config_dir
+
+        config_dir = config.resolve_sibling(
+            config.training.config_dir if config.training else "."
+        )
+        written = stage_config_dir(
+            get_default_store(), args.staging_bucket, run_id, config_dir
+        )
+        logger.info("staged %d config files to %s", len(written),
+                    args.staging_bucket)
     backend = LocalProcessBackend(log_dir=args.log_dir)
     job_ids = launch_training(config, backend, run_id, dry_run=args.dry_run)
     if args.dry_run:

@@ -101,3 +101,42 @@ class TestWriteConfigDir(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestNoSilentLabelDrops(unittest.TestCase):
+    """Every annotated (ba, gf) combo must end at an included label or be
+    explicitly excluded (regression: GF'd combos of selected non-bucketed
+    BAs used to fall through the inclusion filter silently)."""
+
+    def test_every_annotated_combo_resolves(self):
+        counts = _counts()
+        generated = select_labels(make_ba_library(), counts, top_n=2)
+        included = {
+            (r.ba_id, r.gf_id) for r in generated.included.itertuples()
+        }
+        rollup_from = {
+            (r.from_ba_id, r.from_gf_id): (r.to_ba_id, r.to_gf_id)
+            for r in generated.rollups.itertuples()
+        }
+        excluded = set(generated.excluded)
+        for row in counts.itertuples():
+            combo = (row.ba_id, row.gf_id)
+            if row.ba_id in excluded:
+                continue
+            target = rollup_from.get(combo, combo)
+            self.assertIn(
+                target, included,
+                f"annotated combo {combo} resolves to {target}, which is"
+                f" neither included nor excluded",
+            )
+
+    def test_selected_ba_gf_combo_rolls_to_bare_ba(self):
+        # (ba-acro, gf-br) is annotated; ba-acro selected, no buckets.
+        generated = select_labels(make_ba_library(), _counts(), top_n=2)
+        rollups = generated.rollups
+        row = rollups[
+            (rollups.from_ba_id == "ba-acro") & (rollups.from_gf_id == "gf-br")
+        ]
+        self.assertEqual(len(row), 1)
+        self.assertEqual(row.iloc[0]["to_ba_id"], "ba-acro")
+        self.assertEqual(row.iloc[0]["to_gf_id"], "")

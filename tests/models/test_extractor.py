@@ -121,3 +121,26 @@ class TestMeshExtractor:
 
         with pytest.raises(ValueError, match="divisible"):
             build_extractor(config=TINY, backbone_batch=12, mesh=mesh)
+
+
+class TestNumericsGate:
+    def test_bf16_gate_compares_against_f32(self):
+        """The gate must pass for a sane bf16 trunk (device bf16 vs host
+        f32) and must not crash under a mesh whose size doesn't divide the
+        probe count."""
+        from dataclasses import replace
+
+        from mermaid_classifier_tpu.models.extractor import build_extractor
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        bf16 = build_extractor(
+            config=replace(TINY, compute_dtype="bfloat16"), backbone_batch=8
+        )
+        worst = bf16.verify_device_numerics(n_patches=6)
+        assert worst >= 0.999
+
+        meshed = build_extractor(
+            config=TINY, backbone_batch=8, mesh=make_mesh(8)
+        )
+        # 6 patches do not divide 8 devices; the probe must still work.
+        assert meshed.verify_device_numerics(n_patches=6) >= 0.999

@@ -158,3 +158,16 @@ class TestAnnotationRun:
         )
         with pytest.raises(ValueError, match="expects 16"):
             run.run()
+
+
+class TestSanitizedRegistryNames:
+    def test_pinned_version_of_sanitized_name(self, artifact_dir, tmp_path):
+        tracker = LocalTracker(tmp_path / "tracking")
+        tracker.register_model(
+            "reef model 2024",
+            [artifact_dir / "model.npz", artifact_dir / "model.json"],
+        )
+        resolved = resolve_classifier_artifact(
+            "models:/reef model 2024/v1", tracker_root=tmp_path / "tracking"
+        )
+        assert (resolved / "model.npz").is_file()

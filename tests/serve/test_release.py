@@ -109,3 +109,12 @@ class TestRelease:
         with pytest.raises(OSError):
             release_artifact(store, BUCKET, "v1", artifact_dir)
         assert list(store.list_keys(BUCKET, prefix="classifier/")) == []
+
+
+class TestVersionPrefixIsolation:
+    def test_v1_not_blocked_by_v12(self, store, artifact_dir):
+        release_artifact(store, BUCKET, "v12", artifact_dir)
+        written = release_artifact(store, BUCKET, "v1", artifact_dir)
+        assert "classifier/v1/model.npz" in written
+        with pytest.raises(ReleaseError, match="immutable"):
+            release_artifact(store, BUCKET, "v12", artifact_dir)
