@@ -215,8 +215,37 @@ class FeatureBucketBuilder:
                 self.store.get_bytes(self.source_bucket, str(image_keys[0]))
             )
 
+        # Depth-1 device pipeline on top of decode-ahead: image i's backbone
+        # compute is dispatched (no host sync), then image i-1's features
+        # are read back and written while i computes. Host decode, device
+        # compute, and store writes all overlap.
+        def record_failure(image_id: str, exc: Exception) -> None:
+            result.images_failed += 1
+            result.failures.append((image_id, str(exc)))
+            self._record_failure(source_id, image_id, str(exc))
+            logger.warning(
+                "source %s image %s failed: %s", source_id, image_id, exc
+            )
+
+        def finalize(pending) -> None:
+            image_id, rowcols, device_features = pending
+            try:
+                n_points = self._write_features(
+                    source_id, image_id, rowcols, np.asarray(device_features)
+                )
+            except Exception as exc:  # noqa: BLE001 - per-image isolation
+                record_failure(image_id, exc)
+                return
+            result.images_done += 1
+            result.points_done += n_points
+            self._record_progress(
+                {"source_id": source_id, "image_id": image_id,
+                 "points": n_points}
+            )
+
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
             in_flight: list = []
+            pending = None
             cursor = 0
             while cursor < len(todo) or in_flight:
                 while cursor < len(todo) and len(in_flight) < self.prefetch:
@@ -226,42 +255,36 @@ class FeatureBucketBuilder:
                 (image_id, rows), future = in_flight.pop(0)
                 try:
                     image = future.result()
-                    n_points = self._process_image(
-                        source_id, image_id, rows, image
+                    rowcols = rows[["row", "col"]].to_numpy(dtype=np.int32)
+                    device_features = self.extractor.extract_features_device(
+                        image, rowcols
                     )
                 except Exception as exc:  # noqa: BLE001 - per-image isolation
-                    result.images_failed += 1
-                    result.failures.append((image_id, str(exc)))
-                    self._record_failure(source_id, image_id, str(exc))
-                    logger.warning(
-                        "source %s image %s failed: %s", source_id, image_id, exc
-                    )
+                    record_failure(image_id, exc)
                     continue
-                result.images_done += 1
-                result.points_done += n_points
-                self._record_progress(
-                    {"source_id": source_id, "image_id": image_id,
-                     "points": n_points}
-                )
+                if pending is not None:
+                    finalize(pending)
+                pending = (image_id, rowcols, device_features)
+            if pending is not None:
+                finalize(pending)
         return result
 
-    def _process_image(
+    def _write_features(
         self,
         source_id: str,
         image_id: str,
-        rows: pd.DataFrame,
-        image: np.ndarray,
+        rowcols: np.ndarray,
+        features: np.ndarray,
     ) -> int:
-        rowcols = rows[["row", "col"]].to_numpy(dtype=np.int32)
-        features = self.extractor.extract_features(image, rowcols)
-
         # Atomic write through a local temp file, then idempotent upload.
         import tempfile
 
         with tempfile.TemporaryDirectory() as td:
             local = Path(td) / "f.npz"
             write_feature_file(local, rowcols, features)
-            self.store.upload(local, self.target_bucket, feature_key(source_id, image_id))
+            self.store.upload(
+                local, self.target_bucket, feature_key(source_id, image_id)
+            )
         return len(rowcols)
 
     def filter_to_available_sources(

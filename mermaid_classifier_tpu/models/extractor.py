@@ -186,12 +186,12 @@ class FeatureExtractor:
 
     # -- backbone -----------------------------------------------------------
 
-    def features_for_patches(self, patches: jnp.ndarray) -> np.ndarray:
-        """(P, ps, ps, 3) float32 -> (P, D) float32, batching the backbone at
-        the fixed backbone_batch shape."""
+    def features_for_patches_device(self, patches: jnp.ndarray) -> jnp.ndarray:
+        """(P, ps, ps, 3) -> (P, D) as a DEVICE array; dispatch only, no
+        host sync — callers can pipeline host work against the compute."""
         n = patches.shape[0]
         if n == 0:
-            return np.zeros((0, self.feature_dim), np.float32)
+            return jnp.zeros((0, self.feature_dim), jnp.float32)
         bb = self.backbone_batch
         n_pad = _round_up(n, bb)
         if n_pad != n:
@@ -201,7 +201,24 @@ class FeatureExtractor:
         outs = []
         for i in range(0, n_pad, bb):
             outs.append(self._apply(self.variables, patches[i : i + bb]))
-        return np.asarray(jnp.concatenate(outs)[:n])
+        return jnp.concatenate(outs)[:n] if len(outs) > 1 else outs[0][:n]
+
+    def features_for_patches(self, patches: jnp.ndarray) -> np.ndarray:
+        """(P, ps, ps, 3) float32 -> (P, D) float32 on host, batching the
+        backbone at the fixed backbone_batch shape."""
+        if patches.shape[0] == 0:
+            return np.zeros((0, self.feature_dim), np.float32)
+        return np.asarray(self.features_for_patches_device(patches))
+
+    def extract_features_device(
+        self, image: np.ndarray, rowcols: np.ndarray
+    ) -> jnp.ndarray:
+        """Per-image dispatch WITHOUT the host readback: returns the (P, D)
+        device array so a caller can overlap the next image's decode/
+        transfer with this one's compute (the feature-bucket builder's
+        depth-1 pipeline)."""
+        patches = self.extract_patches(image, rowcols)
+        return self.features_for_patches_device(patches)
 
     def extract_features(
         self, image: np.ndarray, rowcols: np.ndarray
@@ -209,8 +226,7 @@ class FeatureExtractor:
         """The per-image entry point: decoded image + points -> (P, D)
         float32 feature vectors (reference contract:
         build_feature_bucket.py:415-446)."""
-        patches = self.extract_patches(image, rowcols)
-        return self.features_for_patches(patches)
+        return np.asarray(self.extract_features_device(image, rowcols))
 
     # -- numerics self-check --------------------------------------------------
 

@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         help="backbone trunk dtype; bfloat16 is the fast path behind the"
         " cosine numerics gate (pass --verify-numerics)",
     )
+    parser.add_argument(
+        "--backbone-config-json", default=None,
+        help="EfficientNetConfig.to_dict() JSON path overriding the"
+        " production B0 (integration tests / alternative backbones)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -90,7 +95,16 @@ def main(argv: list[str] | None = None) -> int:
         mesh = make_mesh(args.mesh_devices)
 
     config = None
-    if args.compute_dtype != "float32":
+    if args.backbone_config_json:
+        import json
+
+        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
+
+        with open(args.backbone_config_json) as f:
+            config_dict = json.load(f)
+        config_dict["compute_dtype"] = args.compute_dtype
+        config = EfficientNetConfig.from_dict(config_dict)
+    elif args.compute_dtype != "float32":
         from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
 
         config = EfficientNetConfig(compute_dtype=args.compute_dtype)
