@@ -107,10 +107,15 @@ def main() -> None:
         worst = float(np.min(num / np.maximum(den, 1e-12)))
         log(f"{args.dtype} numerics gate: min cosine {worst:.6f} vs float32")
         if worst < 0.999:
-            raise SystemExit(
-                f"{args.dtype} backbone failed the 0.999 cosine gate"
-                f" ({worst:.6f}); run with --dtype float32."
+            # Never abort the bench: fall back to the always-valid f32 path
+            # so a JSON result is still produced (the gate is the production
+            # refusal; the bench's job is to report the best GATED number).
+            log(
+                f"{args.dtype} failed the 0.999 cosine gate ({worst:.6f});"
+                " falling back to float32"
             )
+            config = EfficientNetConfig(compute_dtype="float32")
+            model = EfficientNetBackbone(config=config)
 
     log(f"compiling + warmup ({args.warmup} steps, {args.points} patches/step)…")
     for i in range(max(args.warmup, 1)):

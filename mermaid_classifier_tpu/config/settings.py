@@ -145,6 +145,19 @@ class Settings(BaseModel):
 settings = Settings.from_env()
 
 
+def reload_settings_from_env(env_file: str | Path = ".env") -> Settings:
+    """Re-read the environment into the EXISTING settings object, in place.
+
+    Scripts apply their config's env: block and then call this; updating in
+    place (never rebinding the module global) keeps every module that did
+    ``from settings import settings`` seeing the refreshed values.
+    """
+    fresh = Settings.from_env(env_file)
+    for name in Settings.model_fields:
+        setattr(settings, name, getattr(fresh, name))
+    return settings
+
+
 def apply_settings_to_env() -> None:
     """Forward settings into the env vars other layers read. Explicit call,
     never an import side effect (reference: settings.py:119-161)."""

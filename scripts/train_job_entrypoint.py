@@ -89,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             config.apply_env()
             import mermaid_classifier_tpu.config.settings as settings_mod
 
-            settings_mod.settings = settings_mod.Settings.from_env()
+            settings_mod.reload_settings_from_env()
         with _stage("build_options"):
             dataset_options, training_options, tracking_options = (
                 config.build_options()
