@@ -62,6 +62,8 @@ def main() -> None:
     config = EfficientNetConfig(compute_dtype=args.dtype)  # production B0 -> 4096
     model = EfficientNetBackbone(config=config)
     variables = init_backbone_params(0, config)
+    effective_dtype = args.dtype
+    gate_cosine = None
 
     ps = config.patch_size
     half = ps // 2
@@ -106,6 +108,7 @@ def main() -> None:
         den = np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
         worst = float(np.min(num / np.maximum(den, 1e-12)))
         log(f"{args.dtype} numerics gate: min cosine {worst:.6f} vs float32")
+        gate_cosine = round(worst, 6)
         if worst < 0.999:
             # Never abort the bench: fall back to the always-valid f32 path
             # so a JSON result is still produced (the gate is the production
@@ -116,6 +119,7 @@ def main() -> None:
             )
             config = EfficientNetConfig(compute_dtype="float32")
             model = EfficientNetBackbone(config=config)
+            effective_dtype = "float32"
 
     log(f"compiling + warmup ({args.warmup} steps, {args.points} patches/step)…")
     for i in range(max(args.warmup, 1)):
@@ -143,6 +147,10 @@ def main() -> None:
         "value": round(patches_per_sec, 1),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
+        # Effective dtype actually measured (a failed gate falls back to
+        # float32 — visible here, never silent) + the gate evidence.
+        "dtype": effective_dtype,
+        "numerics_gate_cosine": gate_cosine,
     }))
 
 

@@ -110,6 +110,22 @@ class LocalProcessBackend(JobBackend):
             log.close()
         return JobStatus.COMPLETED if rc == 0 else JobStatus.FAILED
 
+    def terminate_all(self, timeout: float = 10.0) -> None:
+        """Kill every still-running job (launcher shutdown / test cleanup);
+        no orphaned workers survive the backend."""
+        for proc in self._procs.values():
+            if proc.poll() is None:
+                proc.terminate()
+        for proc in self._procs.values():
+            try:
+                proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+        for log in self._logs.values():
+            log.close()
+        self._logs.clear()
+
 
 def python_command(script: str, args: list[str]) -> list[str]:
     """The interpreter-invocation shim (the entrypoint.sh analog)."""

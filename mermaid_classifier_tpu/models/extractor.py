@@ -206,8 +206,6 @@ class FeatureExtractor:
     def features_for_patches(self, patches: jnp.ndarray) -> np.ndarray:
         """(P, ps, ps, 3) float32 -> (P, D) float32 on host, batching the
         backbone at the fixed backbone_batch shape."""
-        if patches.shape[0] == 0:
-            return np.zeros((0, self.feature_dim), np.float32)
         return np.asarray(self.features_for_patches_device(patches))
 
     def extract_features_device(

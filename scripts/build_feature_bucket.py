@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         " (default: single device)",
     )
     parser.add_argument(
-        "--compute-dtype", choices=("float32", "bfloat16"), default="float32",
+        "--compute-dtype", choices=("float32", "bfloat16"), default=None,
         help="backbone trunk dtype; bfloat16 is the fast path behind the"
         " cosine numerics gate (pass --verify-numerics)",
     )
@@ -75,6 +75,19 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+
+    # Honor JAX_PLATFORMS even when a plugin ignores the env var (the axon
+    # TPU plugin does; see CLAUDE.md) — pin via config before any device use.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backends already initialized; leave as-is
+
     source_ids = parse_source_ids(args)
     logger.info("sources to process: %s", source_ids)
 
@@ -102,9 +115,11 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.backbone_config_json) as f:
             config_dict = json.load(f)
-        config_dict["compute_dtype"] = args.compute_dtype
+        # An explicit flag wins; otherwise the config file's dtype stands.
+        if args.compute_dtype is not None:
+            config_dict["compute_dtype"] = args.compute_dtype
         config = EfficientNetConfig.from_dict(config_dict)
-    elif args.compute_dtype != "float32":
+    elif args.compute_dtype is not None and args.compute_dtype != "float32":
         from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
 
         config = EfficientNetConfig(compute_dtype=args.compute_dtype)
@@ -127,11 +142,13 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     # Reduced-precision trunks never run ungated (CLAUDE.md invariant):
     # the cosine check vs the float32 reference is mandatory for them.
-    verify = args.verify_numerics or args.compute_dtype != "float32"
+    effective_dtype = (config.compute_dtype if config is not None
+                       else (args.compute_dtype or "float32"))
+    verify = args.verify_numerics or effective_dtype != "float32"
     if verify and not args.verify_numerics:
         logger.info(
             "compute_dtype=%s: device-numerics gate enforced automatically",
-            args.compute_dtype,
+            effective_dtype,
         )
     result = builder.run(available, verify_numerics=verify)
     logger.info(result.describe())

@@ -66,6 +66,11 @@ class TestFanOutIntegration(unittest.TestCase):
                 ).to_csv(index=False).encode()
                 store.put_bytes(SRC, annotations_key(source_id), csv)
 
+            import os
+
+            # Append, never overwrite: the axon TPU plugin rides PYTHONPATH
+            # (CLAUDE.md); the CLI pins jax_platforms=cpu itself.
+            pythonpath = f"{REPO_ROOT}:{os.environ.get('PYTHONPATH', '')}".rstrip(":")
             config_json = tmp / "tiny_backbone.json"
             config_json.write_text(json.dumps(TINY_CONFIG))
             pd.DataFrame({"source_id": source_ids}).to_csv(
@@ -78,7 +83,7 @@ class TestFanOutIntegration(unittest.TestCase):
                   env:
                     OBJECT_STORE_ROOT: "{store_root}"
                     JAX_PLATFORMS: cpu
-                    PYTHONPATH: "{REPO_ROOT}"
+                    PYTHONPATH: "{pythonpath}"
                 processing:
                   container_args: [--source-bucket, {SRC}, --target-bucket, {DST},
                                    --backbone-config-json, "{config_json}"]
@@ -92,9 +97,12 @@ class TestFanOutIntegration(unittest.TestCase):
             backend = LocalProcessBackend(log_dir=tmp / "logs")
             job_ids = launch_processing(config, backend, "itest")
             self.assertEqual(len(job_ids), 2)
-            statuses = wait_for_completion(
-                backend, job_ids, poll_seconds=0.5, timeout_seconds=420
-            )
+            try:
+                statuses = wait_for_completion(
+                    backend, job_ids, poll_seconds=0.5, timeout_seconds=420
+                )
+            finally:
+                backend.terminate_all()
             for job_id, status in statuses.items():
                 log = (tmp / "logs" / f"{job_id}.log")
                 detail = log.read_text()[-1500:] if log.exists() else "<no log>"

@@ -47,11 +47,29 @@ class TestClassifierTrainCli(unittest.TestCase):
 
         self._real_logging_config = lc.logging_config_for_script
         lc.logging_config_for_script = lambda *a, **k: Path("/dev/null")
+        # Snapshot process-global state the script legitimately mutates
+        # (env block + in-place settings reload) and restore it after.
+        import os
+
+        import mermaid_classifier_tpu.config.settings as settings_mod
+
+        self._env_snapshot = dict(os.environ)
+        self._settings_snapshot = {
+            name: getattr(settings_mod.settings, name)
+            for name in settings_mod.Settings.model_fields
+        }
 
     def tearDown(self):
+        import os
+
+        import mermaid_classifier_tpu.config.settings as settings_mod
         import mermaid_classifier_tpu.utils.logging_config as lc
 
         lc.logging_config_for_script = self._real_logging_config
+        os.environ.clear()
+        os.environ.update(self._env_snapshot)
+        for name, value in self._settings_snapshot.items():
+            setattr(settings_mod.settings, name, value)
 
     def _config_dir(self, tmp: Path) -> Path:
         config_dir = tmp / "config"
