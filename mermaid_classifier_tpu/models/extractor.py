@@ -226,6 +226,42 @@ class FeatureExtractor:
         build_feature_bucket.py:415-446)."""
         return np.asarray(self.extract_features_device(image, rowcols))
 
+    def extract_features_many(
+        self, items: list[tuple[np.ndarray, np.ndarray]]
+    ) -> list[np.ndarray]:
+        """Cross-image patch packing: gather every image's patches, run ONE
+        packed backbone pass over all of them, split per image.
+
+        The production serve shape is ~25 points per image
+        (reference: annotation.py:249-261); per-image forwards would pad 25
+        up to backbone_batch and waste >80% of each launch. Packing patches
+        across images fills the fixed batch before paying for a forward —
+        identical numerics to per-image extraction (the backbone has no
+        cross-patch coupling; differential-tested)."""
+        patch_batches = []
+        counts = []
+        for image, rowcols in items:
+            patches = self.extract_patches(image, rowcols)
+            counts.append(patches.shape[0])
+            if patches.shape[0]:
+                patch_batches.append(patches)
+        if not patch_batches:
+            return [
+                np.zeros((0, self.feature_dim), np.float32) for _ in items
+            ]
+        packed = (
+            jnp.concatenate(patch_batches)
+            if len(patch_batches) > 1
+            else patch_batches[0]
+        )
+        features = np.asarray(self.features_for_patches_device(packed))
+        out: list[np.ndarray] = []
+        offset = 0
+        for count in counts:
+            out.append(features[offset : offset + count])
+            offset += count
+        return out
+
     # -- numerics self-check --------------------------------------------------
 
     def verify_device_numerics(

@@ -144,3 +144,45 @@ class TestNumericsGate:
         )
         # 6 patches do not divide 8 devices; the probe must still work.
         assert meshed.verify_device_numerics(n_patches=6) >= 0.999
+
+
+class TestCrossImageBatching:
+    def test_matches_per_image(self, tmp_path):
+        import numpy as np
+
+        from mermaid_classifier_tpu.models.extractor import build_extractor
+
+        rng = np.random.default_rng(0)
+        extractor = build_extractor(config=TINY, backbone_batch=16,
+                                    point_bucket=4)
+        items = []
+        for i in range(3):
+            h, w = 50 + 10 * i, 60
+            image = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            n = 3 + i  # ragged point counts
+            rowcols = np.stack(
+                [rng.integers(0, h, n), rng.integers(0, w, n)], axis=1
+            ).astype(np.int32)
+            items.append((image, rowcols))
+
+        packed = extractor.extract_features_many(items)
+        for (image, rowcols), got in zip(items, packed):
+            expected = extractor.extract_features(image, rowcols)
+            np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    def test_empty_and_mixed(self):
+        import numpy as np
+
+        from mermaid_classifier_tpu.models.extractor import build_extractor
+
+        extractor = build_extractor(config=TINY, backbone_batch=8,
+                                    point_bucket=4)
+        rng = np.random.default_rng(1)
+        image = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        items = [
+            (image, np.zeros((0, 2), np.int32)),
+            (image, np.array([[5, 5], [10, 10]], np.int32)),
+        ]
+        out = extractor.extract_features_many(items)
+        assert out[0].shape == (0, TINY.feature_dim)
+        assert out[1].shape == (2, TINY.feature_dim)
