@@ -166,7 +166,7 @@ def extract_patches_pallas(
         num_scalar_prefetch=1,
         grid=(n_points,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # image stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # image stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scale row
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
         ],
