@@ -72,7 +72,6 @@ def main() -> None:
     image = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
     padded = np.zeros((size + 2 * half, size + 2 * half, 3), np.uint8)
     padded[half:-half, half:-half] = image
-    starts = rng.integers(0, size, size=(args.points, 2)).astype(np.int32)
     scale, bias = channel_scale_bias(config.mean_rgb, config.std_rgb)
 
     @jax.jit

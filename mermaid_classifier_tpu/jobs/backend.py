@@ -78,36 +78,36 @@ class LocalProcessBackend(JobBackend):
     def __init__(self, log_dir: str | Path | None = None) -> None:
         self.log_dir = Path(log_dir) if log_dir else None
         self._procs: dict[str, subprocess.Popen] = {}
-        self._logs: dict[str, object] = {}
 
     def submit(self, request: JobRequest) -> str:
         job_id = f"{request.name}-{len(self._procs)}"
         env = {**os.environ, **request.env}
-        stdout = subprocess.DEVNULL
         log_path = request.log_path
         if log_path is None and self.log_dir is not None:
             self.log_dir.mkdir(parents=True, exist_ok=True)
             log_path = str(self.log_dir / f"{job_id}.log")
-        if log_path:
-            stdout = open(log_path, "w")  # noqa: SIM115 - closed in describe
-            self._logs[job_id] = stdout
         logger.info("submitting job %s: %s", job_id, " ".join(request.command))
-        self._procs[job_id] = subprocess.Popen(
-            request.command,
-            env=env,
-            stdout=stdout,
-            stderr=subprocess.STDOUT if stdout is not subprocess.DEVNULL else None,
-        )
+        if log_path:
+            # The child inherits the descriptor; closing the parent's copy
+            # right after Popen means no handle outlives submit() even on
+            # --no-wait paths where describe() is never called.
+            with open(log_path, "w") as stdout:
+                self._procs[job_id] = subprocess.Popen(
+                    request.command,
+                    env=env,
+                    stdout=stdout,
+                    stderr=subprocess.STDOUT,
+                )
+        else:
+            self._procs[job_id] = subprocess.Popen(
+                request.command, env=env, stdout=subprocess.DEVNULL
+            )
         return job_id
 
     def describe(self, job_id: str) -> JobStatus:
-        proc = self._procs[job_id]
-        rc = proc.poll()
+        rc = self._procs[job_id].poll()
         if rc is None:
             return JobStatus.IN_PROGRESS
-        log = self._logs.pop(job_id, None)
-        if log is not None:
-            log.close()
         return JobStatus.COMPLETED if rc == 0 else JobStatus.FAILED
 
     def terminate_all(self, timeout: float = 10.0) -> None:
@@ -122,9 +122,6 @@ class LocalProcessBackend(JobBackend):
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait()
-        for log in self._logs.values():
-            log.close()
-        self._logs.clear()
 
 
 def python_command(script: str, args: list[str]) -> list[str]:

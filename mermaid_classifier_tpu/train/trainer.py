@@ -42,6 +42,11 @@ from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
 
 logger = getLogger(__name__)
 
+
+class CheckpointMismatchError(RuntimeError):
+    """A checkpoint_dir holds state from an incompatible run configuration."""
+
+
 # Production MLP architecture from the reference's hidden-layer experiments
 # (reference: trainer.py:114-123, docs/research/hidden-layer-experiments.md).
 PRODUCTION_HIDDEN_LAYERS = (500, 300, 100)
@@ -134,7 +139,9 @@ class MermaidTrainer:
                 os.unlink(tmp)
             raise
 
-    def _load_checkpoint(self) -> dict[str, Any] | None:
+    def _load_checkpoint(
+        self, expected_fingerprint: dict[str, Any]
+    ) -> dict[str, Any] | None:
         import os
         import pickle
 
@@ -143,6 +150,20 @@ class MermaidTrainer:
             return None
         with open(path, "rb") as f:
             state = pickle.load(f)
+        found = state.get("fingerprint")
+        if found != expected_fingerprint:
+            # A checkpoint_dir reused across runs with a different dataset,
+            # architecture, or batch size would silently resume from stale
+            # weights — a wrong model masquerading as a bit-identical resume.
+            # Refuse instead; the operator must clear the dir deliberately.
+            raise CheckpointMismatchError(
+                f"checkpoint at {path} was written by a different run"
+                f" configuration and cannot be resumed here.\n"
+                f"  checkpoint fingerprint: {found}\n"
+                f"  this run's fingerprint: {expected_fingerprint}\n"
+                f"Delete {path} (or point checkpoint_dir elsewhere) to start"
+                f" fresh."
+            )
         logger.info(
             "Resuming from checkpoint %s (next epoch %d).",
             path,
@@ -168,6 +189,39 @@ class MermaidTrainer:
         clf = MLPClassifier.__new__(MLPClassifier)
         clf.__setstate__(dict(state))
         return clf
+
+    def _run_fingerprint(
+        self,
+        clf: MLPClassifier,
+        labels: TrainingTaskLabels,
+        classes_list: list[Any],
+        nbr_epochs: int,
+    ) -> dict[str, Any]:
+        """Identity of this run for checkpoint compatibility: classes,
+        architecture, batch size, class weights, split sizes, epoch budget.
+        A resumed checkpoint must match on every field or resumption would
+        continue a DIFFERENT run's training."""
+        return {
+            "classes": [str(c) for c in classes_list],
+            "hidden_layer_sizes": list(
+                getattr(clf, "hidden_layer_sizes", ()) or ()
+            ),
+            "learning_rate_init": getattr(clf, "learning_rate_init", None),
+            "random_state": getattr(clf, "random_state", None),
+            "batch_size": int(self.batch_size),
+            "class_weight": (
+                sorted((str(k), float(v)) for k, v in self.class_weight.items())
+                if self.class_weight
+                else None
+            ),
+            "early_stopping_patience": self.early_stopping_patience,
+            "nbr_epochs": int(nbr_epochs),
+            "label_counts": {
+                "train": int(labels.train.label_count),
+                "ref": int(labels.ref.label_count),
+                "val": int(labels.val.label_count),
+            },
+        }
 
     def _make_classifier(self, class_weight: dict[str, float] | None) -> MLPClassifier:
         """Hook for tests to swap the classifier architecture."""
@@ -227,7 +281,10 @@ class MermaidTrainer:
             epoch: int = 0
             start_epoch: int = 0
 
-            checkpoint = self._load_checkpoint()
+            fingerprint = self._run_fingerprint(
+                clf, labels, classes_list, nbr_epochs
+            )
+            checkpoint = self._load_checkpoint(fingerprint)
             if checkpoint is not None:
                 clf = self._clf_from_state(checkpoint["clf"])
                 # Checkpoints serialize mesh-less; re-attach this trainer's.
@@ -307,6 +364,7 @@ class MermaidTrainer:
                 if self.checkpoint_dir is not None:
                     self._save_checkpoint(
                         {
+                            "fingerprint": fingerprint,
                             "next_epoch": epoch + 1,
                             "clf": self._clf_to_state(clf),
                             "best_clf": self._clf_to_state(best_clf_snapshot),

@@ -99,10 +99,6 @@ class TestWriteConfigDir(unittest.TestCase):
             self.assertEqual(config.dataset.subsample.min_per_class, 200)
 
 
-if __name__ == "__main__":
-    unittest.main()
-
-
 class TestNoSilentLabelDrops(unittest.TestCase):
     """Every annotated (ba, gf) combo must end at an included label or be
     explicitly excluded (regression: GF'd combos of selected non-bucketed
@@ -140,3 +136,7 @@ class TestNoSilentLabelDrops(unittest.TestCase):
         self.assertEqual(len(row), 1)
         self.assertEqual(row.iloc[0]["to_ba_id"], "ba-acro")
         self.assertEqual(row.iloc[0]["to_gf_id"], "")
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -153,10 +153,6 @@ class TestLocalBackend(unittest.TestCase):
             self.assertEqual(out.read_text(), "42")
 
 
-if __name__ == "__main__":
-    unittest.main()
-
-
 class TestStageConfigDir(unittest.TestCase):
     def test_uploads_tree(self):
         from mermaid_classifier_tpu.data.store import LocalFSObjectStore
@@ -193,3 +189,7 @@ class TestStageConfigDir(unittest.TestCase):
             empty.mkdir()
             with self.assertRaises(ValueError):
                 stage_config_dir(store, "b", "r", empty)
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -274,6 +274,52 @@ class TestCheckpointResume:
         assert len(msg.ref_accs) == 4
         assert resumed._early_stop_info["final_epoch"] == 4
 
+    def test_refuses_checkpoint_from_different_run(self, task_labels, tmp_path):
+        """A checkpoint_dir reused with a different configuration must refuse
+        to resume — otherwise stale weights silently continue training."""
+        from mermaid_classifier_tpu.train.trainer import CheckpointMismatchError
+
+        ckpt = tmp_path / "ckpt"
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_cb(metrics):
+            if metrics["epoch"] == 1:
+                raise Crash()
+
+        interrupted = SmallNetTrainer(
+            batch_size=64, checkpoint_dir=str(ckpt), on_epoch_end=crash_cb
+        )
+        with pytest.raises(Crash):
+            interrupted(task_labels, nbr_epochs=4, pc_models=[])
+
+        # Different batch size → refuse.
+        with pytest.raises(CheckpointMismatchError, match="different run"):
+            SmallNetTrainer(batch_size=32, checkpoint_dir=str(ckpt))(
+                task_labels, nbr_epochs=4, pc_models=[]
+            )
+
+        # Different architecture → refuse.
+        class OtherArchTrainer(MermaidTrainer):
+            def _make_classifier(self, class_weight):
+                return MLPClassifier(
+                    hidden_layer_sizes=(8, 8),
+                    learning_rate_init=1e-2,
+                    class_weight=class_weight,
+                    random_state=0,
+                )
+
+        with pytest.raises(CheckpointMismatchError, match="different run"):
+            OtherArchTrainer(batch_size=64, checkpoint_dir=str(ckpt))(
+                task_labels, nbr_epochs=4, pc_models=[]
+            )
+
+        # Matching configuration still resumes fine.
+        resumed = SmallNetTrainer(batch_size=64, checkpoint_dir=str(ckpt))
+        _, _, msg = resumed(task_labels, nbr_epochs=4, pc_models=[])
+        assert len(msg.ref_accs) == 4
+
 
 class TestMeshTrainer:
     def test_mesh_trainer_matches_single_device(self, task_labels):
