@@ -122,9 +122,10 @@ class LocalFSObjectStore(ObjectStore):
 
 
 def get_default_store() -> ObjectStore:
-    """Resolve the store from settings (local-FS root). An S3-backed store
-    would be returned here when boto3 is present and the root is an s3://
-    URI — the interface is the stable part."""
+    """Resolve the store from settings: an s3:// root returns the
+    stdlib-HTTP S3 backend (endpoint/region/credentials from env — see
+    s3_store.s3_store_from_settings_and_env), anything else is a local-FS
+    root. The interface is the stable part; callers never branch."""
     from mermaid_classifier_tpu.config.settings import settings
 
     root = settings.object_store_root
@@ -134,10 +135,11 @@ def get_default_store() -> ObjectStore:
             " or inject an ObjectStore explicitly."
         )
     if root.startswith("s3://"):
-        raise ObjectStoreError(
-            "S3 object store requires boto3, which is not available in this"
-            " environment; use a local root or inject a custom ObjectStore."
+        from mermaid_classifier_tpu.data.s3_store import (
+            s3_store_from_settings_and_env,
         )
+
+        return s3_store_from_settings_and_env()
     return LocalFSObjectStore(root)
 
 

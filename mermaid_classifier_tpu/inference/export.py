@@ -86,24 +86,28 @@ def export_artifact(
     tol: float = 1e-6,
     enforce_jax_pin: bool = True,
 ) -> tuple[Path, dict[str, Any], float]:
-    """Build, serialize, parity-gate, and persist the portable artifact.
+    """Turn a fitted calibrated classifier into the on-disk serving artifact.
 
-    Returns (model_npz_path, manifest_dict, max_abs_diff). Raises ParityError
-    if the serialized head diverges from ``model.predict_proba`` beyond
-    ``tol`` on the representative feature batch. Raises JaxPinError if the
-    installed jax major.minor differs from PARITY_PROVEN_JAX and
-    enforce_jax_pin is True.
+    Writes model.npz (params archive) + model.json (manifest) under
+    ``output_dir`` and returns (model_npz_path, manifest_dict, max_abs_diff).
+    Two gates stand between a fitted model and a shipped artifact: the jax
+    version pin (JaxPinError when the installed major.minor has not been
+    parity-proven and enforce_jax_pin is True), and the numerical gate
+    (ParityError when the serialized head and ``model.predict_proba``
+    disagree by more than ``tol`` anywhere on the supplied feature batch).
 
-    Mirrors the reference export contract (reference: inference/export.py:24-94),
-    with jax replacing torch+sklearn in the provenance pin.
+    Same export contract as the reference (reference:
+    inference/export.py:24-94); the provenance pin tracks jax instead of
+    torch+sklearn because jax/XLA is what computes the shipped numbers here.
     """
     jax_mm = ".".join(jax.__version__.split(".")[:2])
     if enforce_jax_pin and jax_mm != PARITY_PROVEN_JAX:
         raise JaxPinError(
-            f"jax {jax.__version__} (major.minor {jax_mm}) != parity-proven"
-            f" {PARITY_PROVEN_JAX}. Refusing to export: a jax/XLA change can"
-            " silently alter compiled-head numerics. Re-prove parity on real"
-            " features, then update PARITY_PROVEN_JAX to bump."
+            f"installed jax is {jax.__version__} (major.minor {jax_mm});"
+            f" parity has only been proven on {PARITY_PROVEN_JAX}. A jax/XLA"
+            " upgrade can move compiled-head numerics, so exporting is"
+            " blocked until parity is re-proven on real features and"
+            " PARITY_PROVEN_JAX is bumped."
         )
 
     output_dir = Path(output_dir)
@@ -112,16 +116,18 @@ def export_artifact(
     params = _head_params_from_model(model)
     head_fn = make_head_fn(params)
 
-    # Parity gate: serialized head vs source model on the representative
-    # batch (reference: inference/export.py:59-69, tol 1e-6).
+    # Numerical gate: the artifact ships only if it reproduces the source
+    # model on the supplied batch (reference: inference/export.py:59-69,
+    # same 1e-6 tolerance).
     ref = np.asarray(reference_features, dtype=np.float32)
     expected = np.asarray(model.predict_proba(ref), dtype=np.float64)
     got = head_fn(ref)
     max_diff = float(np.max(np.abs(expected - got)))
     if max_diff > tol:
         raise ParityError(
-            f"Exported head diverges from source model: max|Δ|={max_diff:.3e}"
-            f" exceeds tol={tol:.3e}. Refusing to ship."
+            f"serialized head diverges from the source model by"
+            f" max|Δ|={max_diff:.3e} (> tol {tol:.3e}) on the reference"
+            " batch; artifact not written."
         )
 
     manifest = {

@@ -1,8 +1,12 @@
-"""load_predictor: serve-time loader for the portable artifact, with loud
-load-time validation of the params archive against its manifest.
+"""Serve-time loading of the shipped artifact.
 
-Mirrors the reference loader contract
-(reference: mermaid_classifier/pyspacer/inference/loader.py:16-75).
+``load_predictor`` reads the params archive (model.npz) and the manifest
+(model.json), cross-checks the two, and probes the assembled head before
+handing anything back. Every check that could fail at prediction time is
+forced to fail here instead — a predictor that loads is a predictor that
+answers correctly shaped queries. (Capability parity with the reference
+loader, reference: mermaid_classifier/pyspacer/inference/loader.py:16-75,
+which plays the same gates against a TorchScript graph.)
 """
 
 from __future__ import annotations
@@ -18,7 +22,8 @@ from mermaid_classifier_tpu.inference.head import HeadParams, make_head_fn
 
 
 class Predictor:
-    """A loaded classifier head: feature batch -> calibrated probabilities."""
+    """The loaded serving head: batches of feature vectors in, calibrated
+    per-class probabilities out."""
 
     def __init__(self, head_fn: Any, classes: list[str], input_dim: int) -> None:
         self._head_fn = head_fn
@@ -27,15 +32,18 @@ class Predictor:
 
     @property
     def classes_(self) -> list[str]:
-        """Alias for ``classes`` so a Predictor is a drop-in for the
-        training-side classifier in metrics code that reads ``clf.classes_``
-        (reference: inference/loader.py:24-28)."""
+        """sklearn-style spelling of ``classes``, letting evaluation code
+        that was written against a fitted classifier run unchanged against
+        the shipped artifact."""
         return self.classes
 
     def predict_proba(self, features: Any) -> np.ndarray:
         arr = np.asarray(features, dtype=np.float32)
         if arr.ndim != 2 or arr.shape[1] != self.input_dim:
-            raise ValueError(f"features must be (N, {self.input_dim}); got {arr.shape}.")
+            raise ValueError(
+                f"features must be a 2-D batch of width {self.input_dim};"
+                f" got shape {arr.shape}."
+            )
         return self._head_fn(arr)
 
 
@@ -60,13 +68,16 @@ def _load_head_params(model_npz_path: str | Path) -> HeadParams:
 def load_predictor(
     model_npz_path: str | Path, model_json_path: str | Path | None = None
 ) -> Predictor:
-    """Load model.npz + model.json, validating compatibility loudly.
+    """Assemble a Predictor from model.npz + model.json, gating hard on any
+    inconsistency between the two.
 
-    Accepts either the two file paths, or a single artifact *directory*
-    containing ``model.npz`` + ``model.json`` (the export_artifact layout).
-    Raises ManifestError on schema-version, class-count, or input_dim
-    mismatch rather than returning a silently-mispredicting predictor
-    (reference: inference/loader.py:38-75).
+    Accepts either the pair of file paths or a single artifact *directory*
+    holding both files (the layout export_artifact writes). The gates, in
+    order: manifest schema_version must equal this loader's; the archive's
+    input width must equal the manifest's ``input_dim``; a zero-batch probe
+    through the head must succeed; the probe's class count must equal the
+    manifest's. Any violation raises ManifestError before a Predictor
+    exists — a mismatched artifact never gets the chance to mispredict.
     """
     if model_json_path is None:
         artifact_dir = Path(model_npz_path)
@@ -84,8 +95,8 @@ def load_predictor(
     schema_version = manifest.get("schema_version")
     if schema_version != SCHEMA_VERSION:
         raise ManifestError(
-            f"model.json schema_version={schema_version!r} is incompatible"
-            f" with this loader (expects {SCHEMA_VERSION})."
+            f"model.json declares schema_version={schema_version!r}; this"
+            f" loader reads version {SCHEMA_VERSION} artifacts only."
         )
 
     classes = manifest["classes"]
@@ -94,9 +105,9 @@ def load_predictor(
     params = _load_head_params(model_npz_path)
     head_fn = make_head_fn(params)
 
-    # Validate the params against the manifest, then probe with a
-    # (1, input_dim) batch so a latent shape error surfaces at load time,
-    # not first prediction (reference: inference/loader.py:59-67).
+    # Cross-check archive against manifest, then push a zero batch through
+    # the head so any latent assembly error surfaces now, not at the first
+    # real prediction.
     if params.input_dim != input_dim:
         raise ManifestError(
             f"params expect input_dim={params.input_dim} but model.json"
@@ -104,15 +115,17 @@ def load_predictor(
         )
     try:
         probe = head_fn(np.zeros((1, input_dim), dtype=np.float32))
-    except Exception as exc:  # noqa: BLE001 - re-raise loudly as ManifestError
+    except Exception as exc:  # noqa: BLE001 - surface as a load-time gate
         raise ManifestError(
-            f"head rejects input_dim={input_dim} declared in model.json: {exc}"
+            f"head cannot evaluate the input_dim={input_dim} probe batch"
+            f" from model.json: {exc}"
         ) from exc
 
     if probe.shape[1] != len(classes):
         raise ManifestError(
-            f"class-count mismatch: head outputs {probe.shape[1]} classes"
-            f" but model.json declares {len(classes)}."
+            f"class-count mismatch: the head emits {probe.shape[1]}"
+            f" probabilities per row, the manifest lists {len(classes)}"
+            f" classes."
         )
 
     return Predictor(head_fn, list(classes), input_dim)

@@ -1,21 +1,21 @@
-"""Post-training evaluation metrics: a declarative registry of metric groups
+"""Post-training evaluation metrics: decorator-registered metric groups
 plus a coordinator that runs them and logs to the experiment tracker
 (reference: mermaid_classifier/pyspacer/metrics/; SURVEY.md §2.1 metric rows).
 """
 
-from mermaid_classifier_tpu.metrics._context import (  # noqa: F401
+from mermaid_classifier_tpu.metrics.context import (  # noqa: F401
     MetricsContext,
     MetricsContextError,
 )
-from mermaid_classifier_tpu.metrics._results import (  # noqa: F401
-    DataFrameResult,
-    DictResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
 from mermaid_classifier_tpu.metrics.coordinator import MetricsCoordinator  # noqa: F401
-from mermaid_classifier_tpu.metrics.registry import (  # noqa: F401
-    METRIC_GROUPS,
-    applicable_metric_groups,
+from mermaid_classifier_tpu.metrics.groups import (  # noqa: F401
+    REPORT_ORDER,
+    MetricGroup,
+    all_groups,
+    metric_group,
+    runnable_groups,
+)
+from mermaid_classifier_tpu.metrics.outputs import (  # noqa: F401
+    Artifact,
+    GroupOutput,
 )

@@ -10,13 +10,9 @@ import matplotlib.pyplot as plt
 import numpy as np
 import pandas as pd
 
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
     build_ba_to_top,
     group_by_top_level,
@@ -79,14 +75,15 @@ def _reliability_figure(ece: float, bins: list[dict]):
     return fig
 
 
-def compute_calibration(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("calibration")
+def compute_calibration(ctx: MetricsContext) -> GroupOutput:
     val_results = ctx.val_results
-    result = MetricGroupResult()
+    out = GroupOutput()
 
     ece, bins = adaptive_ece(
         val_results.scores, val_results.gt, val_results.est, n_bins=20
     )
-    result.scalars.append(ScalarMetric(name="ece", value=ece))
+    out.scalar("ece", ece)
 
     rows = [
         {
@@ -100,16 +97,9 @@ def compute_calibration(ctx: MetricsContext) -> MetricGroupResult:
         }
         for i, b in enumerate(bins)
     ]
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(rows), artifact_path="calibration/per_bin_details"
-        )
-    )
-    result.figures.append(
-        FigureResult(
-            fig=_reliability_figure(ece, bins),
-            artifact_path="calibration/reliability_diagram.png",
-        )
+    out.table(pd.DataFrame(rows), "calibration/per_bin_details")
+    out.figure(
+        _reliability_figure(ece, bins), "calibration/reliability_diagram.png"
     )
 
     # Per-category (top-level BA) ECE with fewer bins per category.
@@ -138,12 +128,10 @@ def compute_calibration(ctx: MetricsContext) -> MetricGroupResult:
             }
         )
     cat_rows.sort(key=lambda r: r["ece"], reverse=True)
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(cat_rows)
-            if cat_rows
-            else pd.DataFrame(columns=["category", "ece", "n_samples"]),
-            artifact_path="calibration/per_category_ece",
-        )
+    out.table(
+        pd.DataFrame(cat_rows)
+        if cat_rows
+        else pd.DataFrame(columns=["category", "ece", "n_samples"]),
+        "calibration/per_category_ece",
     )
-    return result
+    return out

@@ -17,14 +17,9 @@ from scipy.cluster.hierarchy import leaves_list, linkage
 from scipy.spatial.distance import squareform
 from sklearn.metrics.pairwise import cosine_distances
 
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    DictResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 
 
 def _hierarchical_class_order(val_results) -> list[int]:
@@ -74,10 +69,11 @@ def _confusion_figure(matrix: np.ndarray, names: list[str]):
     return fig
 
 
-def compute_confusion_matrices(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("confusion_matrices")
+def compute_confusion_matrices(ctx: MetricsContext) -> GroupOutput:
     """Frequency and percent-normalized confusion matrices, rows/cols
     reordered by the clustering order, as CSV + figure artifacts."""
-    result = MetricGroupResult()
+    out = GroupOutput()
     val_results = ctx.val_results
     order = _hierarchical_class_order(val_results)
     names = [
@@ -100,14 +96,13 @@ def compute_confusion_matrices(ctx: MetricsContext) -> MetricGroupResult:
         matrix = matrix[np.ix_(order, order)]
         df = pd.DataFrame(matrix, columns=names)
         df.insert(0, "-", names)
-        result.dataframes.append(DataFrameResult(df=df, artifact_path=filestem))
-        result.figures.append(
-            FigureResult(fig=_confusion_figure(matrix, names), artifact_path=filestem + ".png")
-        )
-    return result
+        out.table(df, filestem)
+        out.figure(_confusion_figure(matrix, names), filestem + ".png")
+    return out
 
 
-def compute_precision_recall_f1(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("precision_recall_f1")
+def compute_precision_recall_f1(ctx: MetricsContext) -> GroupOutput:
     """Per-label P/R/F1 (CSV) + macro P/R/F1 (scalars and YAML)."""
     val_results = ctx.val_results
     classes = list(val_results.classes)
@@ -159,33 +154,32 @@ def compute_precision_recall_f1(ctx: MetricsContext) -> MetricGroupResult:
         "f1_macro": ctx.format_func(f1_macro),
     }
 
-    result = MetricGroupResult()
-    result.scalars.extend(ScalarMetric(name=k, value=v) for k, v in overall.items())
-    result.dataframes.append(
-        DataFrameResult(df=pd.DataFrame(per_label), artifact_path="metrics_per_label")
-    )
-    result.dicts.append(DictResult(data=overall, artifact_path="metrics_overall.yaml"))
-    return result
+    out = GroupOutput()
+    for k, v in overall.items():
+        out.scalar(k, v)
+    out.table(pd.DataFrame(per_label), "metrics_per_label")
+    out.mapping(overall, "metrics_overall.yaml")
+    return out
 
 
-def compute_balanced_accuracy_mcc(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("balanced_accuracy_mcc")
+def compute_balanced_accuracy_mcc(ctx: MetricsContext) -> GroupOutput:
     """Balanced accuracy (macro recall) + Matthews correlation coefficient."""
     classes = list(ctx.val_results.classes)
     gt_labels = [classes[i] for i in ctx.val_results.gt]
     est_labels = [classes[i] for i in ctx.val_results.est]
-    return MetricGroupResult(
-        scalars=[
-            ScalarMetric(
-                name="balanced_accuracy",
-                value=ctx.format_func(
-                    sklearn.metrics.balanced_accuracy_score(gt_labels, est_labels)
-                ),
+    return (
+        GroupOutput()
+        .scalar(
+            "balanced_accuracy",
+            ctx.format_func(
+                sklearn.metrics.balanced_accuracy_score(gt_labels, est_labels)
             ),
-            ScalarMetric(
-                name="mcc",
-                value=ctx.format_func(
-                    sklearn.metrics.matthews_corrcoef(gt_labels, est_labels)
-                ),
+        )
+        .scalar(
+            "mcc",
+            ctx.format_func(
+                sklearn.metrics.matthews_corrcoef(gt_labels, est_labels)
             ),
-        ]
+        )
     )

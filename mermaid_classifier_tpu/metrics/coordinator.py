@@ -1,6 +1,7 @@
-"""MetricsCoordinator: run all applicable metric groups and log to the
-experiment tracker (reference: metrics/coordinator.py:26-108, with the local
-tracker replacing MLflow)."""
+"""MetricsCoordinator: run every runnable metric group and persist its
+output through the experiment tracker (capability parity with the
+reference coordinator, reference: mermaid_classifier/pyspacer/metrics/
+coordinator.py:26-108, with the local tracker in place of MLflow)."""
 
 from __future__ import annotations
 
@@ -8,16 +9,21 @@ import logging
 
 import numpy as np
 
-from mermaid_classifier_tpu.metrics._context import (
+from mermaid_classifier_tpu.metrics.context import (
     MetricsContext,
     MetricsContextError,
 )
-from mermaid_classifier_tpu.metrics._results import MetricGroupResult
+from mermaid_classifier_tpu.metrics.groups import runnable_groups
+from mermaid_classifier_tpu.metrics.outputs import (
+    FIGURE,
+    MAPPING,
+    TABLE,
+    GroupOutput,
+)
 from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
     build_ba_paths,
     build_ba_to_top,
 )
-from mermaid_classifier_tpu.metrics.registry import applicable_metric_groups
 from mermaid_classifier_tpu.tracking.local_tracker import Run
 
 logger = logging.getLogger(__name__)
@@ -25,7 +31,7 @@ logger = logging.getLogger(__name__)
 
 class MetricsCoordinator:
     """Validates the context, pre-computes shared inputs, runs every
-    applicable group with per-group exception isolation, and logs results."""
+    runnable group with per-group exception isolation, and logs outputs."""
 
     def __init__(self, ctx: MetricsContext, run: Run):
         self.ctx = ctx
@@ -47,11 +53,11 @@ class MetricsCoordinator:
         if self.ctx.clf is not None and self.ctx.dataset is not None:
             self._precompute_probabilities()
 
-        for name, func in applicable_metric_groups(self.ctx):
+        for group in runnable_groups(self.ctx):
             try:
-                self._log_result(func(self.ctx))
+                self._log_output(group.compute(self.ctx))
             except Exception:
-                logger.warning("Metric group %r failed", name, exc_info=True)
+                logger.warning("Metric group %r failed", group.name, exc_info=True)
 
     def _precompute_probabilities(self) -> None:
         """Stream the val set through the classifier ONCE and share the
@@ -75,18 +81,23 @@ class MetricsCoordinator:
                 exc_info=True,
             )
 
-    def _log_result(self, result: MetricGroupResult) -> None:
-        for scalar in result.scalars:
+    def _log_output(self, out: GroupOutput) -> None:
+        for name, value in out.scalars.items():
             # Run.log_metric skips NaN/Inf with a warning.
-            self.run.log_metric(scalar.name, scalar.value)
-        for df_result in result.dataframes:
-            self.run.log_dataframe(
-                df_result.df,
-                df_result.artifact_path
-                if df_result.artifact_path.endswith(".csv")
-                else df_result.artifact_path + ".csv",
-            )
-        for dict_result in result.dicts:
-            self.run.log_dict(dict_result.data, dict_result.artifact_path)
-        for fig_result in result.figures:
-            self.run.log_figure(fig_result.fig, fig_result.artifact_path)
+            self.run.log_metric(name, value)
+        for artifact in out.artifacts:
+            if artifact.kind == TABLE:
+                path = artifact.path
+                if not path.endswith(".csv"):
+                    path += ".csv"
+                self.run.log_dataframe(artifact.payload, path)
+            elif artifact.kind == MAPPING:
+                self.run.log_dict(artifact.payload, artifact.path)
+            elif artifact.kind == FIGURE:
+                self.run.log_figure(artifact.payload, artifact.path)
+            else:
+                logger.warning(
+                    "Unknown artifact kind %r at %r; skipped",
+                    artifact.kind,
+                    artifact.path,
+                )

@@ -17,16 +17,13 @@ import numpy as np
 import pandas as pd
 from sklearn.metrics import r2_score
 
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 
 
-def compute_cover(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("cover", needs=("dataset",))
+def compute_cover(ctx: MetricsContext) -> GroupOutput:
     val_results = ctx.val_results
     dataset = ctx.dataset
     assert dataset is not None
@@ -77,39 +74,26 @@ def compute_cover(ctx: MetricsContext) -> MetricGroupResult:
     ).sort_values("mean_true_cover_pct", ascending=False)
 
     significant = cover_df[cover_df["mean_true_cover_pct"] > 0.5]
-    result = MetricGroupResult()
+    out = GroupOutput()
     if len(significant) > 0:
         r2_values = significant["r_squared"].dropna()
         median_r2 = float(r2_values.median()) if len(r2_values) else float("nan")
-        result.scalars.extend(
-            [
-                ScalarMetric(
-                    "cover_mean_abs_bias_pct",
-                    float(significant["bias_pct"].abs().mean()),
-                ),
-                ScalarMetric(
-                    "cover_mean_rmse_pct", float(significant["rmse_pct"].mean())
-                ),
-                ScalarMetric(
-                    "cover_mean_mae_pct", float(significant["mae_pct"].mean())
-                ),
-                ScalarMetric("cover_median_r_squared", median_r2),
-            ]
+        out.scalar(
+            "cover_mean_abs_bias_pct", float(significant["bias_pct"].abs().mean())
         )
+        out.scalar("cover_mean_rmse_pct", float(significant["rmse_pct"].mean()))
+        out.scalar("cover_mean_mae_pct", float(significant["mae_pct"].mean()))
+        out.scalar("cover_median_r_squared", median_r2)
     else:
-        result.scalars.extend(
-            ScalarMetric(name, 0.0)
-            for name in (
-                "cover_mean_abs_bias_pct",
-                "cover_mean_rmse_pct",
-                "cover_mean_mae_pct",
-                "cover_median_r_squared",
-            )
-        )
+        for name in (
+            "cover_mean_abs_bias_pct",
+            "cover_mean_rmse_pct",
+            "cover_mean_mae_pct",
+            "cover_median_r_squared",
+        ):
+            out.scalar(name, 0.0)
 
-    result.dataframes.append(
-        DataFrameResult(df=cover_df, artifact_path="cover/per_class_cover_metrics")
-    )
+    out.table(cover_df, "cover/per_class_cover_metrics")
 
     top_n = min(20, len(significant))
     if top_n > 0:
@@ -128,7 +112,5 @@ def compute_cover(ctx: MetricsContext) -> MetricGroupResult:
         except Exception:
             plt.close(fig)
             raise
-        result.figures.append(
-            FigureResult(fig=fig, artifact_path="cover/per_class_bias.png")
-        )
-    return result
+        out.figure(fig, "cover/per_class_bias.png")
+    return out

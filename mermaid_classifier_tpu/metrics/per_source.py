@@ -19,27 +19,24 @@ from sklearn.metrics import (
 )
 
 from mermaid_classifier_tpu.common.taxonomy import split_ba_gf
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 from mermaid_classifier_tpu.metrics._taxonomy_helpers import build_ba_paths, find_lca
 
 
-def compute_per_source(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("per_source", needs=("dataset",))
+def compute_per_source(ctx: MetricsContext) -> GroupOutput:
     val_results = ctx.val_results
     dataset = ctx.dataset
     assert dataset is not None
     classes = list(val_results.classes)
-    result = MetricGroupResult()
+    out = GroupOutput()
 
     feature_path_to_source = getattr(dataset, "feature_path_to_source", None)
     if not feature_path_to_source:
         # Re-evaluation paths may lack the per-image source map; skip.
-        return result
+        return out
 
     # Per-val-index source keys: evaluate_classifier streams images in
     # sorted key order, each image's points contiguous.
@@ -122,21 +119,17 @@ def compute_per_source(ctx: MetricsContext) -> MetricGroupResult:
         )
 
     if not rows:
-        return result
+        return out
 
     df = (
         pd.DataFrame(rows)
         .sort_values("num_val_annotations", ascending=False)
         .reset_index(drop=True)
     )
-    result.dataframes.append(DataFrameResult(df=df, artifact_path="per_source/metrics"))
-    result.scalars.extend(
-        [
-            ScalarMetric("per_source/n_sources", float(len(rows))),
-            ScalarMetric("per_source/min_accuracy", float(min(accuracies))),
-            ScalarMetric("per_source/max_accuracy", float(max(accuracies))),
-        ]
-    )
+    out.table(df, "per_source/metrics")
+    out.scalar("per_source/n_sources", float(len(rows)))
+    out.scalar("per_source/min_accuracy", float(min(accuracies)))
+    out.scalar("per_source/max_accuracy", float(max(accuracies)))
 
     if len(df) > 1:
         fig, ax = plt.subplots(figsize=(10, max(4, len(df) * 0.4)))
@@ -152,7 +145,5 @@ def compute_per_source(ctx: MetricsContext) -> MetricGroupResult:
         except Exception:
             plt.close(fig)
             raise
-        result.figures.append(
-            FigureResult(fig=fig, artifact_path="per_source/accuracy_by_source.png")
-        )
-    return result
+        out.figure(fig, "per_source/accuracy_by_source.png")
+    return out

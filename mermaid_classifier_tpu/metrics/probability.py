@@ -11,28 +11,25 @@ import numpy as np
 import pandas as pd
 from sklearn.metrics import log_loss as sklearn_log_loss
 
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
     build_ba_to_top,
     group_by_top_level,
 )
 
 
-def compute_probability(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("probability", needs=("val_proba",))
+def compute_probability(ctx: MetricsContext) -> GroupOutput:
     assert ctx.val_proba is not None and ctx.val_gt_labels is not None
     val_proba = ctx.val_proba
     val_gt_labels = ctx.val_gt_labels
     classes = list(ctx.clf.classes_)
 
-    result = MetricGroupResult()
+    out = GroupOutput()
     overall_ll = float(sklearn_log_loss(val_gt_labels, val_proba, labels=classes))
-    result.scalars.append(ScalarMetric(name="log_loss", value=overall_ll))
+    out.scalar("log_loss", overall_ll)
 
     class_to_idx = {c: i for i, c in enumerate(classes)}
     gt_cols = np.asarray([class_to_idx[g] for g in val_gt_labels])
@@ -57,13 +54,11 @@ def compute_probability(ctx: MetricsContext) -> MetricGroupResult:
         for group in groups
     ]
     cat_rows.sort(key=lambda r: r["log_loss"], reverse=True)
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(cat_rows)
-            if cat_rows
-            else pd.DataFrame(columns=["category", "log_loss", "n_samples"]),
-            artifact_path="probability/per_category_log_loss",
-        )
+    out.table(
+        pd.DataFrame(cat_rows)
+        if cat_rows
+        else pd.DataFrame(columns=["category", "log_loss", "n_samples"]),
+        "probability/per_category_log_loss",
     )
 
     if cat_rows:
@@ -88,7 +83,5 @@ def compute_probability(ctx: MetricsContext) -> MetricGroupResult:
         except Exception:
             plt.close(fig)
             raise
-        result.figures.append(
-            FigureResult(fig=fig, artifact_path="probability/per_category_log_loss.png")
-        )
-    return result
+        out.figure(fig, "probability/per_category_log_loss.png")
+    return out

@@ -12,13 +12,9 @@ import numpy as np
 import pandas as pd
 
 from mermaid_classifier_tpu.common.taxonomy import split_ba_gf
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
     build_ba_paths,
     build_ba_to_top,
@@ -46,20 +42,19 @@ def topk_and_mrr(proba: np.ndarray, gt_labels: list, classes: list) -> dict:
     }
 
 
-def compute_ranking(ctx: MetricsContext) -> MetricGroupResult:
+@metric_group("ranking", needs=("val_proba",))
+def compute_ranking(ctx: MetricsContext) -> GroupOutput:
     assert ctx.val_proba is not None and ctx.val_gt_labels is not None
     val_proba = ctx.val_proba
     val_gt_labels = list(ctx.val_gt_labels)
     classes = list(ctx.clf.classes_)
     ba_library = ctx.ba_library
 
-    result = MetricGroupResult()
+    out = GroupOutput()
     ranking = topk_and_mrr(val_proba, val_gt_labels, classes)
     for k in KS:
-        result.scalars.append(
-            ScalarMetric(name=f"top_{k}_accuracy", value=ranking["topk"][k])
-        )
-    result.scalars.append(ScalarMetric(name="mrr", value=ranking["mrr"]))
+        out.scalar(f"top_{k}_accuracy", ranking["topk"][k])
+    out.scalar("mrr", ranking["mrr"])
 
     # Per-category top-K.
     ba_to_top = ctx.ba_to_top or build_ba_to_top(classes, ba_library)
@@ -86,15 +81,13 @@ def compute_ranking(ctx: MetricsContext) -> MetricGroupResult:
             row[f"top_{k}"] = float(np.mean(group_ranks <= k))
         cat_rows.append(row)
     cat_rows.sort(key=lambda r: r["top_1"], reverse=True)
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(cat_rows)
-            if cat_rows
-            else pd.DataFrame(
-                columns=["category", "top_1", "top_3", "top_5", "top_10", "mrr", "n_samples"]
-            ),
-            artifact_path="ranking/per_category_topk",
-        )
+    out.table(
+        pd.DataFrame(cat_rows)
+        if cat_rows
+        else pd.DataFrame(
+            columns=["category", "top_1", "top_3", "top_5", "top_10", "mrr", "n_samples"]
+        ),
+        "ranking/per_category_topk",
     )
     if cat_rows:
         fig, ax = plt.subplots(figsize=(12, max(4, len(cat_rows) * 0.5)))
@@ -120,9 +113,7 @@ def compute_ranking(ctx: MetricsContext) -> MetricGroupResult:
         except Exception:
             plt.close(fig)
             raise
-        result.figures.append(
-            FigureResult(fig=fig, artifact_path="ranking/per_category_topk.png")
-        )
+        out.figure(fig, "ranking/per_category_topk.png")
 
     # Hierarchical top-K: best taxonomic similarity within the top-k
     # predictions per sample.
@@ -143,11 +134,8 @@ def compute_ranking(ctx: MetricsContext) -> MetricGroupResult:
         for k in KS:
             max_sim_at_k[k][i] = max(sims[:k])
 
-    result.scalars.append(
-        ScalarMetric(
-            name="hierarchical_top_5_mean_similarity",
-            value=float(np.mean(max_sim_at_k[5])),
-        )
+    out.scalar(
+        "hierarchical_top_5_mean_similarity", float(np.mean(max_sim_at_k[5]))
     )
     hier_rows = []
     threshold_labels = {1.0: "hit_exact", 0.75: "hit_sibling_0.75", 0.5: "hit_family_0.5"}
@@ -156,9 +144,5 @@ def compute_ranking(ctx: MetricsContext) -> MetricGroupResult:
         for threshold, label in threshold_labels.items():
             row[label] = float(np.mean(max_sim_at_k[k] >= threshold))
         hier_rows.append(row)
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(hier_rows), artifact_path="ranking/hierarchical_topk"
-        )
-    )
-    return result
+    out.table(pd.DataFrame(hier_rows), "ranking/hierarchical_topk")
+    return out

@@ -14,13 +14,9 @@ import pandas as pd
 import sklearn.metrics
 
 from mermaid_classifier_tpu.common.taxonomy import split_ba_gf
-from mermaid_classifier_tpu.metrics._context import MetricsContext
-from mermaid_classifier_tpu.metrics._results import (
-    DataFrameResult,
-    FigureResult,
-    MetricGroupResult,
-    ScalarMetric,
-)
+from mermaid_classifier_tpu.metrics.context import MetricsContext
+from mermaid_classifier_tpu.metrics.groups import metric_group
+from mermaid_classifier_tpu.metrics.outputs import GroupOutput
 from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
     build_ba_paths,
     build_ba_to_top,
@@ -28,15 +24,17 @@ from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
 )
 
 
-def compute_taxonomic(ctx: MetricsContext) -> MetricGroupResult:
-    result = MetricGroupResult()
-    result.extend(_error_attribution(ctx))
-    result.extend(_top_level_confusion(ctx))
-    result.extend(_gf_differentiation(ctx))
-    return result
+@metric_group("taxonomic")
+def compute_taxonomic(ctx: MetricsContext) -> GroupOutput:
+    return (
+        GroupOutput()
+        .merge(_error_attribution(ctx))
+        .merge(_top_level_confusion(ctx))
+        .merge(_gf_differentiation(ctx))
+    )
 
 
-def _error_attribution(ctx: MetricsContext) -> MetricGroupResult:
+def _error_attribution(ctx: MetricsContext) -> GroupOutput:
     """Attribute each misclassification to the LCA of its true/predicted BA;
     LCA None = cross-branch (different top level)."""
     val_results = ctx.val_results
@@ -59,7 +57,7 @@ def _error_attribution(ctx: MetricsContext) -> MetricGroupResult:
         ba_est, _ = split_ba_gf(classes[est_idx])
         lca_counts[find_lca(ba_gt, ba_est, ba_paths)] += 1
 
-    result = MetricGroupResult()
+    out = GroupOutput()
     columns = [
         "lca_node",
         "lca_name",
@@ -69,28 +67,15 @@ def _error_attribution(ctx: MetricsContext) -> MetricGroupResult:
         "classes_in_subtree",
     ]
     if total_errors == 0:
-        result.scalars.extend(
-            [
-                ScalarMetric("cross_branch_error_rate", 0.0),
-                ScalarMetric("within_branch_error_rate", 0.0),
-            ]
-        )
-        result.dataframes.append(
-            DataFrameResult(
-                df=pd.DataFrame(columns=columns),
-                artifact_path="taxonomic/error_attribution",
-            )
-        )
-        return result
+        out.scalar("cross_branch_error_rate", 0.0)
+        out.scalar("within_branch_error_rate", 0.0)
+        out.table(pd.DataFrame(columns=columns), "taxonomic/error_attribution")
+        return out
 
     cross = lca_counts.get(None, 0)
-    result.scalars.extend(
-        [
-            ScalarMetric("cross_branch_error_rate", cross / total_errors),
-            ScalarMetric(
-                "within_branch_error_rate", (total_errors - cross) / total_errors
-            ),
-        ]
+    out.scalar("cross_branch_error_rate", cross / total_errors)
+    out.scalar(
+        "within_branch_error_rate", (total_errors - cross) / total_errors
     )
 
     # Model classes under each LCA node, for the artifact's context column.
@@ -120,11 +105,7 @@ def _error_attribution(ctx: MetricsContext) -> MetricGroupResult:
                     "classes_in_subtree": len(subtree_ids & model_ba_ids),
                 }
             )
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(rows), artifact_path="taxonomic/error_attribution"
-        )
-    )
+    out.table(pd.DataFrame(rows), "taxonomic/error_attribution")
 
     # Figure: errors per LCA node, colored cross vs within branch.
     top = lca_counts.most_common(20)
@@ -146,13 +127,11 @@ def _error_attribution(ctx: MetricsContext) -> MetricGroupResult:
     except Exception:
         plt.close(fig)
         raise
-    result.figures.append(
-        FigureResult(fig=fig, artifact_path="taxonomic/error_attribution.png")
-    )
-    return result
+    out.figure(fig, "taxonomic/error_attribution.png")
+    return out
 
 
-def _top_level_confusion(ctx: MetricsContext) -> MetricGroupResult:
+def _top_level_confusion(ctx: MetricsContext) -> GroupOutput:
     """Row-normalized confusion matrix at the top-level BA granularity."""
     val_results = ctx.val_results
     classes = list(val_results.classes)
@@ -178,7 +157,7 @@ def _top_level_confusion(ctx: MetricsContext) -> MetricGroupResult:
     row_sums[row_sums == 0] = 1
     cm_pct = np.floor(cm / row_sums * 100).astype(np.int64)
 
-    result = MetricGroupResult()
+    out = GroupOutput()
     fig, ax = plt.subplots(figsize=(max(8, n * 0.7), max(8, n * 0.7)))
     try:
         disp = sklearn.metrics.ConfusionMatrixDisplay(
@@ -193,9 +172,7 @@ def _top_level_confusion(ctx: MetricsContext) -> MetricGroupResult:
     except Exception:
         plt.close(fig)
         raise
-    result.figures.append(
-        FigureResult(fig=fig, artifact_path="taxonomic/top_level_confusion.png")
-    )
+    out.figure(fig, "taxonomic/top_level_confusion.png")
 
     confusions = [
         {
@@ -209,20 +186,18 @@ def _top_level_confusion(ctx: MetricsContext) -> MetricGroupResult:
         if i != j and cm[i, j] > 0
     ]
     confusions.sort(key=lambda r: r["row_normalized_pct"], reverse=True)
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(confusions)
-            if confusions
-            else pd.DataFrame(
-                columns=["true", "predicted", "row_normalized_pct", "sample_count"]
-            ),
-            artifact_path="taxonomic/top_level_confusions",
-        )
+    out.table(
+        pd.DataFrame(confusions)
+        if confusions
+        else pd.DataFrame(
+            columns=["true", "predicted", "row_normalized_pct", "sample_count"]
+        ),
+        "taxonomic/top_level_confusions",
     )
-    return result
+    return out
 
 
-def _gf_differentiation(ctx: MetricsContext) -> MetricGroupResult:
+def _gf_differentiation(ctx: MetricsContext) -> GroupOutput:
     """Growth-form prediction quality: accuracy among GF-relevant samples,
     GF accuracy when the BA was right, per-GF P/R/F1, GF confusion figure."""
     val_results = ctx.val_results
@@ -243,22 +218,15 @@ def _gf_differentiation(ctx: MetricsContext) -> MetricGroupResult:
     has_gf = true_gf_arr != "(no GF)"
     n_relevant = int(has_gf.sum())
 
-    result = MetricGroupResult()
+    out = GroupOutput()
     prf_columns = ["growth_form", "precision", "recall", "f1", "support"]
     if n_relevant == 0:
-        result.scalars.extend(
-            [
-                ScalarMetric("gf_accuracy_gf_relevant", 0.0),
-                ScalarMetric("within_ba_gf_accuracy", 0.0),
-            ]
+        out.scalar("gf_accuracy_gf_relevant", 0.0)
+        out.scalar("within_ba_gf_accuracy", 0.0)
+        out.table(
+            pd.DataFrame(columns=prf_columns), "taxonomic/gf_precision_recall_f1"
         )
-        result.dataframes.append(
-            DataFrameResult(
-                df=pd.DataFrame(columns=prf_columns),
-                artifact_path="taxonomic/gf_precision_recall_f1",
-            )
-        )
-        return result
+        return out
 
     gf_acc = float((true_gf_arr[has_gf] == pred_gf_arr[has_gf]).mean())
     within_mask = has_gf & ba_match_arr
@@ -267,12 +235,8 @@ def _gf_differentiation(ctx: MetricsContext) -> MetricGroupResult:
         if within_mask.any()
         else float("nan")
     )
-    result.scalars.extend(
-        [
-            ScalarMetric("gf_accuracy_gf_relevant", gf_acc),
-            ScalarMetric("within_ba_gf_accuracy", within_acc),
-        ]
-    )
+    out.scalar("gf_accuracy_gf_relevant", gf_acc)
+    out.scalar("within_ba_gf_accuracy", within_acc)
 
     gf_order = [name for name, _ in Counter(true_gf_arr[has_gf]).most_common()]
     prf_rows = []
@@ -292,11 +256,7 @@ def _gf_differentiation(ctx: MetricsContext) -> MetricGroupResult:
                 "support": int(np.sum(true_gf_arr == gf)),
             }
         )
-    result.dataframes.append(
-        DataFrameResult(
-            df=pd.DataFrame(prf_rows), artifact_path="taxonomic/gf_precision_recall_f1"
-        )
-    )
+    out.table(pd.DataFrame(prf_rows), "taxonomic/gf_precision_recall_f1")
 
     # GF confusion figure over GF-relevant samples.
     all_gfs = gf_order + sorted(set(pred_gf_arr[has_gf]) - set(gf_order))
@@ -316,7 +276,5 @@ def _gf_differentiation(ctx: MetricsContext) -> MetricGroupResult:
     except Exception:
         plt.close(fig)
         raise
-    result.figures.append(
-        FigureResult(fig=fig, artifact_path="taxonomic/gf_confusion.png")
-    )
-    return result
+    out.figure(fig, "taxonomic/gf_confusion.png")
+    return out

@@ -61,6 +61,15 @@ def _stage(name: str):
     return _Marker()
 
 
+def _resolve_runner_factory():
+    """Import hook for the runner class; tests patch this to drive the
+    entrypoint without pulling the full training stack (the reference
+    launcher tests use the same seam, sagemaker_train_entrypoint.py:103-111)."""
+    from mermaid_classifier_tpu.train.runner import TrackingTrainingRunner
+
+    return TrackingTrainingRunner
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-dir", required=True)
@@ -95,9 +104,8 @@ def main(argv: list[str] | None = None) -> int:
                 config.build_options()
             )
         with _stage("runner_run"):
-            from mermaid_classifier_tpu.train.runner import TrackingTrainingRunner
-
-            runner = TrackingTrainingRunner(
+            runner_factory = _resolve_runner_factory()
+            runner = runner_factory(
                 dataset_options=dataset_options,
                 training_options=training_options,
                 tracking_options=tracking_options,

@@ -84,7 +84,7 @@ class TestExportLoadRoundTrip:
         import mermaid_classifier_tpu.inference.export as export_mod
 
         monkeypatch.setattr(export_mod, "PARITY_PROVEN_JAX", "0.0")
-        with pytest.raises(JaxPinError, match="parity-proven"):
+        with pytest.raises(JaxPinError, match="parity has only been proven"):
             export_artifact(model, tmp_path, X[:8])
         # Escape hatch mirrors the reference's enforce flag.
         export_artifact(model, tmp_path, X[:8], enforce_jax_pin=False)

@@ -7,11 +7,12 @@ import pytest
 
 from mermaid_classifier_tpu.data.results import ValResults
 from mermaid_classifier_tpu.metrics import (
-    METRIC_GROUPS,
+    REPORT_ORDER,
     MetricsContext,
     MetricsContextError,
     MetricsCoordinator,
-    applicable_metric_groups,
+    all_groups,
+    runnable_groups,
 )
 from mermaid_classifier_tpu.metrics.calibration import adaptive_ece, compute_calibration
 from mermaid_classifier_tpu.metrics.classification import (
@@ -59,20 +60,18 @@ def ctx():
     )
 
 
-def scalar_names(result):
-    return {s.name for s in result.scalars}
+def scalar_names(out):
+    return set(out.scalars)
 
 
-def artifact_paths(result):
-    return {d.artifact_path for d in result.dataframes} | {
-        f.artifact_path for f in result.figures
-    } | {d.artifact_path for d in result.dicts}
+def artifact_paths(out):
+    return {a.path for a in out.artifacts}
 
 
 class TestContextValidation:
     def test_empty_predictions(self, ctx):
         ctx.val_results = ValResults(scores=[], gt=[], est=[], classes=CLASSES)
-        with pytest.raises(MetricsContextError, match="no predictions"):
+        with pytest.raises(MetricsContextError, match="no ground truth"):
             ctx.validate()
 
     def test_unresolvable_class(self):
@@ -90,15 +89,28 @@ class TestContextValidation:
 
 class TestRegistry:
     def test_gating(self, ctx):
-        names = [n for n, _ in applicable_metric_groups(ctx)]
+        names = [g.name for g in runnable_groups(ctx)]
         assert "cover" not in names and "probability" not in names
         ctx.dataset = object()
         ctx.val_proba = np.ones((4, 4))
-        names = [n for n, _ in applicable_metric_groups(ctx)]
-        assert names == [spec.name for spec in METRIC_GROUPS]
+        names = [g.name for g in runnable_groups(ctx)]
+        assert names == list(REPORT_ORDER)
 
     def test_nine_groups(self):
-        assert len(METRIC_GROUPS) == 9
+        assert len(all_groups()) == 9
+        assert [g.name for g in all_groups()] == list(REPORT_ORDER)
+
+    def test_double_registration_rejected(self):
+        from mermaid_classifier_tpu.metrics import metric_group
+
+        with pytest.raises(ValueError, match="registered twice"):
+            metric_group("calibration")(lambda ctx: None)
+
+    def test_unknown_needs_rejected(self):
+        from mermaid_classifier_tpu.metrics import metric_group
+
+        with pytest.raises(ValueError, match="unknown context fields"):
+            metric_group("brand-new", needs=("not_a_field",))(lambda ctx: None)
 
 
 class TestClassificationGroups:
@@ -110,14 +122,14 @@ class TestClassificationGroups:
             "confusion_matrix/percents",
             "confusion_matrix/percents.png",
         }
-        freq_df = result.dataframes[0].df
+        freq_df = result.tables()[0].payload
         # Total count preserved under reordering.
         assert freq_df.iloc[:, 1:].to_numpy().sum() == len(ctx.val_results.gt)
 
     def test_precision_recall_f1(self, ctx):
         result = compute_precision_recall_f1(ctx)
         assert scalar_names(result) == {"precision_macro", "recall_macro", "f1_macro"}
-        per_label = result.dataframes[0].df
+        per_label = result.tables()[0].payload
         assert len(per_label) == len(CLASSES)
         assert set(per_label["bagf_id"]) == set(CLASSES)
         # Perfect predictions -> all ones.
@@ -128,11 +140,11 @@ class TestClassificationGroups:
             gf_library=make_gf_library(),
         )
         res2 = compute_precision_recall_f1(perfect_ctx)
-        assert {s.value for s in res2.scalars} == {1.0}
+        assert set(res2.scalars.values()) == {1.0}
 
     def test_balanced_accuracy_mcc(self, ctx):
         result = compute_balanced_accuracy_mcc(ctx)
-        values = {s.name: s.value for s in result.scalars}
+        values = result.scalars
         assert 0.5 < values["balanced_accuracy"] <= 1.0
         assert 0.3 < values["mcc"] <= 1.0
 
@@ -191,7 +203,7 @@ class TestTaxonomicGroup:
             "gf_accuracy_gf_relevant",
             "within_ba_gf_accuracy",
         } <= names
-        values = {s.name: s.value for s in result.scalars}
+        values = result.scalars
         assert values["cross_branch_error_rate"] + values[
             "within_branch_error_rate"
         ] == pytest.approx(1.0)
@@ -211,7 +223,7 @@ class TestTaxonomicGroup:
             gf_library=make_gf_library(),
         )
         result = compute_taxonomic(perfect_ctx)
-        values = {s.name: s.value for s in result.scalars}
+        values = result.scalars
         assert values["cross_branch_error_rate"] == 0.0
 
 
@@ -246,7 +258,7 @@ class TestRanking:
         assert {"top_1_accuracy", "top_3_accuracy", "mrr",
                 "hierarchical_top_5_mean_similarity"} <= names
         # top-k accuracy at k = n_classes is always 1
-        values = {s.name: s.value for s in result.scalars}
+        values = result.scalars
         assert values["top_10_accuracy"] == 1.0
 
 
