@@ -43,6 +43,17 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
+    # Honor JAX_PLATFORMS even under plugins that ignore the env var (the
+    # axon TPU plugin does) — pin via config before any device use.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backends already initialized; leave as-is
     # Console INFO above; a fresh DEBUG trace file per run alongside it
     # (reference: utils.py:11-46).
     from mermaid_classifier_tpu.utils.logging_config import (

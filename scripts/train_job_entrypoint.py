@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(message)s",
     )
+    # Honor JAX_PLATFORMS even under plugins that ignore the env var (the
+    # axon TPU plugin does) — pin via config before any device use.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass
 
     config_dir = Path(args.config_dir)
     _debug_dump(config_dir)
