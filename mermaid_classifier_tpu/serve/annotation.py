@@ -7,9 +7,11 @@ extract features for the image's annotated points through the cached
 backbone, classify all points in ONE batched predict_proba call, write
 top-N predictions back to the points CSV, and render a marker overlay.
 
-The reference's CoralNet web scraping is intentionally out of scope (the
-build environment has zero egress); images come from local paths or the
-object store.
+Images resolve through the injectable ImageFetcher (serve/image_sources.py):
+local path, ``store://`` URI, or a CoralNet image ID with suffix-preserving
+cache — the transport callable is swappable, so zero-egress environments
+inject a fake while the production shape stays intact
+(reference: annotation.py:201-212, :342-387).
 """
 
 from __future__ import annotations
@@ -140,17 +142,23 @@ class AnnotationRun:
 
     def __init__(
         self,
-        image_path: str | Path,
+        image: str | int | Path,
         points_csv: str | Path,
         classifier: str | Path | Predictor,
         *,
         extractor=None,
         top_n: int = 3,
         tracker_root: str | Path | None = None,
+        fetcher=None,
     ) -> None:
-        self.image_path = Path(image_path)
+        self.image_spec = image
         self.points_csv = Path(points_csv)
         self.top_n = int(top_n)
+        if fetcher is None:
+            from mermaid_classifier_tpu.serve.image_sources import ImageFetcher
+
+            fetcher = ImageFetcher()
+        self.fetcher = fetcher
         if isinstance(classifier, Predictor):
             self.predictor = classifier
         else:
@@ -169,10 +177,7 @@ class AnnotationRun:
     # -- pipeline ------------------------------------------------------------
 
     def load_image(self) -> np.ndarray:
-        from PIL import Image
-
-        with Image.open(self.image_path) as img:
-            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return self.fetcher.fetch(self.image_spec)
 
     def run(self) -> list[PointPrediction]:
         """Feature-extract all points, classify them in one batch, rank
@@ -258,7 +263,7 @@ class AnnotationRun:
         top1 = [p.labels[0] for p in self.predictions if p.labels]
         unique, counts = np.unique(top1, return_counts=True)
         return {
-            "image": str(self.image_path),
+            "image": str(self.image_spec),
             "n_points": len(self.predictions),
             "label_counts": dict(
                 sorted(zip(unique.tolist(), counts.tolist()),

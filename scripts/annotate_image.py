@@ -23,7 +23,11 @@ logger = logging.getLogger("annotate_image")
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--image", required=True)
+    parser.add_argument("--image", required=True,
+                        help="local path, store://bucket/key, or a numeric"
+                        " CoralNet image ID")
+    parser.add_argument("--coralnet-cache-dir", default=None,
+                        help="cache dir for CoralNet-ID image downloads")
     parser.add_argument("--points", required=True)
     parser.add_argument("--classifier", required=True)
     parser.add_argument("--output-dir", default=None)
@@ -47,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
         weights = load_backbone_npz(args.backbone_weights)
     extractor = build_extractor(weights)
 
+    from mermaid_classifier_tpu.serve.image_sources import ImageFetcher
+
     run = AnnotationRun(
         args.image,
         args.points,
@@ -54,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         extractor=extractor,
         top_n=args.top_n,
         tracker_root=args.tracker_root,
+        fetcher=ImageFetcher(cache_dir=args.coralnet_cache_dir),
     )
     if args.output_dir:
         out = write_run_report(run, args.output_dir)

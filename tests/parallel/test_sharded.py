@@ -147,5 +147,53 @@ class TestShardedExtract(unittest.TestCase):
             run(jnp.zeros((3, 32, 32, 3), jnp.float32))
 
 
+class TestShardedServe(unittest.TestCase):
+    """The mesh-sharded calibrated head must be numerically identical to
+    the single-device head_apply (differential, house style)."""
+
+    def _head(self, n_classes=5, dim=12, seed=3):
+        from mermaid_classifier_tpu.inference.head import HeadParams
+
+        rng = np.random.default_rng(seed)
+        sizes = (dim, 8, n_classes)
+        return HeadParams(
+            [rng.standard_normal((i, o)).astype(np.float32) * 0.5
+             for i, o in zip(sizes[:-1], sizes[1:])],
+            [rng.standard_normal(o).astype(np.float32) * 0.1
+             for o in sizes[1:]],
+            rng.standard_normal(n_classes).astype(np.float32) - 1.0,
+            rng.standard_normal(n_classes).astype(np.float32) * 0.2,
+        )
+
+    def test_matches_single_device_head(self):
+        from mermaid_classifier_tpu.inference.head import head_apply
+        from mermaid_classifier_tpu.parallel.sharded_serve import (
+            make_sharded_head_fn,
+        )
+
+        mesh = make_mesh(8)
+        head = self._head()
+        serve = make_sharded_head_fn(mesh, head)
+        feats = np.random.default_rng(0).standard_normal((32, 12)).astype(
+            np.float32
+        )
+        sharded = serve(feats)
+        single = np.asarray(head_apply(head.as_pytree(), jnp.asarray(feats)))
+        np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(sharded.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_rejects_bad_shapes(self):
+        from mermaid_classifier_tpu.parallel.sharded_serve import (
+            make_sharded_head_fn,
+        )
+
+        mesh = make_mesh(8)
+        serve = make_sharded_head_fn(mesh, self._head())
+        with self.assertRaisesRegex(ValueError, "not divisible"):
+            serve(np.zeros((3, 12), np.float32))
+        with self.assertRaisesRegex(ValueError, "must be"):
+            serve(np.zeros((8, 5), np.float32))
+
+
 if __name__ == "__main__":
     unittest.main()
