@@ -1,17 +1,19 @@
-"""Benchmark: 224^2 patch-feature extraction throughput on one chip.
+"""Benchmark: patch-feature extraction throughput on one chip, measured two
+ways and reported in ONE JSON line:
 
-Measures the production hot path — point-patch gather + normalize + B0
-backbone forward to 4096-dim features (reference hot loop:
-scripts/build_feature_bucket.py:415-446) — in steady state on the default
-JAX device, and prints ONE JSON line:
-
-    {"metric": "patch_features_per_sec", "value": N, "unit": "patches/s",
-     "vs_baseline": N / 5000}
+- **device loop** (``patch_features_per_sec``): the steady-state jitted
+  gather+backbone step on pre-staged device inputs — the compute ceiling
+  (reference hot loop: scripts/build_feature_bucket.py:415-446).
+- **end-to-end bucket** (``bucket_patches_per_sec``): synthetic JPEGs in a
+  local object store -> decode -> pipelined extraction -> feature files
+  written back — the number a production run actually delivers, including
+  host decode, H2D upload, and store writes.
 
 Baseline: the BASELINE.md north-star target of 5,000 patch-features/sec/chip
 (the reference itself publishes no throughput numbers; SURVEY.md §6).
 
 Usage: python bench.py [--points N] [--iters N] [--warmup N]
+                       [--bucket-images N] [--bucket-points N] [--no-bucket]
 """
 
 from __future__ import annotations
@@ -28,42 +30,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--points", type=int, default=1024,
-                        help="points (patches) per step")
-    parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--image-size", type=int, default=1536)
-    parser.add_argument(
-        "--dtype", choices=("bfloat16", "float32"), default="bfloat16",
-        help="backbone compute dtype; bfloat16 is the production extraction"
-        " fast path, gated on the same >=0.999 cosine check the reference"
-        " applies to its mps/cuda path (build_feature_bucket.py:451-502)",
-    )
-    args = parser.parse_args()
-
+def run_device_loop(args, model, variables, config) -> float:
+    """Steady-state jitted step throughput with device-resident inputs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from mermaid_classifier_tpu.models.efficientnet import (
-        EfficientNetBackbone,
-        EfficientNetConfig,
-        init_backbone_params,
-    )
     from mermaid_classifier_tpu.ops.patch_ops import (
         channel_scale_bias,
         extract_patches_xla,
     )
-
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-
-    config = EfficientNetConfig(compute_dtype=args.dtype)  # production B0 -> 4096
-    model = EfficientNetBackbone(config=config)
-    variables = init_backbone_params(0, config)
-    effective_dtype = args.dtype
-    gate_cosine = None
 
     ps = config.patch_size
     half = ps // 2
@@ -74,17 +50,34 @@ def main() -> None:
     padded[half:-half, half:-half] = image
     scale, bias = channel_scale_bias(config.mean_rgb, config.std_rgb)
 
+    chunk = args.chunk
+    if args.points % chunk != 0:
+        raise SystemExit(f"--points {args.points} must divide by --chunk {chunk}")
+    n_chunks = args.points // chunk
+
     @jax.jit
-    def step(variables, padded, starts, scale, bias):
-        patches = extract_patches_xla(padded, starts, ps, scale, bias)
-        # Reduce to a scalar so timing can force completion with a tiny host
-        # readback: under the tunneled axon backend block_until_ready returns
-        # before the device finishes, so readback is the only honest fence.
-        return jnp.sum(model.apply(variables, patches))
+    def step(prev, variables, padded, starts3, scale, bias):
+        # Chunk-scanned gather+backbone: one program per step, chunks sized
+        # to the measured v5e sweet spot (docs/perf_roofline.md). The carry
+        # chains steps so the single final readback fences ALL of them:
+        # under the tunneled axon backend block_until_ready returns before
+        # the device finishes and every readback pays a tunnel round trip,
+        # so a per-step fence would measure RTT, not compute.
+        def body(acc, starts):
+            patches = extract_patches_xla(
+                padded, starts, ps, scale, bias,
+                out_dtype=jnp.dtype(config.compute_dtype),
+            )
+            return acc + jnp.sum(model.apply(variables, patches)), None
+
+        acc, _ = jax.lax.scan(body, prev, starts3)
+        return acc
 
     n_inputs = args.warmup + args.iters
     starts_list = [
-        jnp.asarray(rng.integers(0, size, size=(args.points, 2)).astype(np.int32))
+        jnp.asarray(
+            rng.integers(0, size, size=(n_chunks, chunk, 2)).astype(np.int32)
+        )
         for _ in range(n_inputs)
     ]
     dv = jax.device_put(variables)
@@ -92,14 +85,150 @@ def main() -> None:
     ds = jnp.asarray(scale)
     db = jnp.asarray(bias)
 
+    log(f"device loop: compiling + warmup ({args.warmup} steps,"
+        f" {args.points} patches/step as {n_chunks}x{chunk})…")
+    acc = jnp.float32(0)
+    for i in range(max(args.warmup, 1)):
+        acc = step(acc, dv, dp, starts_list[i], ds, db)
+    float(acc)
+
+    # Steady state: chain every step through the carry (distinct inputs so
+    # nothing can be deduplicated), ONE readback at the end.
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        acc = step(acc, dv, dp, starts_list[args.warmup + i], ds, db)
+    float(acc)
+    elapsed = time.perf_counter() - t0
+
+    patches_per_sec = args.points * args.iters / elapsed
+    log(f"device loop: {args.iters} steps x {args.points} patches in"
+        f" {elapsed:.3f}s -> {patches_per_sec:,.0f} patch-features/s")
+    return patches_per_sec
+
+
+def run_bucket(args, config) -> dict:
+    """End-to-end: JPEGs in a store -> decode-ahead pipeline -> features
+    written back. Returns {'patches_per_sec', 'images', 'points'}."""
+    import io
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    from mermaid_classifier_tpu.data.feature_bucket import FeatureBucketBuilder
+    from mermaid_classifier_tpu.data.store import LocalFSObjectStore
+    from mermaid_classifier_tpu.models.extractor import FeatureExtractor
+    from mermaid_classifier_tpu.models.efficientnet import init_backbone_params
+
+    rng = np.random.default_rng(1)
+    n_images = args.bucket_images
+    points = args.bucket_points
+    size = args.image_size
+
+    with tempfile.TemporaryDirectory(prefix="bench_bucket_") as td:
+        store = LocalFSObjectStore(Path(td) / "store")
+        log(f"bucket: synthesizing {n_images} JPEGs ({size}^2,"
+            f" {points} points each)…")
+        ann_lines = ["image_id,image_key,row,col"]
+        for i in range(n_images):
+            image = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(image).save(buf, format="JPEG", quality=90)
+            key = f"s1/images/i{i:04d}.jpg"
+            store.put_bytes("imgs", key, buf.getvalue())
+            rows = rng.integers(0, size, size=(points, 2))
+            ann_lines.extend(
+                f"{i:04d},{key},{r},{c}" for r, c in rows
+            )
+        store.put_bytes(
+            "imgs", "s1/annotations.csv", ("\n".join(ann_lines) + "\n").encode()
+        )
+
+        extractor = FeatureExtractor(
+            init_backbone_params(0, config), config,
+            backbone_batch=args.backbone_batch,
+        )
+        # Warm the compiled programs on one image so the timed run measures
+        # the pipeline, not XLA compilation.
+        warm = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        extractor.extract_features(
+            warm, rng.integers(0, size, size=(points, 2)).astype(np.int32)
+        )
+
+        builder = FeatureBucketBuilder(
+            store, "imgs", "feats", extractor,
+        )
+        t0 = time.perf_counter()
+        result = builder.run(["1"])
+        elapsed = time.perf_counter() - t0
+        total_points = sum(s.points_done for s in result.sources)
+        if result.images_failed:
+            raise RuntimeError(f"bucket bench had failures: {result.describe()}")
+        pps = total_points / elapsed
+        log(f"bucket: {n_images} images / {total_points} points in"
+            f" {elapsed:.3f}s -> {pps:,.0f} patch-features/s end-to-end")
+        return {
+            "patches_per_sec": pps,
+            "images": n_images,
+            "points": total_points,
+            "seconds": elapsed,
+        }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--points", type=int, default=2048,
+                        help="points (patches) per device-loop step")
+    parser.add_argument("--chunk", type=int, default=128,
+                        help="scan chunk inside one step (v5e sweet spot)")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--image-size", type=int, default=1536)
+    parser.add_argument("--backbone-batch", type=int, default=1024,
+                        help="extractor batch for the bucket mode")
+    parser.add_argument("--bucket-images", type=int, default=24)
+    parser.add_argument("--bucket-points", type=int, default=256)
+    parser.add_argument("--no-bucket", action="store_true",
+                        help="device loop only")
+    parser.add_argument(
+        "--dtype", choices=("bfloat16", "float32"), default="bfloat16",
+        help="backbone compute dtype; bfloat16 is the production extraction"
+        " fast path, gated on the same >=0.999 cosine check the reference"
+        " applies to its mps/cuda path (build_feature_bucket.py:451-502)",
+    )
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from mermaid_classifier_tpu.models.efficientnet import (
+        EfficientNetBackbone,
+        EfficientNetConfig,
+        init_backbone_params,
+    )
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    config = EfficientNetConfig(compute_dtype=args.dtype)  # production B0 -> 4096
+    model = EfficientNetBackbone(config=config)
+    variables = init_backbone_params(0, config)
+    effective_dtype = args.dtype
+    gate_cosine = None
+
     if args.dtype != "float32":
         # Numerics gate before extracting at reduced precision — the same
         # discipline as the reference's device-vs-CPU check
         # (build_feature_bucket.py:451-502), run device-vs-device against
         # the float32 graph on identical weights.
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
         model_f32 = EfficientNetBackbone(
             config=EfficientNetConfig(compute_dtype="float32")
         )
+        ps = config.patch_size
         probe = rng.random((8, ps, ps, 3)).astype(np.float32)
         ref = np.asarray(jax.jit(model_f32.apply)(variables, jnp.asarray(probe)))
         got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(probe)))
@@ -120,37 +249,29 @@ def main() -> None:
             model = EfficientNetBackbone(config=config)
             effective_dtype = "float32"
 
-    log(f"compiling + warmup ({args.warmup} steps, {args.points} patches/step)…")
-    for i in range(max(args.warmup, 1)):
-        float(step(dv, dp, starts_list[i], ds, db))
+    device_pps = run_device_loop(args, model, variables, config)
 
-    # Steady state: enqueue every step (distinct inputs so nothing can be
-    # deduplicated), then read each scalar back — the last readback cannot
-    # complete before all enqueued compute has.
-    t0 = time.perf_counter()
-    sums = [
-        step(dv, dp, starts_list[args.warmup + i], ds, db)
-        for i in range(args.iters)
-    ]
-    for s in sums:
-        float(s)
-    elapsed = time.perf_counter() - t0
+    bucket = None
+    if not args.no_bucket:
+        bucket = run_bucket(args, config)
 
-    patches_per_sec = args.points * args.iters / elapsed
-    log(
-        f"{args.iters} steps x {args.points} patches in {elapsed:.3f}s"
-        f" -> {patches_per_sec:,.0f} patch-features/s"
-    )
-    print(json.dumps({
+    payload = {
         "metric": "patch_features_per_sec",
-        "value": round(patches_per_sec, 1),
+        "value": round(device_pps, 1),
         "unit": "patches/s",
-        "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
+        "vs_baseline": round(device_pps / BASELINE_PATCHES_PER_SEC, 3),
         # Effective dtype actually measured (a failed gate falls back to
         # float32 — visible here, never silent) + the gate evidence.
         "dtype": effective_dtype,
         "numerics_gate_cosine": gate_cosine,
-    }))
+    }
+    if bucket is not None:
+        payload["bucket_patches_per_sec"] = round(bucket["patches_per_sec"], 1)
+        payload["bucket_images"] = bucket["images"]
+        payload["bucket_vs_device"] = round(
+            bucket["patches_per_sec"] / device_pps, 3
+        )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

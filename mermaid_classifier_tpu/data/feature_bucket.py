@@ -243,30 +243,48 @@ class FeatureBucketBuilder:
                  "points": n_points}
             )
 
-        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-            in_flight: list = []
-            pending = None
-            cursor = 0
-            while cursor < len(todo) or in_flight:
-                while cursor < len(todo) and len(in_flight) < self.prefetch:
-                    item = todo[cursor]
-                    in_flight.append((item, pool.submit(fetch_decode, item)))
-                    cursor += 1
-                (image_id, rows), future = in_flight.pop(0)
-                try:
-                    image = future.result()
-                    rowcols = rows[["row", "col"]].to_numpy(dtype=np.int32)
-                    device_features = self.extractor.extract_features_device(
-                        image, rowcols
-                    )
-                except Exception as exc:  # noqa: BLE001 - per-image isolation
-                    record_failure(image_id, exc)
-                    continue
-                if pending is not None:
-                    finalize(pending)
-                pending = (image_id, rowcols, device_features)
-            if pending is not None:
+        # The main thread only decodes->dispatches; a dedicated writer thread
+        # drains (readback + store write) from a depth-2 queue. Host decode,
+        # H2D upload, device compute, D2H readback, and store writes all
+        # overlap — on a link where transfers dominate (tunneled backends),
+        # readback of image i-1 rides alongside image i's upload.
+        import queue as queue_mod
+        from threading import Thread
+
+        done_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+
+        def writer() -> None:
+            while True:
+                pending = done_queue.get()
+                if pending is None:
+                    return
                 finalize(pending)
+
+        writer_thread = Thread(target=writer, daemon=True)
+        writer_thread.start()
+        try:
+            with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+                in_flight: list = []
+                cursor = 0
+                while cursor < len(todo) or in_flight:
+                    while cursor < len(todo) and len(in_flight) < self.prefetch:
+                        item = todo[cursor]
+                        in_flight.append((item, pool.submit(fetch_decode, item)))
+                        cursor += 1
+                    (image_id, rows), future = in_flight.pop(0)
+                    try:
+                        image = future.result()
+                        rowcols = rows[["row", "col"]].to_numpy(dtype=np.int32)
+                        device_features = self.extractor.extract_features_device(
+                            image, rowcols
+                        )
+                    except Exception as exc:  # noqa: BLE001 - per-image isolation
+                        record_failure(image_id, exc)
+                        continue
+                    done_queue.put((image_id, rowcols, device_features))
+        finally:
+            done_queue.put(None)
+            writer_thread.join()
         return result
 
     def _write_features(

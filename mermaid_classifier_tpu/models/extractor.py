@@ -65,6 +65,12 @@ class FeatureExtractor:
         mesh: Any = None,
     ) -> None:
         self.config = config or EfficientNetConfig()
+        # Pin the weights on device ONCE: production weight bundles arrive as
+        # host numpy arrays, and passing those to a jitted call re-uploads
+        # the full parameter set every dispatch (hundreds of ms through a
+        # tunneled backend; measured in docs/perf_roofline.md).
+        if mesh is None:
+            variables = jax.device_put(variables)
         self.variables = variables
         self.backbone_batch = int(backbone_batch)
         self.point_bucket = int(point_bucket)
@@ -116,6 +122,56 @@ class FeatureExtractor:
             static_argnames=(),
         )
 
+        # Single-device fast path: ONE program scanning backbone_batch-sized
+        # chunks, gather fused into each scan step. Measured on v5e: the
+        # whole-batch program degrades past ~1k patches (the multi-MB patch
+        # tensor defeats XLA's scheduling), while chunked lax.scan at 128
+        # holds ~42.5 us/patch vs ~52 flat — +23% throughput — and one
+        # dispatch per image amortizes the tunnel/dispatch latency
+        # (docs/perf_roofline.md). Numerics identical: chunks are
+        # independent rows.
+        if mesh is None:
+            ps = self.config.patch_size
+            feature_dim = self.config.feature_dim
+            out_dtype = jnp.dtype(self.config.compute_dtype)
+
+            def _fused_scan(variables, padded, starts3):
+                def body(carry, starts):
+                    patches = extract_patches_xla(
+                        padded, starts, ps, self._scale, self._bias,
+                        out_dtype=out_dtype,
+                    )
+                    return carry, self._model.apply(variables, patches)
+
+                _, feats = jax.lax.scan(body, None, starts3)
+                return feats.reshape(-1, feature_dim)
+
+            def _backbone_scan(variables, patches3):
+                def body(carry, patches):
+                    return carry, self._model.apply(variables, patches)
+
+                _, feats = jax.lax.scan(body, None, patches3)
+                return feats.reshape(-1, feature_dim)
+
+            half = self.config.patch_size // 2
+
+            def _pad_on_device(raw, hp, wp):
+                out = jnp.zeros((hp, wp, raw.shape[2]), raw.dtype)
+                return jax.lax.dynamic_update_slice(out, raw, (half, half, 0))
+
+            self._fused_scan = jax.jit(_fused_scan)
+            self._backbone_scan = jax.jit(_backbone_scan)
+            # Pad on device from the RAW upload: the centered+bucket padding
+            # is zeros, and shipping those zeros through a slow host link is
+            # pure waste (~26% of the image bytes at 1536^2).
+            self._pad_on_device = jax.jit(
+                _pad_on_device, static_argnames=("hp", "wp")
+            )
+        else:
+            self._fused_scan = None
+            self._backbone_scan = None
+            self._pad_on_device = None
+
     @property
     def feature_dim(self) -> int:
         return self.config.feature_dim
@@ -154,33 +210,47 @@ class FeatureExtractor:
             bias=self._bias,
         )
 
+    def _validate_rowcols(
+        self, image: np.ndarray, rowcols: np.ndarray
+    ) -> np.ndarray:
+        rowcols = np.asarray(rowcols, dtype=np.int32)
+        if rowcols.ndim != 2 or rowcols.shape[1] != 2:
+            raise ValueError(f"rowcols must be (P, 2), got {rowcols.shape}")
+        if rowcols.shape[0]:
+            h, w, _ = image.shape
+            if (rowcols < 0).any() or (rowcols[:, 0] >= h).any() or (
+                rowcols[:, 1] >= w
+            ).any():
+                raise ValueError(
+                    "rowcols contains points outside the image"
+                    f" (image is {h}x{w})."
+                )
+        return rowcols
+
+    @staticmethod
+    def _pad_starts(rowcols: np.ndarray, multiple: int) -> np.ndarray:
+        """Pad the point list up to ``multiple`` by duplicating point 0.
+        With centered pad ps//2, the crop starting at r - ps//2 in the
+        original image begins exactly at row r of the padded image."""
+        n = rowcols.shape[0]
+        n_pad = _round_up(n, multiple)
+        starts = np.zeros((n_pad, 2), dtype=np.int32)
+        starts[:n] = rowcols
+        starts[n:] = rowcols[0]
+        return starts
+
     def extract_patches(
         self, image: np.ndarray, rowcols: np.ndarray
     ) -> jnp.ndarray:
         """(H, W, 3) uint8 + (P, 2) points -> (P, ps, ps, 3) float32
         normalized patches (padding points trimmed)."""
-        rowcols = np.asarray(rowcols, dtype=np.int32)
-        if rowcols.ndim != 2 or rowcols.shape[1] != 2:
-            raise ValueError(f"rowcols must be (P, 2), got {rowcols.shape}")
+        rowcols = self._validate_rowcols(image, rowcols)
         n = rowcols.shape[0]
         if n == 0:
             ps = self.config.patch_size
             return jnp.zeros((0, ps, ps, 3), jnp.float32)
-        h, w, _ = image.shape
-        if (rowcols < 0).any() or (rowcols[:, 0] >= h).any() or (
-            rowcols[:, 1] >= w
-        ).any():
-            raise ValueError(
-                "rowcols contains points outside the image"
-                f" (image is {h}x{w})."
-            )
         padded = self._prepare_image(image)
-        n_pad = _round_up(n, self.point_bucket)
-        starts = np.zeros((n_pad, 2), dtype=np.int32)
-        # With centered pad ps//2, the crop starting at r - ps//2 in the
-        # original image begins exactly at row r of the padded image.
-        starts[:n] = rowcols
-        starts[n:] = rowcols[0]
+        starts = self._pad_starts(rowcols, self.point_bucket)
         patches = self._gather(padded, starts)
         return patches[:n]
 
@@ -198,6 +268,13 @@ class FeatureExtractor:
             patches = jnp.concatenate(
                 [patches, jnp.zeros((n_pad - n, *patches.shape[1:]), patches.dtype)]
             )
+        n_chunks = n_pad // bb
+        if self._backbone_scan is not None and n_chunks > 1:
+            # One program scanning fixed chunks (see __init__ note).
+            feats = self._backbone_scan(
+                self.variables, patches.reshape(n_chunks, bb, *patches.shape[1:])
+            )
+            return feats[:n]
         outs = []
         for i in range(0, n_pad, bb):
             outs.append(self._apply(self.variables, patches[i : i + bb]))
@@ -214,7 +291,28 @@ class FeatureExtractor:
         """Per-image dispatch WITHOUT the host readback: returns the (P, D)
         device array so a caller can overlap the next image's decode/
         transfer with this one's compute (the feature-bucket builder's
-        depth-1 pipeline)."""
+        depth-1 pipeline).
+
+        Single-device path: gather + backbone fused into one chunk-scanned
+        program — the patch tensor never round-trips HBM between two
+        programs and the whole image costs one dispatch."""
+        if self._fused_scan is not None and not self.use_pallas:
+            rowcols = self._validate_rowcols(image, rowcols)
+            n = rowcols.shape[0]
+            if n == 0:
+                return jnp.zeros((0, self.feature_dim), jnp.float32)
+            if image.ndim != 3 or image.shape[2] != 3:
+                raise ValueError(f"image must be (H, W, 3), got {image.shape}")
+            ps = self.config.patch_size
+            half = ps // 2
+            h, w, _ = image.shape
+            hp = _round_up(h + 2 * half, self.image_bucket)
+            wp = _round_up(w + 2 * half, self.image_bucket)
+            padded = self._pad_on_device(jnp.asarray(image), hp=hp, wp=wp)
+            starts = self._pad_starts(rowcols, self.backbone_batch)
+            starts3 = starts.reshape(-1, self.backbone_batch, 2)
+            feats = self._fused_scan(self.variables, padded, jnp.asarray(starts3))
+            return feats[:n]
         patches = self.extract_patches(image, rowcols)
         return self.features_for_patches_device(patches)
 
