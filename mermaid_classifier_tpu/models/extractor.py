@@ -33,10 +33,7 @@ from mermaid_classifier_tpu.models.efficientnet import (
 )
 from mermaid_classifier_tpu.ops.patch_ops import (
     channel_scale_bias,
-    default_pallas_interpret,
-    extract_patches_pallas,
     extract_patches_xla,
-    make_affine_rows,
 )
 
 
@@ -75,21 +72,26 @@ class FeatureExtractor:
         self.backbone_batch = int(backbone_batch)
         self.point_bucket = int(point_bucket)
         self.image_bucket = int(image_bucket)
-        # Default: the XLA gather path. XLA fuses the dynamic_slice gather
-        # with the normalize affine and the crop is a negligible fraction of
-        # the extraction FLOPs; the Pallas kernel remains available but the
-        # current Mosaic stack cannot lower any dynamic sub-tile shift
-        # (arbitrary-offset DMA, value dynamic_slice, and dynamic roll all
-        # rejected on v5e — see ops/patch_ops.py docstring), so it requires
-        # tile-aligned point offsets.
+        # The gather is the XLA path, fused into the chunk-scanned program
+        # (measured ~3% of the step; docs/perf_roofline.md). use_pallas=True
+        # swaps in the EXPERIMENTAL Pallas crop kernel
+        # (experiments/pallas_crop.py) — compiled mode needs tile-aligned
+        # offsets on the current Mosaic stack; see that module's table.
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         self._model = EfficientNetBackbone(config=self.config)
         scale, bias = channel_scale_bias(self.config.mean_rgb, self.config.std_rgb)
         self._scale = jnp.asarray(scale)
         self._bias = jnp.asarray(bias)
-        scale_row, bias_row = make_affine_rows(scale, bias, self.config.patch_size)
-        self._scale_row = jnp.asarray(scale_row)
-        self._bias_row = jnp.asarray(bias_row)
+        if self.use_pallas:
+            from mermaid_classifier_tpu.experiments.pallas_crop import (
+                make_affine_rows,
+            )
+
+            scale_row, bias_row = make_affine_rows(
+                scale, bias, self.config.patch_size
+            )
+            self._scale_row = jnp.asarray(scale_row)
+            self._bias_row = jnp.asarray(bias_row)
 
         # Multi-chip: when a Mesh is given, the backbone forward shards its
         # batch over every device (params replicated, XLA splits the batch —
@@ -195,6 +197,11 @@ class FeatureExtractor:
 
     def _gather(self, padded: np.ndarray, starts: np.ndarray) -> jnp.ndarray:
         if self.use_pallas:
+            from mermaid_classifier_tpu.experiments.pallas_crop import (
+                default_pallas_interpret,
+                extract_patches_pallas,
+            )
+
             return extract_patches_pallas(
                 jnp.asarray(padded),
                 jnp.asarray(starts, jnp.int32),

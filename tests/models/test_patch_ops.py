@@ -5,11 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from mermaid_classifier_tpu.experiments.pallas_crop import (
+    extract_patches_pallas,
+    make_affine_rows,
+)
 from mermaid_classifier_tpu.ops.patch_ops import (
     channel_scale_bias,
-    extract_patches_pallas,
     extract_patches_xla,
-    make_affine_rows,
     pad_image,
 )
 
