@@ -123,6 +123,9 @@ class Settings(BaseModel):
     # Local experiment-tracking root directory (the MLflow-server analog).
     tracking_dir: str | None = None
     default_experiment_name: str | None = None
+    # When set, finished runs mirror into this object-store bucket
+    # (tracking/store_sync.py) — remote tracking over the store plane.
+    tracking_sync_bucket: str | None = None
 
     # -- compilation ---------------------------------------------------------------
     # Persistent XLA compilation cache directory; huge win for the slow

@@ -57,11 +57,29 @@ class TrainingSpec(BaseModel):
     container_args: list[str] = []
 
 
+class ClusterBlock(BaseModel):
+    """GKE/Kubernetes placement for cluster-backed runs (jobs/kubernetes.py).
+    Absent -> local/dry-run backends only."""
+
+    model_config = ConfigDict(extra="forbid")
+    image: str
+    namespace: str = "default"
+    accelerator: str | None = None
+    topology: str | None = None
+    chips: int = 0
+    cpu: str = "4"
+    memory: str = "16Gi"
+    spot: bool = False
+    service_account: str | None = None
+    active_deadline_seconds: int | None = None
+
+
 class JobSpec(BaseModel):
     model_config = ConfigDict(extra="forbid")
     entrypoint: str
     env: dict[str, str] = {}
     tags: dict[str, str] = {}
+    cluster: ClusterBlock | None = None
 
 
 class RunConfig(BaseModel):

@@ -385,6 +385,31 @@ class TrackingTrainingRunner(TrainingRunner):
                         self.dataset.cleanup()
 
         logger.info("Registered model at: %s", registered_version)
+
+        # Remote tracking: mirror the finished run (and the registry entry)
+        # into the object store when a sync bucket is configured — the
+        # tracking-server analog, with the store as the shared plane
+        # (tracking/store_sync.py). Never fatal: the local run is complete
+        # either way.
+        if settings.tracking_sync_bucket:
+            try:
+                from mermaid_classifier_tpu.data.store import get_default_store
+                from mermaid_classifier_tpu.tracking.store_sync import (
+                    sync_run_to_store,
+                    sync_tracker_to_store,
+                )
+
+                store = get_default_store()
+                sync_run_to_store(run, store, settings.tracking_sync_bucket)
+                sync_tracker_to_store(
+                    self.tracker, store, settings.tracking_sync_bucket
+                )
+            except Exception:  # noqa: BLE001 - sync is best-effort
+                logger.warning(
+                    "tracking sync to bucket %r failed",
+                    settings.tracking_sync_bucket,
+                    exc_info=True,
+                )
         return return_msg, registered_version
 
     def _on_epoch_end(self, metrics: dict) -> None:

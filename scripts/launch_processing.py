@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--log-dir", default=None)
+    parser.add_argument(
+        "--backend", choices=("local", "k8s"), default="local",
+        help="local = subprocess workers on this host; k8s = one"
+        " Kubernetes Job per worker via kubectl (requires a"
+        " job.cluster: block in the run YAML)",
+    )
     parser.add_argument("--no-wait", action="store_true")
     parser.add_argument(
         "--staging-bucket", default=None,
@@ -55,7 +61,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         logger.info("staged %d config files to %s", len(written),
                     args.staging_bucket)
-    backend = LocalProcessBackend(log_dir=args.log_dir)
+    if args.backend == "k8s":
+        from mermaid_classifier_tpu.jobs.kubernetes import (
+            ClusterSpec,
+            KubernetesJobBackend,
+        )
+
+        if config.job.cluster is None:
+            raise SystemExit(
+                "--backend k8s needs a job.cluster: block in the run YAML"
+            )
+        backend = KubernetesJobBackend(
+            ClusterSpec(**config.job.cluster.model_dump())
+        )
+    else:
+        backend = LocalProcessBackend(log_dir=args.log_dir)
     job_ids = launch_processing(config, backend, run_id, dry_run=args.dry_run)
     if args.dry_run:
         return 0

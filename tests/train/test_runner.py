@@ -203,3 +203,35 @@ class TestTrackingRunner:
         )
         name = runner2._get_model_name()
         assert name.startswith("mermaid-mlp") and "cn" in name
+
+    def test_tracking_sync_bucket_mirrors_run(self, env):
+        """With TRACKING_SYNC_BUCKET set, a finished run mirrors into the
+        object store automatically (the tracking-server analog)."""
+        store, manifest_path, tmp_path = env
+        from mermaid_classifier_tpu.tracking.store_sync import list_remote_runs
+
+        tracker = LocalTracker(tmp_path / "sync-tracking")
+        with override_settings(
+            object_store_root=str(store.root), tracking_sync_bucket="trk"
+        ):
+            runner = SmallTrackingRunner(
+                dataset_options=DatasetOptions(coralnet_manifest_uri=manifest_path),
+                training_options=TrainingOptions(epochs=1),
+                tracking_options=TrackingOptions(experiment_name="sync-exp"),
+                tracker=tracker,
+                store=store,
+            )
+            runner.run()
+        remote = list_remote_runs(store, "trk")
+        assert "sync-exp" in remote and len(remote["sync-exp"]) == 1
+        run_id = remote["sync-exp"][0]
+        # Registry mirrored too.
+        keys = list(store.list_keys("trk", prefix="tracking/_models/"))
+        assert any(k.endswith("model.npz") for k in keys)
+        # The run's metrics are readable remotely.
+        from mermaid_classifier_tpu.tracking.store_sync import pull_run_from_store
+
+        pulled = pull_run_from_store(
+            store, "trk", "sync-exp", run_id, tmp_path / "pulled"
+        )
+        assert "accuracy" in pulled.latest_metrics()
