@@ -258,7 +258,14 @@ class FeatureBucketBuilder:
                 pending = done_queue.get()
                 if pending is None:
                     return
-                finalize(pending)
+                try:
+                    finalize(pending)
+                except Exception as exc:  # noqa: BLE001 - writer must survive
+                    # finalize isolates write failures itself; this guards
+                    # the bookkeeping around it (e.g. a full disk killing the
+                    # progress log). A dead writer would deadlock the bounded
+                    # queue, so record and continue instead.
+                    record_failure(pending[0], exc)
 
         writer_thread = Thread(target=writer, daemon=True)
         writer_thread.start()

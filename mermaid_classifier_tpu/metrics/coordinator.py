@@ -20,7 +20,7 @@ from mermaid_classifier_tpu.metrics.outputs import (
     TABLE,
     GroupOutput,
 )
-from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
+from mermaid_classifier_tpu.metrics.taxonomy_index import (
     build_ba_paths,
     build_ba_to_top,
 )

@@ -22,7 +22,7 @@ from mermaid_classifier_tpu.common.taxonomy import split_ba_gf
 from mermaid_classifier_tpu.metrics.context import MetricsContext
 from mermaid_classifier_tpu.metrics.groups import metric_group
 from mermaid_classifier_tpu.metrics.outputs import GroupOutput
-from mermaid_classifier_tpu.metrics._taxonomy_helpers import build_ba_paths, find_lca
+from mermaid_classifier_tpu.metrics.taxonomy_index import build_ba_paths, find_lca
 
 
 @metric_group("per_source", needs=("dataset",))

@@ -14,7 +14,7 @@ from sklearn.metrics import log_loss as sklearn_log_loss
 from mermaid_classifier_tpu.metrics.context import MetricsContext
 from mermaid_classifier_tpu.metrics.groups import metric_group
 from mermaid_classifier_tpu.metrics.outputs import GroupOutput
-from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
+from mermaid_classifier_tpu.metrics.taxonomy_index import (
     build_ba_to_top,
     group_by_top_level,
 )

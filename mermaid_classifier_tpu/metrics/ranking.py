@@ -15,7 +15,7 @@ from mermaid_classifier_tpu.common.taxonomy import split_ba_gf
 from mermaid_classifier_tpu.metrics.context import MetricsContext
 from mermaid_classifier_tpu.metrics.groups import metric_group
 from mermaid_classifier_tpu.metrics.outputs import GroupOutput
-from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
+from mermaid_classifier_tpu.metrics.taxonomy_index import (
     build_ba_paths,
     build_ba_to_top,
     group_by_top_level,
@@ -126,9 +126,7 @@ def compute_ranking(ctx: MetricsContext) -> GroupOutput:
     max_sim_at_k = {k: np.zeros(n) for k in KS}
     for i in range(n):
         sims = [
-            taxonomic_similarity(
-                gt_ba_ids[i], class_ba_ids[int(j)], ba_paths, ba_library
-            )
+            taxonomic_similarity(gt_ba_ids[i], class_ba_ids[int(j)], ba_paths)
             for j in sorted_indices[i, :max_k]
         ]
         for k in KS:

@@ -17,7 +17,7 @@ from mermaid_classifier_tpu.common.taxonomy import split_ba_gf
 from mermaid_classifier_tpu.metrics.context import MetricsContext
 from mermaid_classifier_tpu.metrics.groups import metric_group
 from mermaid_classifier_tpu.metrics.outputs import GroupOutput
-from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
+from mermaid_classifier_tpu.metrics.taxonomy_index import (
     build_ba_paths,
     build_ba_to_top,
     find_lca,

@@ -22,7 +22,7 @@ from mermaid_classifier_tpu.metrics.classification import (
 )
 from mermaid_classifier_tpu.metrics.ranking import compute_ranking, topk_and_mrr
 from mermaid_classifier_tpu.metrics.taxonomic import compute_taxonomic
-from mermaid_classifier_tpu.metrics._taxonomy_helpers import (
+from mermaid_classifier_tpu.metrics.taxonomy_index import (
     build_ba_paths,
     find_lca,
     taxonomic_similarity,
@@ -187,9 +187,9 @@ class TestTaxonomyHelpers:
         )
         assert find_lca("ba-acro", "ba-porites", paths) == "ba-hard"
         assert find_lca("ba-acro", "ba-algae", paths) is None
-        assert taxonomic_similarity("ba-acro", "ba-acro", paths, lib) == 1.0
-        assert taxonomic_similarity("ba-acro", "ba-algae", paths, lib) == 0.0
-        sib = taxonomic_similarity("ba-acro", "ba-porites", paths, lib)
+        assert taxonomic_similarity("ba-acro", "ba-acro", paths) == 1.0
+        assert taxonomic_similarity("ba-acro", "ba-algae", paths) == 0.0
+        sib = taxonomic_similarity("ba-acro", "ba-porites", paths)
         assert 0 < sib < 1
 
 
