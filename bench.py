@@ -73,7 +73,10 @@ def run_device_loop(args, model, variables, config) -> float:
         acc, _ = jax.lax.scan(body, prev, starts3)
         return acc
 
-    n_inputs = args.warmup + args.iters
+    # Warmup always runs at least one step, so always reserve inputs for it
+    # — the timed loop must never replay an input a prior step consumed.
+    n_warmup = max(args.warmup, 1)
+    n_inputs = n_warmup + args.iters
     starts_list = [
         jnp.asarray(
             rng.integers(0, size, size=(n_chunks, chunk, 2)).astype(np.int32)
@@ -88,7 +91,7 @@ def run_device_loop(args, model, variables, config) -> float:
     log(f"device loop: compiling + warmup ({args.warmup} steps,"
         f" {args.points} patches/step as {n_chunks}x{chunk})…")
     acc = jnp.float32(0)
-    for i in range(max(args.warmup, 1)):
+    for i in range(n_warmup):
         acc = step(acc, dv, dp, starts_list[i], ds, db)
     float(acc)
 
@@ -97,7 +100,7 @@ def run_device_loop(args, model, variables, config) -> float:
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(args.iters):
-        acc = step(acc, dv, dp, starts_list[args.warmup + i], ds, db)
+        acc = step(acc, dv, dp, starts_list[n_warmup + i], ds, db)
     float(acc)
     elapsed = time.perf_counter() - t0
 

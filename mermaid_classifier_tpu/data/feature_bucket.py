@@ -219,10 +219,18 @@ class FeatureBucketBuilder:
         # compute is dispatched (no host sync), then image i-1's features
         # are read back and written while i computes. Host decode, device
         # compute, and store writes all overlap.
+        # Counters and the append-only logs are touched from BOTH the main
+        # decode/dispatch loop and the writer thread; one lock keeps the
+        # read-modify-write counter updates and log appends atomic.
+        from threading import Lock
+
+        result_lock = Lock()
+
         def record_failure(image_id: str, exc: Exception) -> None:
-            result.images_failed += 1
-            result.failures.append((image_id, str(exc)))
-            self._record_failure(source_id, image_id, str(exc))
+            with result_lock:
+                result.images_failed += 1
+                result.failures.append((image_id, str(exc)))
+                self._record_failure(source_id, image_id, str(exc))
             logger.warning(
                 "source %s image %s failed: %s", source_id, image_id, exc
             )
@@ -236,12 +244,13 @@ class FeatureBucketBuilder:
             except Exception as exc:  # noqa: BLE001 - per-image isolation
                 record_failure(image_id, exc)
                 return
-            result.images_done += 1
-            result.points_done += n_points
-            self._record_progress(
-                {"source_id": source_id, "image_id": image_id,
-                 "points": n_points}
-            )
+            with result_lock:
+                result.images_done += 1
+                result.points_done += n_points
+                self._record_progress(
+                    {"source_id": source_id, "image_id": image_id,
+                     "points": n_points}
+                )
 
         # The main thread only decodes->dispatches; a dedicated writer thread
         # drains (readback + store write) from a depth-2 queue. Host decode,

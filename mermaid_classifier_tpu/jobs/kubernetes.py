@@ -30,12 +30,31 @@ from mermaid_classifier_tpu.jobs.backend import JobBackend, JobRequest, JobStatu
 logger = getLogger(__name__)
 
 _LABEL_BAD = re.compile(r"[^A-Za-z0-9._-]+")
+_NAME_BAD = re.compile(r"[^a-z0-9-]+")
 
 
 def _label_safe(value: str) -> str:
-    """Kubernetes label values: alphanumerics, '-', '_', '.', max 63."""
-    cleaned = _LABEL_BAD.sub("-", str(value)).strip("-_.")
-    return cleaned[:63] or "x"
+    """Kubernetes label values: alphanumerics, '-', '_', '.', max 63;
+    must start and end alphanumeric."""
+    cleaned = _LABEL_BAD.sub("-", str(value))[:63].strip("-_.")
+    return cleaned or "x"
+
+
+def _name_safe(value: str) -> str:
+    """Job names are DNS-1123 labels: lowercase alphanumerics and '-',
+    start/end alphanumeric, max 63 — stricter than label VALUES
+    ('_' and '.' are label-legal but name-illegal)."""
+    cleaned = _NAME_BAD.sub("-", str(value).lower())[:63].strip("-")
+    return cleaned or "job"
+
+
+def _container_command(command: list[str]) -> list[str]:
+    """The launcher builds commands with the HOST interpreter path
+    (sys.executable); inside the container that path means nothing — swap
+    it for the image's `python` on PATH."""
+    if command and "python" in command[0].rsplit("/", 1)[-1]:
+        return ["python", *command[1:]]
+    return list(command)
 
 
 @dataclass(frozen=True)
@@ -65,7 +84,7 @@ def build_job_manifest(request: JobRequest, cluster: ClusterSpec) -> dict:
     backoffLimit 0 because workers are idempotent-resumable at the data
     level (the bucket is the progress truth) — relaunching the RUN, not
     retrying the pod, is the recovery path."""
-    job_name = _label_safe(request.name.lower())
+    job_name = _name_safe(request.name)
     labels = {
         "app": "mermaid-classifier",
         **{k: _label_safe(v) for k, v in request.tags.items()},
@@ -87,7 +106,7 @@ def build_job_manifest(request: JobRequest, cluster: ClusterSpec) -> dict:
     container = {
         "name": "worker",
         "image": cluster.image,
-        "command": request.command,
+        "command": _container_command(request.command),
         "env": [
             {"name": k, "value": str(v)} for k, v in sorted(request.env.items())
         ],

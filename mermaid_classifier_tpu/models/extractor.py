@@ -313,9 +313,22 @@ class FeatureExtractor:
             ps = self.config.patch_size
             half = ps // 2
             h, w, _ = image.shape
-            hp = _round_up(h + 2 * half, self.image_bucket)
-            wp = _round_up(w + 2 * half, self.image_bucket)
-            padded = self._pad_on_device(jnp.asarray(image), hp=hp, wp=wp)
+            # Host-side: snap the raw image to a coarse 64-px shape bucket
+            # (cheap zeros) so the device pad program compiles once per
+            # bucket, not per camera resolution — the fixed-shapes-under-jit
+            # discipline — while the big centered padding still happens on
+            # device and never crosses the host link.
+            raw_bucket = 64
+            hr = _round_up(h, raw_bucket)
+            wr = _round_up(w, raw_bucket)
+            if (hr, wr) != (h, w):
+                raw = np.zeros((hr, wr, 3), dtype=image.dtype)
+                raw[:h, :w] = image
+            else:
+                raw = image
+            hp = _round_up(max(h + 2 * half, hr + half), self.image_bucket)
+            wp = _round_up(max(w + 2 * half, wr + half), self.image_bucket)
+            padded = self._pad_on_device(jnp.asarray(raw), hp=hp, wp=wp)
             starts = self._pad_starts(rowcols, self.backbone_batch)
             starts3 = starts.reshape(-1, self.backbone_batch, 2)
             feats = self._fused_scan(self.variables, padded, jnp.asarray(starts3))

@@ -175,7 +175,9 @@ def remap_state_dict(
             projection_source is not None
             and key.startswith(projection_source + ".")
             and config.feature_dim != config.head_channels
-            and getattr(sd[f"{projection_source}.weight"], "shape", (None,))[0]
+            and getattr(
+                sd.get(f"{projection_source}.weight"), "shape", (None,)
+            )[0]
             == config.feature_dim
         ):
             # An _fc with feature_dim outputs IS the feature projection

@@ -59,12 +59,15 @@ class _OriginalImageParser(HTMLParser):
             self._in_container -= 1
 
 
-def scrape_coralnet_image(image_id: int) -> tuple[bytes, str]:
+def scrape_coralnet_image(
+    image_id: int, timeout_s: float = 60.0
+) -> tuple[bytes, str]:
     """Default CoralNet transport: image-view page -> original image URL ->
     (bytes, file suffix). Needs network egress; inject a fake where there
-    is none."""
+    is none. Bounded timeouts: a stalled connection errors instead of
+    hanging the annotation run."""
     view_url = CORALNET_IMAGE_VIEW_URL.format(image_id=image_id)
-    with urllib.request.urlopen(view_url) as response:
+    with urllib.request.urlopen(view_url, timeout=timeout_s) as response:
         parser = _OriginalImageParser()
         parser.feed(response.read().decode("utf-8", errors="replace"))
     if not parser.image_url:
@@ -74,7 +77,7 @@ def scrape_coralnet_image(image_id: int) -> tuple[bytes, str]:
         )
     suffix = Path(urlparse(parser.image_url).path).suffix or ".jpg"
     logger.info("downloading CoralNet image %d ...", image_id)
-    with urllib.request.urlopen(parser.image_url) as response:
+    with urllib.request.urlopen(parser.image_url, timeout=timeout_s) as response:
         return response.read(), suffix
 
 

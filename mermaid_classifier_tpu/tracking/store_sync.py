@@ -82,6 +82,30 @@ def sync_tracker_to_store(
     return written
 
 
+def sync_registry_to_store(
+    tracker,
+    store: ObjectStore,
+    bucket: str,
+    *,
+    prefix: str = TRACKING_PREFIX,
+    skip_existing: bool = True,
+) -> list[str]:
+    """Mirror only the model registry (``_models/``) — what a finished run
+    adds beyond its own run dir. Registered versions are immutable, so
+    skip_existing makes this O(new version), not O(history)."""
+    registry = Path(tracker.root) / "_models"
+    if not registry.is_dir():
+        return []
+    written = []
+    for path, rel in _iter_files(registry):
+        key = f"{prefix}/_models/{rel}"
+        if skip_existing and store.exists(bucket, key):
+            continue
+        store.put_bytes(bucket, key, path.read_bytes())
+        written.append(key)
+    return written
+
+
 def pull_run_from_store(
     store: ObjectStore,
     bucket: str,

@@ -395,13 +395,15 @@ class TrackingTrainingRunner(TrainingRunner):
             try:
                 from mermaid_classifier_tpu.data.store import get_default_store
                 from mermaid_classifier_tpu.tracking.store_sync import (
+                    sync_registry_to_store,
                     sync_run_to_store,
-                    sync_tracker_to_store,
                 )
 
                 store = get_default_store()
+                # Just this run + the registry: a whole-tracker sync would
+                # re-probe every historical object on every run.
                 sync_run_to_store(run, store, settings.tracking_sync_bucket)
-                sync_tracker_to_store(
+                sync_registry_to_store(
                     self.tracker, store, settings.tracking_sync_bucket
                 )
             except Exception:  # noqa: BLE001 - sync is best-effort

@@ -96,8 +96,23 @@ class TestManifest(unittest.TestCase):
         req = request(name="Run_1 w/0!")
         req.tags["team"] = "reef team #7"
         m = build_job_manifest(req, TPU_CLUSTER)
-        self.assertEqual(m["metadata"]["name"], "run_1-w-0")
+        # DNS-1123: lowercase alnum + '-', no '_'/'.', no edge dashes.
+        self.assertEqual(m["metadata"]["name"], "run-1-w-0")
         self.assertEqual(m["metadata"]["labels"]["team"], "reef-team-7")
+
+    def test_container_runs_image_python_not_host_interpreter(self):
+        """python_command() embeds the LAUNCHER's sys.executable; the pod
+        must run the image's python, not a host path that doesn't exist."""
+        req = JobRequest(
+            name="run1-w0",
+            command=["/opt/venv/bin/python3.12", "scripts/x.py", "--flag"],
+            env={}, tags={},
+        )
+        m = build_job_manifest(req, TPU_CLUSTER)
+        self.assertEqual(
+            m["spec"]["template"]["spec"]["containers"][0]["command"],
+            ["python", "scripts/x.py", "--flag"],
+        )
 
     def test_active_deadline(self):
         cluster = ClusterSpec(image="img", active_deadline_seconds=7200)
