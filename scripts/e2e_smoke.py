@@ -65,8 +65,34 @@ def log(msg: str) -> None:
     print(f"[e2e] {msg}", flush=True)
 
 
+def make_store(env: dict):
+    """The smoke's store, resolved the way production resolves it: an
+    s3:// root goes through the stdlib-HTTP S3 backend (endpoint +
+    credentials from env), anything else is a local-FS root."""
+    root = env["OBJECT_STORE_ROOT"]
+    if root.startswith("s3://"):
+        from mermaid_classifier_tpu.data.s3_store import (
+            S3Credentials,
+            S3ObjectStore,
+        )
+
+        creds = None
+        if env.get("AWS_ACCESS_KEY_ID") and env.get("AWS_SECRET_ACCESS_KEY"):
+            creds = S3Credentials(
+                env["AWS_ACCESS_KEY_ID"], env["AWS_SECRET_ACCESS_KEY"]
+            )
+        return S3ObjectStore(
+            env["OBJECT_STORE_ENDPOINT"],
+            region=env.get("AWS_REGION", "us-east-1"),
+            credentials=creds,
+        )
+    from mermaid_classifier_tpu.data.store import LocalFSObjectStore
+
+    return LocalFSObjectStore(root)
+
+
 def synthesize_source_data(
-    workspace: Path, sources: list[str], images_per_source: int,
+    store, workspace: Path, sources: list[str], images_per_source: int,
     points_per_image: int, image_size: int, seed: int,
 ):
     """Images + per-source annotations.csv into the 'images' bucket, plus
@@ -77,10 +103,7 @@ def synthesize_source_data(
     import pyarrow.parquet as pq
     from PIL import Image
 
-    from mermaid_classifier_tpu.data.store import LocalFSObjectStore
-
     rng = np.random.default_rng(seed)
-    store = LocalFSObjectStore(workspace / "store")
     ann_rows, img_rows = [], []
     labels = sorted(CLASS_COLORS)
     # Points sit at the centers of non-overlapping grid cells, each cell
@@ -160,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
         help="real B0/224/4096 geometry instead of the minutes-fast"
         " shrunken backbone",
     )
+    parser.add_argument(
+        "--object-store-root", default=None,
+        help="override the store root; 's3://' + --object-store-endpoint"
+        " drives the whole pipeline over the S3 HTTP dialect",
+    )
+    parser.add_argument("--object-store-endpoint", default=None)
     args = parser.parse_args(argv)
 
     t0 = time.time()
@@ -174,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
-        "OBJECT_STORE_ROOT": str(workspace / "store"),
+        "OBJECT_STORE_ROOT": args.object_store_root or str(workspace / "store"),
         "MERMAID_TAXONOMY_FIXTURE_DIR": str(CONFIG_DIR / "taxonomy"),
         "TAXONOMY_FIXTURE_DIR": str(CONFIG_DIR / "taxonomy"),
         "TRACKING_DIR": str(workspace / "tracking"),
@@ -183,6 +212,8 @@ def main(argv: list[str] | None = None) -> int:
         "MERMAID_TRAIN_DATA_BUCKET": "features",
         "BATCH_SIZE": "512",
     }
+    if args.object_store_endpoint:
+        env["OBJECT_STORE_ENDPOINT"] = args.object_store_endpoint
 
     import jax
 
@@ -197,9 +228,10 @@ def main(argv: list[str] | None = None) -> int:
     # Cell size = patch size, so a patch never sees a neighboring class.
     grid = max(int(round(args.points_per_image ** 0.5)), 1)
     image_size = (224 if args.production_backbone else 64) * grid
+    store = make_store(env)
     synthesize_source_data(
-        workspace, sources, args.images_per_source, args.points_per_image,
-        image_size, args.seed,
+        store, workspace, sources, args.images_per_source,
+        args.points_per_image, image_size, args.seed,
     )
 
     # Stage 1: ETL parquets -> training manifest (the manifest-builder CLI).
@@ -248,9 +280,6 @@ def main(argv: list[str] | None = None) -> int:
             print(log_file.read_text()[-2000:])
         raise SystemExit(f"extraction workers failed: {bad}")
 
-    from mermaid_classifier_tpu.data.store import LocalFSObjectStore
-
-    store = LocalFSObjectStore(workspace / "store")
     n_features = sum(1 for _ in store.list_keys("features"))
     log(f"feature bucket holds {n_features} objects")
 
