@@ -60,6 +60,10 @@ class TrainingOptions:
     # preempted run relaunched with the same dir continues bit-identically
     # (capability the reference lacks; SURVEY.md §5.3).
     checkpoint_dir: str | None = None
+    # Pin the train features on device once and gather per-epoch batches by
+    # index on device — bit-identical to streaming, with per-epoch H2D cut
+    # to O(rows) indices. Single-device; ignored under a train mesh.
+    device_resident: bool = False
 
 
 @dataclasses.dataclass

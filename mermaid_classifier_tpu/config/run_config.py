@@ -77,6 +77,7 @@ class TrainingConfig(BaseModel):
     epochs: int = 10
     early_stopping_patience: int | None = None
     checkpoint_dir: str | None = None
+    device_resident: bool = False
 
 
 class TrackingConfig(BaseModel):
@@ -175,6 +176,7 @@ class TrainingRunConfig(BaseModel):
             epochs=self.training.epochs,
             early_stopping_patience=self.training.early_stopping_patience,
             checkpoint_dir=self.training.checkpoint_dir,
+            device_resident=self.training.device_resident,
         )
         tracking_options = TrackingOptions(
             experiment_name=self.tracking.experiment_name,

@@ -167,6 +167,49 @@ class ImageLabels:
             ys.extend(y)
         return np.vstack(xs), ys
 
+    def row_ranges(self) -> dict[str, tuple[int, int]]:
+        """{key: (offset, count)} into the canonical row layout — sorted
+        image keys, each image's rows in annotation order. This is exactly
+        the row order of ``load_all`` and of the packed cache, so indices
+        from ``iter_index_batches`` address either."""
+        ranges: dict[str, tuple[int, int]] = {}
+        offset = 0
+        for key in sorted(self.data.keys()):
+            count = len(self.data[key])
+            ranges[key] = (offset, count)
+            offset += count
+        return ranges
+
+    def iter_index_batches(
+        self,
+        batch_size: int,
+        random_seed: int | None = None,
+    ) -> Iterator[tuple[np.ndarray, list[str]]]:
+        """The index twin of ``load_data_in_batches``: identical image order,
+        batch boundaries, and label sequence, but yielding each batch's ROW
+        INDICES into the canonical layout instead of the feature rows —
+        feeding device-resident training, where the rows never visit the
+        host (MLPClassifier.partial_fit_resident)."""
+        ranges = self.row_ranges()
+        keys = sorted(self.data.keys())
+        if random_seed is not None:
+            rng = np.random.default_rng(int(random_seed))
+            rng.shuffle(keys)
+
+        batch_idx: list[np.ndarray] = []
+        batch_y: list[str] = []
+        count = 0
+        for key in keys:
+            offset, n = ranges[key]
+            batch_idx.append(np.arange(offset, offset + n, dtype=np.int32))
+            batch_y.extend(label for _, _, label in self.data[key])
+            count += n
+            if count >= batch_size:
+                yield np.concatenate(batch_idx), batch_y
+                batch_idx, batch_y, count = [], [], 0
+        if count:
+            yield np.concatenate(batch_idx), batch_y
+
 
 @dataclass
 class TrainingTaskLabels:

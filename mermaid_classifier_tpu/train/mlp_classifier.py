@@ -139,6 +139,54 @@ def _make_epoch_fn(
     return jax.jit(epoch)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_resident_epoch_fn(
+    n_batches: int,
+    layer_sizes: tuple[int, ...],
+    lr: float,
+    b1: float,
+    b2: float,
+    eps: float,
+    alpha: float,
+):
+    """The scan-over-minibatches epoch against a DEVICE-RESIDENT feature
+    matrix: each step gathers its rows by index on device, so an epoch's
+    host->device traffic is O(rows) int32 indices instead of O(rows * dim)
+    floats. Arithmetic is identical to _make_epoch_fn — the gather merely
+    replaces the host-side X[order] indexing."""
+    del layer_sizes
+    opt = _make_optimizer(lr, b1, b2, eps)
+
+    def epoch(params, opt_state, x_resident, idxs, ys, ws, ns):
+        # x_resident: (N, D) f32 on device; idxs: (n_batches, B) i32 rows.
+        def step(carry, batch):
+            params, opt_state = carry
+            idxb, yb, wb, n_real = batch
+            xb = jnp.take(x_resident, idxb, axis=0)
+
+            def loss_fn(p):
+                logits = _forward_logits(p["W"], p["b"], xb)
+                logp = jax.nn.log_softmax(logits, axis=1)
+                ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+                data_loss = jnp.sum(wb * ce) / jnp.sum(wb)
+                sq = jnp.asarray(0.0, dtype=jnp.float32)
+                for w in p["W"]:
+                    sq = sq + jnp.sum(w * w)
+                return data_loss + (0.5 * alpha / n_real) * sq
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (idxs, ys, ws, ns), length=n_batches
+        )
+        return params, opt_state, losses
+
+    return jax.jit(epoch)
+
+
 def _make_optimizer(lr: float, b1: float, b2: float, eps: float) -> optax.GradientTransformation:
     # eps_root=0.0 makes optax.adam bit-identical to torch.optim.Adam's
     # m_hat / (sqrt(v_hat) + eps) update.
@@ -415,6 +463,122 @@ class MLPClassifier:
         self.n_iter_ += 1
         return self
 
+    # --- device-resident training --------------------------------------------
+
+    def set_resident_features(self, X: np.ndarray) -> "MLPClassifier":
+        """Pin the full feature matrix on device ONCE. Subsequent
+        ``partial_fit_resident`` calls reference rows by index, cutting an
+        epoch's host->device traffic from O(rows x dim) floats to O(rows)
+        int32s — the TPU-first shape for multi-epoch training over a fixed
+        feature set (the reference re-reads features from disk every epoch,
+        reference: trainer.py:138-145)."""
+        X = np.asarray(X, dtype=np.float32)
+        if X.ndim != 2:
+            raise ValueError(f"X must be 2D, got shape {X.shape}")
+        if self.mesh is not None:
+            raise ValueError(
+                "resident training is single-device for now; unset mesh."
+            )
+        self._resident_X = jax.device_put(jnp.asarray(X))
+        return self
+
+    def partial_fit_resident(
+        self,
+        indices: np.ndarray,
+        y: np.ndarray | list[Any],
+        classes: Sequence[Any] | None = None,
+    ) -> "MLPClassifier":
+        """``partial_fit(X_resident[indices], y, classes)`` without the rows
+        ever visiting the host: identical shuffle, padding, mini-batching,
+        and update arithmetic (differential-tested bit-exact against
+        partial_fit on the gathered rows)."""
+        if getattr(self, "_resident_X", None) is None:
+            raise ValueError("call set_resident_features(X) first.")
+        indices = np.asarray(indices, dtype=np.int32)
+        if indices.ndim != 1:
+            raise ValueError(f"indices must be 1-D, got {indices.shape}")
+        n_resident = int(self._resident_X.shape[0])
+        if indices.size and (
+            indices.min() < 0 or indices.max() >= n_resident
+        ):
+            raise ValueError(
+                f"indices out of range for the {n_resident}-row resident set."
+            )
+
+        first_call = not hasattr(self, "_params")
+        if first_call:
+            if classes is None:
+                self.classes_ = np.unique(np.asarray(y))
+            else:
+                self.classes_ = np.unique(np.asarray(classes))
+            self.n_features_in_ = int(self._resident_X.shape[1])
+            self.n_iter_ = 0
+            self.loss_curve_ = []
+            self._init_params()
+            self._init_optimizer()
+            self._class_weight_vector = self._build_class_weight_vector()
+
+        y_indices = self._labels_to_indices(np.asarray(y))
+        if len(y_indices) != len(indices):
+            raise ValueError(
+                f"{len(indices)} indices but {len(y_indices)} labels."
+            )
+        n_samples = len(indices)
+        batch_size = self._resolve_batch_size(n_samples)
+
+        # Same shuffle stream as partial_fit: the permutation depends only
+        # on (random_state, n_samples), so gathering shuffled indices here
+        # visits rows in exactly the order partial_fit would.
+        rng = self._seed_rng()
+        order = np.arange(n_samples)
+        if self.shuffle:
+            rng.shuffle(order)
+        idx_shuf = indices[order]
+        y_shuf = y_indices[order].astype(np.int32)
+
+        n_batches = -(-n_samples // batch_size)
+        n_padded = n_batches * batch_size
+        pad = n_padded - n_samples
+        if pad:
+            # Padding rows point at row 0 but carry weight 0 — inert: the
+            # data loss is sum(w*ce)/sum(w) and the L2 scale divides by the
+            # REAL count ns.
+            idx_shuf = np.concatenate([idx_shuf, np.zeros(pad, np.int32)])
+            y_shuf = np.concatenate([y_shuf, np.zeros(pad, np.int32)])
+        sample_mask = np.ones(n_padded, dtype=np.float32)
+        if pad:
+            sample_mask[n_samples:] = 0.0
+        if self._class_weight_vector is not None:
+            sample_w = self._class_weight_vector[y_shuf] * sample_mask
+        else:
+            sample_w = sample_mask
+
+        idxs = idx_shuf.reshape(n_batches, batch_size)
+        ys = y_shuf.reshape(n_batches, batch_size)
+        ws = sample_w.reshape(n_batches, batch_size)
+        ns = np.full(n_batches, batch_size, dtype=np.float32)
+        if pad:
+            ns[-1] = batch_size - pad
+
+        epoch_fn = _make_resident_epoch_fn(
+            n_batches,
+            self._layer_sizes(),
+            float(self.learning_rate_init),
+            float(self.beta_1),
+            float(self.beta_2),
+            float(self.epsilon),
+            float(self.alpha),
+        )
+        self._params, self._opt_state, losses = epoch_fn(
+            self._params, self._opt_state, self._resident_X, idxs, ys, ws, ns
+        )
+
+        losses_np = np.asarray(losses, dtype=np.float64)
+        avg_loss = float(np.sum(losses_np * ns) / max(n_samples, 1))
+        self.loss_curve_.append(avg_loss)
+        self.n_iter_ += 1
+        return self
+
     def fit(
         self,
         X: np.ndarray | list[Any],
@@ -523,6 +687,10 @@ class MLPClassifier:
         # The mesh holds live device handles; checkpoints/pickles restore
         # mesh-less (re-attach by assigning .mesh after unpickling).
         state["mesh"] = None
+        # The resident feature matrix is a device buffer of the TRAINING
+        # DATA, not model state — never serialized (re-attach with
+        # set_resident_features after unpickling to resume resident runs).
+        state.pop("_resident_X", None)
         params = state.pop("_params", None)
         opt_state = state.pop("_opt_state", None)
         if params is not None:
@@ -552,7 +720,9 @@ class MLPClassifier:
         clone = self.__class__.__new__(self.__class__)
         memo[id(self)] = clone
         for k, v in self.__dict__.items():
-            if k in ("_params", "_opt_state"):
+            if k in ("_params", "_opt_state", "_resident_X"):
+                # Immutable device buffers — snapshots share them (a deepcopy
+                # of the resident matrix would duplicate GBs of HBM).
                 clone.__dict__[k] = v
             else:
                 import copy as _copy

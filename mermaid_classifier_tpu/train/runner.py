@@ -132,6 +132,9 @@ class TrainingRunner:
             packed_cache_dir=packed_dir,
             checkpoint_dir=getattr(self.training_options, "checkpoint_dir", None),
             mesh=self._make_training_mesh(),
+            device_resident=getattr(
+                self.training_options, "device_resident", False
+            ),
         )
 
     def _make_training_mesh(self):

@@ -405,3 +405,84 @@ class TestMeshDataParallel:
         np.testing.assert_allclose(
             restored.predict_proba(X), clf.predict_proba(X), rtol=1e-6
         )
+
+
+class TestResidentTraining:
+    """Device-resident epochs must be BIT-IDENTICAL to streamed partial_fit
+    on the gathered rows — the gather moves to the device, nothing else."""
+
+    def _data(self, n=600, dim=12, k=4, seed=7):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 3, size=(k, dim)).astype(np.float32)
+        y_idx = rng.integers(0, k, n)
+        X = (centers[y_idx] + rng.normal(0, 0.5, size=(n, dim))).astype(np.float32)
+        y = np.asarray([f"c{i}" for i in y_idx])
+        return X, y
+
+    def test_resident_matches_streamed_bitwise(self):
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        streamed = MLPClassifier((16, 8), learning_rate_init=1e-2,
+                                 random_state=3)
+        resident = MLPClassifier((16, 8), learning_rate_init=1e-2,
+                                 random_state=3)
+        resident.set_resident_features(X)
+        rng = np.random.default_rng(0)
+        for epoch in range(3):
+            order = rng.permutation(len(X))
+            for start in range(0, len(X), 256):
+                idx = order[start:start + 256]
+                streamed.partial_fit(X[idx], y[idx], classes=classes)
+                resident.partial_fit_resident(idx, y[idx], classes=classes)
+        assert streamed.loss_curve_ == resident.loss_curve_
+        for wa, wb in zip(streamed.coefs_, resident.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+        for ba, bb in zip(streamed.intercepts_, resident.intercepts_):
+            np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(
+            streamed.predict_proba(X[:50]), resident.predict_proba(X[:50])
+        )
+
+    def test_resident_with_class_weights_and_padding(self):
+        X, y = self._data(n=130)  # forces a ragged tail mini-batch
+        classes = sorted(set(y.tolist()))
+        weights = {c: 1.0 + i for i, c in enumerate(classes)}
+        streamed = MLPClassifier((8,), random_state=1, class_weight=weights)
+        resident = MLPClassifier((8,), random_state=1, class_weight=weights)
+        resident.set_resident_features(X)
+        idx = np.arange(len(X))
+        streamed.partial_fit(X, y, classes=classes)
+        resident.partial_fit_resident(idx, y, classes=classes)
+        assert streamed.loss_curve_ == resident.loss_curve_
+        for wa, wb in zip(streamed.coefs_, resident.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+
+    def test_guards(self):
+        X, y = self._data(n=20)
+        clf = MLPClassifier((8,), random_state=0)
+        with pytest.raises(ValueError, match="set_resident_features"):
+            clf.partial_fit_resident(np.arange(5), y[:5], classes=sorted(set(y)))
+        clf.set_resident_features(X)
+        with pytest.raises(ValueError, match="out of range"):
+            clf.partial_fit_resident(np.asarray([0, 99]), y[:2],
+                                     classes=sorted(set(y)))
+        with pytest.raises(ValueError, match="labels"):
+            clf.partial_fit_resident(np.asarray([0, 1]), y[:3],
+                                     classes=sorted(set(y)))
+
+    def test_pickle_and_snapshot_drop_or_share_resident(self):
+        import copy
+        import pickle
+
+        X, y = self._data(n=64)
+        clf = MLPClassifier((8,), random_state=0)
+        clf.set_resident_features(X)
+        clf.partial_fit_resident(np.arange(64), y, classes=sorted(set(y)))
+        snap = copy.deepcopy(clf)
+        assert snap._resident_X is clf._resident_X  # shared device buffer
+        clone = pickle.loads(pickle.dumps(clf))
+        assert getattr(clone, "_resident_X", None) is None
+        # Unpickled model still predicts.
+        np.testing.assert_array_equal(
+            clf.predict(X[:10]), clone.predict(X[:10])
+        )

@@ -337,3 +337,56 @@ class TestMeshTrainer:
         _, _, msg_b = sharded(task_labels, nbr_epochs=3, pc_models=[])
         assert msg_a.ref_accs == pytest.approx(msg_b.ref_accs, abs=1e-6)
         assert msg_a.acc == pytest.approx(msg_b.acc, abs=1e-6)
+
+
+class TestDeviceResidentTrainer:
+    """device_resident=True pins the train features on device and gathers
+    per-epoch batches by index — end metrics must be BIT-IDENTICAL to the
+    streamed trainer (house differential style)."""
+
+    def test_resident_matches_streamed(self, task_labels):
+        streamed = SmallNetTrainer(batch_size=64, early_stopping_patience=3)
+        clf_a, _, msg_a = streamed(task_labels, nbr_epochs=6, pc_models=[])
+        resident = SmallNetTrainer(
+            batch_size=64, early_stopping_patience=3, device_resident=True
+        )
+        clf_b, _, msg_b = resident(task_labels, nbr_epochs=6, pc_models=[])
+
+        assert msg_a.ref_accs == msg_b.ref_accs
+        assert streamed._early_stop_info == resident._early_stop_info
+        est_a, est_b = clf_a.estimator, clf_b.estimator
+        assert est_a.loss_curve_ == est_b.loss_curve_
+        for wa, wb in zip(est_a.coefs_, est_b.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+        np.testing.assert_array_equal(
+            clf_a.calibration_a_, clf_b.calibration_a_
+        )
+
+    def test_cross_mode_resume_is_identical(self, task_labels, tmp_path):
+        """A run checkpointed in streamed mode resumes bit-identically in
+        resident mode — the checkpoint carries model state, never data."""
+        straight = SmallNetTrainer(batch_size=64)
+        clf_a, _, msg_a = straight(task_labels, nbr_epochs=5, pc_models=[])
+
+        ckpt = tmp_path / "ckpt"
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_cb(metrics):
+            if metrics["epoch"] == 2:
+                raise Crash()
+
+        interrupted = SmallNetTrainer(
+            batch_size=64, checkpoint_dir=str(ckpt), on_epoch_end=crash_cb
+        )
+        with pytest.raises(Crash):
+            interrupted(task_labels, nbr_epochs=5, pc_models=[])
+
+        resumed = SmallNetTrainer(
+            batch_size=64, checkpoint_dir=str(ckpt), device_resident=True
+        )
+        clf_b, _, msg_b = resumed(task_labels, nbr_epochs=5, pc_models=[])
+        assert msg_a.ref_accs == pytest.approx(msg_b.ref_accs)
+        for wa, wb in zip(clf_a.estimator.coefs_, clf_b.estimator.coefs_):
+            np.testing.assert_array_equal(wa, wb)
