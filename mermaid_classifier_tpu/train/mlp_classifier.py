@@ -201,6 +201,15 @@ def _jitted_forward():
     return jax.jit(fwd)
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_forward_resident():
+    def fwd(params, x_resident, idx):
+        x = jnp.take(x_resident, idx, axis=0)
+        return jax.nn.softmax(_forward_logits(params["W"], params["b"], x), axis=1)
+
+    return jax.jit(fwd)
+
+
 class MLPClassifier:
     """sklearn-MLPClassifier-compatible JAX classifier head.
 
@@ -623,7 +632,10 @@ class MLPClassifier:
                 f"X has {X_arr.shape[1]} features, expected {self.n_features_in_}"
             )
         probs = _jitted_forward()(self._params, jnp.asarray(X_arr))
-        probs_np = np.asarray(probs).astype(np.float64)
+        return self._renormalize_probs(np.asarray(probs).astype(np.float64))
+
+    @staticmethod
+    def _renormalize_probs(probs_np: np.ndarray) -> np.ndarray:
         # Renormalize so each row sums to exactly 1.0 in float64; warn beyond
         # the expected float32 drift bound (reference: torch_classifier.py:349-370).
         row_sums = probs_np.sum(axis=1)
@@ -647,6 +659,29 @@ class MLPClassifier:
 
     def predict(self, X: np.ndarray | list[Any]) -> np.ndarray:
         probs = self._forward_probs(X)
+        return self.classes_[np.argmax(probs, axis=1)]
+
+    def predict_proba_resident(self, indices: np.ndarray) -> np.ndarray:
+        """predict_proba over rows of the resident feature matrix — only
+        the (N, K) probabilities cross back to the host. Same float64
+        renormalization + drift warning as predict_proba."""
+        if not hasattr(self, "_params"):
+            raise RuntimeError(
+                "MLPClassifier is not fitted. Call partial_fit or fit"
+                " before predict/predict_proba."
+            )
+        if getattr(self, "_resident_X", None) is None:
+            raise ValueError("call set_resident_features(X) first.")
+        idx = np.asarray(indices, dtype=np.int32)
+        if idx.ndim != 1:
+            raise ValueError(f"indices must be 1-D, got {idx.shape}")
+        probs = _jitted_forward_resident()(
+            self._params, self._resident_X, jnp.asarray(idx)
+        )
+        return self._renormalize_probs(np.asarray(probs).astype(np.float64))
+
+    def predict_resident(self, indices: np.ndarray) -> np.ndarray:
+        probs = self.predict_proba_resident(indices)
         return self.classes_[np.argmax(probs, axis=1)]
 
     # --- sklearn parameter protocol (lightweight) -------------------------

@@ -310,11 +310,27 @@ class MermaidTrainer:
                 epoch = max(start_epoch - 1, 0)
 
             if self.device_resident and nbr_epochs > start_epoch:
-                # One upload for the whole run (and for a resumed run: the
+                # ONE combined upload for the whole run: [train | ref | val]
+                # rows in canonical layout — training gathers from the train
+                # span and the per-epoch evals + calibration gather from the
+                # ref/val spans (a resumed run re-uploads here too: the
                 # checkpoint stores model state only, never the data buffer).
-                x_all, _ = labels.train.load_all()
-                clf.set_resident_features(x_all)
-                del x_all
+                parts = []
+                self._resident_split_offsets = {}
+                pos = 0
+                for split_name in ("train", "ref", "val"):
+                    split = getattr(labels, split_name)
+                    self._resident_split_offsets[id(split)] = pos
+                    if len(split):
+                        x, _ = split.load_all()
+                        parts.append(x)
+                        pos += len(x)
+                clf.set_resident_features(np.vstack(parts))
+                # Kept so a best-snapshot restored from a CHECKPOINT (which
+                # never carries the data buffer) can be re-attached before
+                # the resident calibration/eval passes below.
+                self._resident_buffer = clf._resident_X
+                del parts
 
             for epoch in range(start_epoch, nbr_epochs):
                 if self.device_resident:
@@ -443,6 +459,13 @@ class MermaidTrainer:
                     best_val_loss if best_val_loss != float("inf") else None
                 ),
             }
+        if (
+            self.device_resident
+            and getattr(self, "_resident_buffer", None) is not None
+            and getattr(clf, "_resident_X", None) is None
+        ):
+            clf._resident_X = self._resident_buffer
+
         # Calibration: stream ref data in batches — O(N*K) accumulation, not
         # O(N*4096) (reference: trainer.py:261-265).
         with _log_entry_and_exit("calibration"):
@@ -484,13 +507,34 @@ class MermaidTrainer:
 
         return clf_calibrated, val_results, return_message
 
+    def _resident_offset(self, labels: ImageLabels) -> int | None:
+        """This split's row offset into the combined resident buffer, or
+        None when the run is not device-resident."""
+        offsets = getattr(self, "_resident_split_offsets", None)
+        if offsets is None:
+            return None
+        return offsets.get(id(labels))
+
+    def _iter_proba_batches(self, clf, labels: ImageLabels):
+        """Yield (proba, y) per batch — device-resident gathers when the
+        split lives in the resident buffer, disk streaming otherwise.
+        Identical batch boundaries and label order either way."""
+        offset = self._resident_offset(labels)
+        if offset is not None:
+            for idx, y in labels.iter_index_batches(batch_size=self.batch_size):
+                yield clf.predict_proba_resident(idx + offset), y
+        else:
+            for x, y in labels.load_data_in_batches(batch_size=self.batch_size):
+                yield clf.predict_proba(x), y
+
     def _calc_acc_batched(self, clf: MLPClassifier, labels: ImageLabels) -> float:
         """Streamed accuracy: only predictions accumulate, not features
         (reference: trainer.py:295-307)."""
         gt: list[str] = []
         pred: list[str] = []
-        for x, y in labels.load_data_in_batches(batch_size=self.batch_size):
-            pred.extend(clf.predict(x))
+        clf_classes = np.asarray(clf.classes_)
+        for proba, y in self._iter_proba_batches(clf, labels):
+            pred.extend(clf_classes[np.argmax(proba, axis=1)])
             gt.extend(y)
         return float(accuracy_score(gt, pred))
 
@@ -504,8 +548,8 @@ class MermaidTrainer:
         (reference: trainer.py:309-342)."""
         gt: list[Any] = []
         all_proba: list[np.ndarray] = []
-        for x, y in labels.load_data_in_batches(batch_size=self.batch_size):
-            all_proba.append(clf.predict_proba(x))
+        for proba, y in self._iter_proba_batches(clf, labels):
+            all_proba.append(proba)
             gt.extend(y)
         proba = np.vstack(all_proba)
         clf_classes = list(clf.classes_)
@@ -526,10 +570,7 @@ class MermaidTrainer:
         all_preds: list[np.ndarray] = []
         all_y: list[np.ndarray] = []
 
-        for x_batch, y_batch in ref_labels.load_data_in_batches(
-            batch_size=self.batch_size
-        ):
-            preds = clf.predict_proba(np.asarray(x_batch))
+        for preds, y_batch in self._iter_proba_batches(clf, ref_labels):
             # Binary: _fit-style calibration expects just the positive-class
             # column (reference: trainer.py:366-374).
             if len(clf.classes_) == 2:

@@ -258,3 +258,37 @@ class TestPackedCacheDifferential:
         x2, y2 = labels.load_all()
         np.testing.assert_array_equal(x1, x2)
         assert y1 == y2
+
+
+class TestIndexBatches:
+    """iter_index_batches must be the exact index twin of
+    load_data_in_batches: same batch boundaries, labels, and — through
+    load_all's canonical layout — the same feature rows."""
+
+    def test_twin_of_data_batches(self, tmp_path):
+        labels, _ = build_synthetic_labels(
+            tmp_path, n_images=12, pts_per_image=7, n_classes=3, dim=6, seed=2
+        )
+        x_all, y_all = labels.load_all()
+        for seed in (None, 0, 3):
+            data_batches = list(
+                labels.load_data_in_batches(batch_size=20, random_seed=seed)
+            )
+            idx_batches = list(
+                labels.iter_index_batches(batch_size=20, random_seed=seed)
+            )
+            assert len(data_batches) == len(idx_batches)
+            for (x, y), (idx, y2) in zip(data_batches, idx_batches):
+                assert y == y2
+                np.testing.assert_array_equal(x, x_all[idx])
+
+    def test_row_ranges_cover_canonical_layout(self, tmp_path):
+        labels, _ = build_synthetic_labels(
+            tmp_path, n_images=5, pts_per_image=4, n_classes=2, dim=4, seed=0
+        )
+        ranges = labels.row_ranges()
+        offset = 0
+        for key in sorted(labels.data.keys()):
+            assert ranges[key] == (offset, len(labels.data[key]))
+            offset += len(labels.data[key])
+        assert offset == labels.label_count
