@@ -180,6 +180,49 @@ def run_bucket(args, config) -> dict:
         }
 
 
+def run_head_training(args) -> dict:
+    """Device-resident head training throughput: production arch
+    (500,300,100) over 4096-dim features, one upload + index-gathered
+    epochs (docs/training.md). Includes all host-side bookkeeping and the
+    per-call loss readback — the number a real trainer run sees."""
+    import numpy as np
+
+    from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+    rng = np.random.default_rng(2)
+    n, dim, k = args.train_rows, 4096, 80
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    y = np.asarray([f"c{i:02d}" for i in rng.integers(0, k, n)])
+    classes = sorted(set(y.tolist()))
+
+    clf = MLPClassifier((500, 300, 100), learning_rate_init=1e-4, random_state=0)
+    t0 = time.perf_counter()
+    clf.set_resident_features(X)
+    import jax
+
+    jax.block_until_ready(clf._resident_X)
+    upload_s = time.perf_counter() - t0
+
+    erng = np.random.default_rng(0)
+    # Epoch 0 compiles; time the remaining epochs (steady state).
+    epochs = args.train_epochs
+    t_start = None
+    for epoch in range(epochs + 1):
+        if epoch == 1:
+            t_start = time.perf_counter()
+        order = erng.permutation(n)
+        for s in range(0, n, 5000):
+            idx = order[s:s + 5000]
+            clf.partial_fit_resident(idx, y[idx], classes=classes)
+    float(np.asarray(clf.coefs_[0]).sum())  # fence
+    elapsed = time.perf_counter() - t_start
+    sps = n * epochs / elapsed
+    log(f"head training (resident): {epochs} epochs x {n} samples in"
+        f" {elapsed:.2f}s -> {sps:,.0f} samples/s (upload {upload_s:.1f}s)")
+    return {"samples_per_sec": sps, "rows": n, "epochs": epochs,
+            "upload_seconds": upload_s}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--points", type=int, default=2048,
@@ -195,6 +238,10 @@ def main() -> None:
     parser.add_argument("--bucket-points", type=int, default=256)
     parser.add_argument("--no-bucket", action="store_true",
                         help="device loop only")
+    parser.add_argument("--no-train", action="store_true",
+                        help="skip the head-training metric")
+    parser.add_argument("--train-rows", type=int, default=10000)
+    parser.add_argument("--train-epochs", type=int, default=3)
     parser.add_argument(
         "--dtype", choices=("bfloat16", "float32"), default="bfloat16",
         help="backbone compute dtype; bfloat16 is the production extraction"
@@ -274,6 +321,9 @@ def main() -> None:
         payload["bucket_vs_device"] = round(
             bucket["patches_per_sec"] / device_pps, 3
         )
+    if not args.no_train:
+        head = run_head_training(args)
+        payload["train_samples_per_sec"] = round(head["samples_per_sec"], 1)
     print(json.dumps(payload))
 
 
