@@ -148,14 +148,26 @@ def _make_resident_epoch_fn(
     b2: float,
     eps: float,
     alpha: float,
+    mesh: Any = None,
 ):
     """The scan-over-minibatches epoch against a DEVICE-RESIDENT feature
     matrix: each step gathers its rows by index on device, so an epoch's
     host->device traffic is O(rows) int32 indices instead of O(rows * dim)
     floats. Arithmetic is identical to _make_epoch_fn — the gather merely
-    replaces the host-side X[order] indexing."""
+    replaces the host-side X[order] indexing.
+
+    With a mesh, the resident matrix is ROW-SHARDED across every device
+    (the capacity story: the full production feature set outgrows one
+    chip's HBM) and each gathered mini-batch is re-sharded by rows so the
+    forward/backward run data-parallel; XLA derives the gather and
+    gradient collectives."""
     del layer_sizes
     opt = _make_optimizer(lr, b1, b2, eps)
+    xb_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        xb_sharding = NamedSharding(mesh, P(mesh.axis_names, None))
 
     def epoch(params, opt_state, x_resident, idxs, ys, ws, ns):
         # x_resident: (N, D) f32 on device; idxs: (n_batches, B) i32 rows.
@@ -163,6 +175,8 @@ def _make_resident_epoch_fn(
             params, opt_state = carry
             idxb, yb, wb, n_real = batch
             xb = jnp.take(x_resident, idxb, axis=0)
+            if xb_sharding is not None:
+                xb = jax.lax.with_sharding_constraint(xb, xb_sharding)
 
             def loss_fn(p):
                 logits = _forward_logits(p["W"], p["b"], xb)
@@ -484,11 +498,26 @@ class MLPClassifier:
         X = np.asarray(X, dtype=np.float32)
         if X.ndim != 2:
             raise ValueError(f"X must be 2D, got shape {X.shape}")
+        self._resident_n_rows = int(X.shape[0])
         if self.mesh is not None:
-            raise ValueError(
-                "resident training is single-device for now; unset mesh."
+            # Row-shard the buffer across the whole mesh: N chips hold N
+            # chips' worth of features (the 4096-dim production set at
+            # full scale outgrows one HBM). Pad rows to the device count;
+            # padding rows are never indexed.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_devices = self.mesh.devices.size
+            pad = -X.shape[0] % n_devices
+            if pad:
+                X = np.concatenate(
+                    [X, np.zeros((pad, X.shape[1]), np.float32)]
+                )
+            self._resident_X = jax.device_put(
+                jnp.asarray(X),
+                NamedSharding(self.mesh, P(self.mesh.axis_names, None)),
             )
-        self._resident_X = jax.device_put(jnp.asarray(X))
+        else:
+            self._resident_X = jax.device_put(jnp.asarray(X))
         return self
 
     def partial_fit_resident(
@@ -506,7 +535,9 @@ class MLPClassifier:
         indices = np.asarray(indices, dtype=np.int32)
         if indices.ndim != 1:
             raise ValueError(f"indices must be 1-D, got {indices.shape}")
-        n_resident = int(self._resident_X.shape[0])
+        n_resident = int(
+            getattr(self, "_resident_n_rows", self._resident_X.shape[0])
+        )
         if indices.size and (
             indices.min() < 0 or indices.max() >= n_resident
         ):
@@ -569,6 +600,20 @@ class MLPClassifier:
         if pad:
             ns[-1] = batch_size - pad
 
+        if self.mesh is not None:
+            # Mini-batch rows must divide the device count for the dp
+            # sharding constraint; extra rows are weight-0 and inert (same
+            # rationale as the streamed mesh path above).
+            n_devices = self.mesh.devices.size
+            row_pad = -batch_size % n_devices
+            if row_pad:
+                idxs = np.concatenate(
+                    [idxs, np.zeros((n_batches, row_pad), np.int32)], axis=1)
+                ys = np.concatenate(
+                    [ys, np.zeros((n_batches, row_pad), np.int32)], axis=1)
+                ws = np.concatenate(
+                    [ws, np.zeros((n_batches, row_pad), np.float32)], axis=1)
+
         epoch_fn = _make_resident_epoch_fn(
             n_batches,
             self._layer_sizes(),
@@ -577,6 +622,7 @@ class MLPClassifier:
             float(self.beta_2),
             float(self.epsilon),
             float(self.alpha),
+            self.mesh,
         )
         self._params, self._opt_state, losses = epoch_fn(
             self._params, self._opt_state, self._resident_X, idxs, ys, ws, ns

@@ -109,8 +109,10 @@ class MermaidTrainer:
         # host->device traffic drops from O(rows x 4096) floats to O(rows)
         # int32s, bit-identical to the streamed path (differential-tested).
         # The TPU-first answer to the reference's per-epoch disk re-read
-        # (reference: trainer.py:138-145). Single-device; ignored with mesh.
-        self.device_resident = bool(device_resident) and mesh is None
+        # (reference: trainer.py:138-145). Composes with a mesh: the buffer
+        # row-shards across every chip (capacity beyond one HBM) and the
+        # gathered mini-batches train data-parallel.
+        self.device_resident = bool(device_resident)
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None

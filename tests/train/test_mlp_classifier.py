@@ -486,3 +486,44 @@ class TestResidentTraining:
         np.testing.assert_array_equal(
             clf.predict(X[:10]), clone.predict(X[:10])
         )
+
+
+class TestResidentMesh:
+    """Resident training over a mesh: the buffer row-shards across every
+    device, gathered mini-batches train data-parallel — numerics must
+    match the single-device resident run."""
+
+    def test_sharded_resident_matches_single_device(self):
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(5)
+        n, dim, k = 300, 16, 3  # n NOT divisible by 8: exercises buffer pad
+        centers = rng.normal(0, 3, size=(k, dim)).astype(np.float32)
+        y_idx = rng.integers(0, k, n)
+        X = (centers[y_idx] + rng.normal(0, 0.5, (n, dim))).astype(np.float32)
+        y = np.asarray([f"c{i}" for i in y_idx])
+        classes = sorted(set(y.tolist()))
+
+        single = MLPClassifier((12,), random_state=2)
+        single.set_resident_features(X)
+        sharded = MLPClassifier((12,), random_state=2,
+                                mesh=make_mesh(8, model_parallel=1))
+        sharded.set_resident_features(X)
+
+        rng2 = np.random.default_rng(1)
+        for _ in range(2):
+            order = rng2.permutation(n)
+            for s in range(0, n, 128):
+                idx = order[s:s + 128]
+                single.partial_fit_resident(idx, y[idx], classes=classes)
+                sharded.partial_fit_resident(idx, y[idx], classes=classes)
+        assert single.loss_curve_ == pytest.approx(
+            sharded.loss_curve_, abs=1e-6
+        )
+        for wa, wb in zip(single.coefs_, sharded.coefs_):
+            np.testing.assert_allclose(wa, wb, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            single.predict_proba_resident(np.arange(64)),
+            sharded.predict_proba_resident(np.arange(64)),
+            rtol=1e-5, atol=1e-6,
+        )
