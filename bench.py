@@ -30,7 +30,31 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_device_loop(args, model, variables, config) -> float:
+def make_backbone_forward(args, model, variables, config):
+    """(variables, patches) -> features for the selected --backbone:
+    'flax' is the nn.Module forward; 'folded' folds BatchNorm into the
+    convs (the measured v5e fast path); 'fused' additionally runs
+    eligible blocks as VMEM-fused Pallas kernels
+    (ops/fused_mbconv.py; kept for measurement)."""
+    if args.backbone == "flax":
+        return model.apply, None
+    from mermaid_classifier_tpu.ops.fused_mbconv import (
+        apply_folded,
+        fold_backbone,
+    )
+    import jax
+
+    folded = jax.device_put(fold_backbone(variables, config))
+
+    def fwd(_variables, patches):
+        return apply_folded(
+            folded, config, patches, fused=args.backbone == "fused"
+        )
+
+    return fwd, folded
+
+
+def run_device_loop(args, fwd, variables, config) -> float:
     """Steady-state jitted step throughput with device-resident inputs."""
     import jax
     import jax.numpy as jnp
@@ -68,7 +92,7 @@ def run_device_loop(args, model, variables, config) -> float:
                 padded, starts, ps, scale, bias,
                 out_dtype=jnp.dtype(config.compute_dtype),
             )
-            return acc + jnp.sum(model.apply(variables, patches)), None
+            return acc + jnp.sum(fwd(variables, patches)), None
 
         acc, _ = jax.lax.scan(body, prev, starts3)
         return acc
@@ -152,6 +176,7 @@ def run_bucket(args, config) -> dict:
         extractor = FeatureExtractor(
             init_backbone_params(0, config), config,
             backbone_batch=args.backbone_batch,
+            backbone_impl=args.backbone,
         )
         # Warm the compiled programs on one image so the timed run measures
         # the pipeline, not XLA compilation.
@@ -243,6 +268,13 @@ def main() -> None:
     parser.add_argument("--train-rows", type=int, default=10000)
     parser.add_argument("--train-epochs", type=int, default=3)
     parser.add_argument(
+        "--backbone", choices=("flax", "folded", "fused"), default="folded",
+        help="backbone schedule: 'folded' (BatchNorm folded into the convs"
+        " — the measured v5e fast path, +10%% over flax;"
+        " docs/perf_roofline.md §3.2), 'flax' (nn.Module forward), or"
+        " 'fused' (adds the Pallas VMEM-fused blocks; measurement only)",
+    )
+    parser.add_argument(
         "--dtype", choices=("bfloat16", "float32"), default="bfloat16",
         help="backbone compute dtype; bfloat16 is the production extraction"
         " fast path, gated on the same >=0.999 cosine check the reference"
@@ -267,11 +299,12 @@ def main() -> None:
     effective_dtype = args.dtype
     gate_cosine = None
 
-    if args.dtype != "float32":
-        # Numerics gate before extracting at reduced precision — the same
-        # discipline as the reference's device-vs-CPU check
-        # (build_feature_bucket.py:451-502), run device-vs-device against
-        # the float32 graph on identical weights.
+    if args.dtype != "float32" or args.backbone != "flax":
+        # Numerics gate before extracting on a reduced-precision or
+        # rescheduled backbone — the same discipline as the reference's
+        # device-vs-CPU check (build_feature_bucket.py:451-502), run
+        # device-vs-device against the float32 flax graph on identical
+        # weights, probing the EXACT forward the loop will time.
         import jax.numpy as jnp
 
         rng = np.random.default_rng(0)
@@ -281,25 +314,32 @@ def main() -> None:
         ps = config.patch_size
         probe = rng.random((8, ps, ps, 3)).astype(np.float32)
         ref = np.asarray(jax.jit(model_f32.apply)(variables, jnp.asarray(probe)))
-        got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(probe)))
+        gate_fwd, _ = make_backbone_forward(args, model, variables, config)
+        got = np.asarray(
+            jax.jit(lambda p: gate_fwd(variables, p))(jnp.asarray(probe))
+        )
         num = np.sum(ref * got, axis=1)
         den = np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
         worst = float(np.min(num / np.maximum(den, 1e-12)))
-        log(f"{args.dtype} numerics gate: min cosine {worst:.6f} vs float32")
+        log(f"{args.dtype}/{args.backbone} numerics gate: min cosine"
+            f" {worst:.6f} vs float32 flax")
         gate_cosine = round(worst, 6)
         if worst < 0.999:
-            # Never abort the bench: fall back to the always-valid f32 path
-            # so a JSON result is still produced (the gate is the production
-            # refusal; the bench's job is to report the best GATED number).
+            # Never abort the bench: fall back to the always-valid f32 flax
+            # path so a JSON result is still produced (the gate is the
+            # production refusal; the bench's job is to report the best
+            # GATED number).
             log(
-                f"{args.dtype} failed the 0.999 cosine gate ({worst:.6f});"
-                " falling back to float32"
+                f"{args.dtype}/{args.backbone} failed the 0.999 cosine gate"
+                f" ({worst:.6f}); falling back to float32 flax"
             )
             config = EfficientNetConfig(compute_dtype="float32")
             model = EfficientNetBackbone(config=config)
             effective_dtype = "float32"
+            args.backbone = "flax"
 
-    device_pps = run_device_loop(args, model, variables, config)
+    fwd, _ = make_backbone_forward(args, model, variables, config)
+    device_pps = run_device_loop(args, fwd, variables, config)
 
     bucket = None
     if not args.no_bucket:
@@ -313,6 +353,7 @@ def main() -> None:
         # Effective dtype actually measured (a failed gate falls back to
         # float32 — visible here, never silent) + the gate evidence.
         "dtype": effective_dtype,
+        "backbone": args.backbone,
         "numerics_gate_cosine": gate_cosine,
     }
     if bucket is not None:

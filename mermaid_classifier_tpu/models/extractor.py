@@ -59,6 +59,7 @@ class FeatureExtractor:
         point_bucket: int = 32,
         image_bucket: int = 256,
         use_pallas: bool | None = None,
+        backbone_impl: str | None = None,
         mesh: Any = None,
     ) -> None:
         self.config = config or EfficientNetConfig()
@@ -79,6 +80,55 @@ class FeatureExtractor:
         # offsets on the current Mosaic stack; see that module's table.
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         self._model = EfficientNetBackbone(config=self.config)
+        # Backbone implementation:
+        #   "folded" — BatchNorm folded into the convs, plain XLA ops: the
+        #              measured v5e fast path (+10% over flax,
+        #              docs/perf_roofline.md §3.2) and the single-device
+        #              default; answers to the same device-numerics gate
+        #              as every optimized path.
+        #   "flax"   — the nn.Module forward (parity reference; the mesh
+        #              path's default — sharding shards this forward).
+        #   "fused"  — folded weights + VMEM-fused Pallas MBConv blocks
+        #              for the eligible stride-1 blocks (ops/fused_mbconv
+        #              .py; kept for measurement — XLA wins in-context).
+        if backbone_impl is None:
+            backbone_impl = "flax" if mesh is not None else "folded"
+        self.backbone_impl = str(backbone_impl)
+        if self.backbone_impl not in ("flax", "folded", "fused"):
+            raise ValueError(
+                f"backbone_impl must be flax|folded|fused,"
+                f" got {self.backbone_impl!r}"
+            )
+        if self.backbone_impl != "flax":
+            if mesh is not None:
+                raise ValueError(
+                    "folded/fused backbone_impl is single-device; the mesh"
+                    " path shards the flax forward."
+                )
+            from mermaid_classifier_tpu.ops.fused_mbconv import (
+                apply_folded,
+                default_interpret,
+                fold_backbone,
+            )
+
+            folded = fold_backbone(variables, self.config)
+            self._folded = jax.device_put(
+                jax.tree.map(jnp.asarray, folded)
+            )
+            run_fused = self.backbone_impl == "fused"
+            interp = default_interpret()
+            cfg = self.config
+
+            def _forward(_variables, patches):
+                return apply_folded(
+                    self._folded, cfg, patches,
+                    fused=run_fused, interpret=interp,
+                )
+
+            self._forward = _forward
+        else:
+            self._folded = None
+            self._forward = self._model.apply
         scale, bias = channel_scale_bias(self.config.mean_rgb, self.config.std_rgb)
         self._scale = jnp.asarray(scale)
         self._bias = jnp.asarray(bias)
@@ -111,7 +161,7 @@ class FeatureExtractor:
             sharded = make_sharded_feature_fn(mesh, variables, self.config)
             self._apply = lambda _vars, patches: sharded(patches)
         else:
-            self._apply = jax.jit(self._model.apply)
+            self._apply = jax.jit(self._forward)
         # Gather emits the trunk's compute dtype so the materialized patch
         # tensor (the pipeline's largest intermediate) is half-size under a
         # bfloat16 trunk.
@@ -143,14 +193,14 @@ class FeatureExtractor:
                         padded, starts, ps, self._scale, self._bias,
                         out_dtype=out_dtype,
                     )
-                    return carry, self._model.apply(variables, patches)
+                    return carry, self._forward(variables, patches)
 
                 _, feats = jax.lax.scan(body, None, starts3)
                 return feats.reshape(-1, feature_dim)
 
             def _backbone_scan(variables, patches3):
                 def body(carry, patches):
-                    return carry, self._model.apply(variables, patches)
+                    return carry, self._forward(variables, patches)
 
                 _, feats = jax.lax.scan(body, None, patches3)
                 return feats.reshape(-1, feature_dim)
@@ -394,11 +444,13 @@ class FeatureExtractor:
         rng = np.random.default_rng(seed)
         patches = rng.random((n_patches, ps, ps, 3)).astype(np.float32)
 
-        # Probe through a direct jit of the configured model (NOT the
-        # mesh-sharded runner, whose divisibility contract is about batch
-        # layout, not numerics — the per-example math is identical).
+        # Probe through a direct jit of the configured forward — including
+        # the folded/fused backbone_impl when selected, so the gate covers
+        # exactly what production will run (NOT the mesh-sharded runner,
+        # whose divisibility contract is about batch layout, not numerics
+        # — the per-example math is identical).
         device_out = np.asarray(
-            jax.jit(self._model.apply)(self.variables, jnp.asarray(patches))
+            jax.jit(self._forward)(self.variables, jnp.asarray(patches))
         )
 
         from dataclasses import replace

@@ -74,6 +74,48 @@ class TestExtractFeatures:
         )
 
 
+class TestBackboneImpl:
+    """The folded/fused backbone implementations are drop-in: same
+    features as the flax forward (fused kernels run interpreted on the
+    CPU test backend; compiled equivalence is the on-chip gate's job)."""
+
+    @pytest.mark.parametrize("impl", ["folded", "fused"])
+    def test_matches_flax(self, extractor, impl):
+        alt = build_extractor(
+            config=TINY, seed=0, backbone_batch=8, point_bucket=4,
+            image_bucket=64, backbone_impl=impl,
+        )
+        rng = np.random.default_rng(11)
+        image = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+        rowcols = np.array([[5, 5], [20, 30], [39, 47]], np.int32)
+        ref = extractor.extract_features(image, rowcols)
+        got = alt.extract_features(image, rowcols)
+        rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-12)
+        assert rel < 1e-4, (impl, rel)
+
+    def test_numerics_gate_covers_configured_impl(self):
+        alt = build_extractor(
+            config=TINY, seed=0, backbone_batch=8, backbone_impl="fused"
+        )
+        assert alt.verify_device_numerics(n_patches=2) > 0.999
+
+    def test_rejects_unknown_impl(self):
+        with pytest.raises(ValueError, match="backbone_impl"):
+            build_extractor(config=TINY, backbone_impl="turbo")
+
+    def test_rejects_mesh_with_fused(self):
+        import jax
+
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+        with pytest.raises(ValueError, match="single-device"):
+            build_extractor(
+                config=TINY, backbone_batch=8, backbone_impl="fused",
+                mesh=mesh,
+            )
+
+
 class TestDeviceNumerics:
     def test_self_check_passes_on_cpu(self, extractor):
         worst = extractor.verify_device_numerics(n_patches=4)

@@ -1,0 +1,267 @@
+"""Fused-MBConv differential battery: the folded-weight forward must match
+the flax backbone, and the Pallas fused blocks (interpreted on the CPU test
+backend — identical kernel logic to compiled TPU mode) must match the
+folded-XLA reference they replace."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.models.efficientnet import (
+    EfficientNetBackbone,
+    EfficientNetConfig,
+    init_backbone_params,
+)
+from mermaid_classifier_tpu.ops.fused_mbconv import (
+    BlockMeta,
+    apply_folded,
+    block_metas,
+    fold_backbone,
+    fusable,
+    fused_mbconv,
+    _block_xla,
+)
+
+# Small-but-real config: every B0 stage topology at 64^2 patches so the
+# whole battery runs in seconds on CPU.
+CONFIG = EfficientNetConfig(
+    compute_dtype="float32", patch_size=64, feature_dim=128
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    variables = init_backbone_params(0, CONFIG)
+    folded = fold_backbone(variables, CONFIG)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    return variables, folded, x
+
+
+class TestFoldedForward:
+    def test_matches_flax_backbone(self, bundle):
+        variables, folded, x = bundle
+        ref = np.asarray(EfficientNetBackbone(config=CONFIG).apply(variables, x))
+        got = np.asarray(apply_folded(folded, CONFIG, x, fused=False))
+        rel = np.abs(ref - got).max() / np.abs(ref).max()
+        assert rel < 1e-5, rel
+
+    def test_block_metas_cover_all_blocks(self):
+        metas = block_metas(CONFIG)
+        assert len(metas) == sum(s[2] for s in CONFIG.stages)
+        # Stride-2 blocks halve the following block's spatial extent.
+        assert metas[1].stride == 2 and metas[2].h == metas[1].h // 2
+        # Every fusable block is stride-1 with an expansion.
+        for m in metas:
+            if fusable(m):
+                assert m.stride == 1 and m.has_expand
+
+
+class TestAlternativeSchedules:
+    """The tap-sum depthwise and im2col stem are pure reschedules of the
+    same math (the measured v5e wins live in docs/perf_roofline.md);
+    every combination must agree with the native-conv folded forward."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"dw_taps_kernels": (5,), "stem_im2col": False},
+            {"dw_taps_kernels": (3, 5), "stem_im2col": False},
+            {"dw_taps_kernels": (), "stem_im2col": True},
+            {"dw_taps_kernels": (3, 5), "stem_im2col": True},
+        ],
+    )
+    def test_matches_native_schedules(self, bundle, kw):
+        _, folded, x = bundle
+        ref = np.asarray(
+            apply_folded(
+                folded, CONFIG, x, dw_taps_kernels=(), stem_im2col=False
+            )
+        )
+        got = np.asarray(apply_folded(folded, CONFIG, x, **kw))
+        rel = np.abs(ref - got).max() / np.abs(ref).max()
+        assert rel < 1e-5, (kw, rel)
+
+    def test_taps_cover_stride2_blocks(self, bundle):
+        """Both k=5 geometries include a stride-2 block; the tap-sum path
+        must reproduce it (strided static slices)."""
+        _, folded, _ = bundle
+        from mermaid_classifier_tpu.ops.fused_mbconv import _dw_taps
+
+        rng = np.random.default_rng(6)
+        for blk in folded["blocks"]:
+            meta: BlockMeta = blk["meta"]
+            if meta.stride != 2:
+                continue
+            z = jnp.asarray(
+                rng.standard_normal(
+                    (2, meta.h, meta.w, meta.mid_channels)
+                ).astype(np.float32)
+            )
+            w_dw, b_dw = blk["depthwise"]
+            p = (meta.kernel - 1) // 2
+            ref = jax.lax.conv_general_dilated(
+                z,
+                w_dw[:, :, :, None].transpose(0, 1, 3, 2),
+                window_strides=(2, 2),
+                padding=((p, p), (p, p)),
+                feature_group_count=meta.mid_channels,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + b_dw
+            got = _dw_taps(z, w_dw, b_dw, meta.kernel, meta.stride)
+            rel = (
+                np.abs(np.asarray(ref) - np.asarray(got)).max()
+                / np.abs(np.asarray(ref)).max()
+            )
+            assert rel < 1e-5, (meta, rel)
+
+
+class TestFusedKernel:
+    def test_full_forward_matches_folded(self, bundle):
+        _, folded, x = bundle
+        ref = np.asarray(apply_folded(folded, CONFIG, x, fused=False))
+        got = np.asarray(
+            apply_folded(folded, CONFIG, x, fused=True, interpret=True)
+        )
+        rel = np.abs(ref - got).max() / np.abs(ref).max()
+        assert rel < 1e-5, rel
+
+    @pytest.mark.parametrize("block_b", [1, 2, 4])
+    def test_single_blocks_match_xla(self, bundle, block_b):
+        """Every fusable geometry (k=3/k=5, residual and not, 16^2..2^2)
+        through the kernel vs the XLA block, at several patch groupings."""
+        _, folded, x = bundle
+        rng = np.random.default_rng(2)
+        seen = set()
+        for blk in folded["blocks"]:
+            meta: BlockMeta = blk["meta"]
+            if not fusable(meta):
+                continue
+            key = (meta.kernel, meta.residual, meta.h, meta.in_channels)
+            if key in seen:
+                continue
+            seen.add(key)
+            xin = jnp.asarray(
+                rng.standard_normal(
+                    (4, meta.h, meta.w, meta.in_channels)
+                ).astype(np.float32)
+            )
+            ref = np.asarray(_block_xla(xin, blk, jnp.float32))
+            got = np.asarray(
+                fused_mbconv(xin, blk, block_b=block_b, interpret=True)
+            )
+            rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-12)
+            assert rel < 1e-5, (key, rel)
+        assert seen, "no fusable blocks exercised"
+
+    def test_flat_padded_layout_matches_masked(self, bundle):
+        """The maskless (zero-columns-between-rows) depthwise layout and
+        the masked compact layout are alternative schedules of the same
+        math; both must reproduce the XLA block."""
+        _, folded, _ = bundle
+        rng = np.random.default_rng(4)
+        checked = 0
+        for blk in folded["blocks"]:
+            meta: BlockMeta = blk["meta"]
+            if not fusable(meta) or meta.h > 8:
+                continue
+            xin = jnp.asarray(
+                rng.standard_normal(
+                    (2, meta.h, meta.w, meta.in_channels)
+                ).astype(np.float32)
+            )
+            ref = np.asarray(_block_xla(xin, blk, jnp.float32))
+            got = np.asarray(
+                fused_mbconv(
+                    xin, blk, dw_layout="flat_padded", interpret=True
+                )
+            )
+            rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-12)
+            assert rel < 1e-5, (meta, rel)
+            checked += 1
+        assert checked >= 3
+
+    def test_bfloat16_accumulator_close_to_float32(self, bundle):
+        """acc_dtype=bfloat16 halves depthwise accumulator traffic; its
+        drift vs the f32 accumulator must stay at bf16-rounding scale on
+        a single block (the production gate arbitrates the full trunk)."""
+        _, folded, _ = bundle
+        blk = next(
+            b for b in folded["blocks"]
+            if fusable(b["meta"]) and b["meta"].kernel == 5
+        )
+        meta = blk["meta"]
+        rng = np.random.default_rng(5)
+        xin = jnp.asarray(
+            rng.standard_normal(
+                (2, meta.h, meta.w, meta.in_channels)
+            ).astype(np.float32),
+            dtype=jnp.bfloat16,
+        )
+        ref = np.asarray(
+            fused_mbconv(xin, blk, acc_dtype=jnp.float32, interpret=True),
+            dtype=np.float32,
+        )
+        got = np.asarray(
+            fused_mbconv(xin, blk, acc_dtype=jnp.bfloat16, interpret=True),
+            dtype=np.float32,
+        )
+        rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-12)
+        assert rel < 0.05, rel
+
+    def test_rejects_stride2(self, bundle):
+        _, folded, x = bundle
+        blk = next(
+            b for b in folded["blocks"] if b["meta"].stride == 2
+        )
+        xin = jnp.zeros((1, blk["meta"].h, blk["meta"].w, blk["meta"].in_channels))
+        with pytest.raises(ValueError, match="stride-1"):
+            fused_mbconv(xin, blk)
+
+    def test_bfloat16_single_block_tracks_xla(self, bundle):
+        """Per-block bfloat16 check: the fused kernel and the XLA block
+        must agree to bf16 rounding on the same block. (Whole-trunk bf16
+        comparisons are meaningless at this toy scale — 16 random-weight
+        blocks amplify bf16 noise until ANY two bf16 paths decorrelate,
+        including folded-XLA vs flax. The absolute 0.999 cosine gate is a
+        production-scale property, enforced on-chip by
+        FeatureExtractor.verify_device_numerics and reported by bench.py.)"""
+        _, folded, _ = bundle
+        rng = np.random.default_rng(3)
+        checked = 0
+        for blk in folded["blocks"]:
+            meta: BlockMeta = blk["meta"]
+            if not fusable(meta):
+                continue
+            xin = jnp.asarray(
+                rng.standard_normal(
+                    (2, meta.h, meta.w, meta.in_channels)
+                ).astype(np.float32),
+                dtype=jnp.bfloat16,
+            )
+            ref = np.asarray(
+                _block_xla(xin, blk, jnp.bfloat16), dtype=np.float32
+            )
+            got = np.asarray(
+                fused_mbconv(xin, blk, interpret=True), dtype=np.float32
+            )
+            rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-12)
+            assert rel < 0.05, (meta, rel)
+            checked += 1
+        assert checked >= 5
+
+    def test_folded_bundle_crosses_jit_boundary(self, bundle):
+        """BlockMeta registers as a static pytree node, so a folded bundle
+        can be a jit argument (weights as device arrays, metas static)."""
+        _, folded, x = bundle
+        df = jax.tree.map(jnp.asarray, folded)
+
+        @jax.jit
+        def fwd(f, x):
+            return apply_folded(f, CONFIG, x, fused=False)
+
+        ref = np.asarray(apply_folded(folded, CONFIG, x, fused=False))
+        got = np.asarray(fwd(df, x))
+        assert np.allclose(ref, got, atol=1e-5)
