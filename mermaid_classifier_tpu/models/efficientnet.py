@@ -95,6 +95,76 @@ class EfficientNetConfig:
         )
 
 
+def _round_filters(channels: int, width_mult: float) -> int:
+    """EfficientNet compound-scaling filter rounding: scale by the width
+    multiplier, snap to a multiple of 8, never drop below 90% of the
+    scaled value (the standard round_filters rule)."""
+    if width_mult == 1.0:
+        return channels
+    scaled = channels * width_mult
+    new = max(8, int(scaled + 4) // 8 * 8)
+    if new < 0.9 * scaled:
+        new += 8
+    return new
+
+
+def _round_repeats(repeats: int, depth_mult: float) -> int:
+    import math
+
+    return int(math.ceil(depth_mult * repeats))
+
+
+# (width_mult, depth_mult, resolution) per variant — the published
+# EfficientNet compound-scaling coefficients.
+VARIANT_COEFFS: dict[str, tuple[float, float, int]] = {
+    "b0": (1.0, 1.0, 224),
+    "b1": (1.0, 1.1, 240),
+    "b2": (1.1, 1.2, 260),
+    "b3": (1.2, 1.4, 300),
+}
+
+
+def variant_config(
+    variant: str = "b0",
+    *,
+    feature_dim: int = 4096,
+    compute_dtype: str = "float32",
+) -> EfficientNetConfig:
+    """EfficientNetConfig for a compound-scaled variant (b0..b3).
+
+    The production contract is B0 (the reference ships a B0 extractor —
+    scripts/build_feature_bucket.py:375-448); larger variants are the
+    framework's growth path: everything downstream (extractor, artifact
+    config round trip, converter) is shape-generic, so a variant swap is
+    a config swap. patch_size follows the variant's native resolution.
+    """
+    key = variant.lower().removeprefix("efficientnet").lstrip("-_")
+    if key not in VARIANT_COEFFS:
+        raise ValueError(
+            f"unknown EfficientNet variant {variant!r};"
+            f" supported: {sorted(VARIANT_COEFFS)}"
+        )
+    w, d, res = VARIANT_COEFFS[key]
+    stages = tuple(
+        (
+            expand,
+            _round_filters(out_ch, w),
+            _round_repeats(repeats, d),
+            stride,
+            kernel,
+        )
+        for expand, out_ch, repeats, stride, kernel in B0_STAGES
+    )
+    return EfficientNetConfig(
+        stem_channels=_round_filters(32, w),
+        stages=stages,
+        head_channels=_round_filters(1280, w),
+        feature_dim=feature_dim,
+        patch_size=res,
+        compute_dtype=compute_dtype,
+    )
+
+
 def _same_pad(kernel: int) -> Sequence[tuple[int, int]]:
     p = (kernel - 1) // 2
     return ((p, p), (p, p))

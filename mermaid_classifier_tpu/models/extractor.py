@@ -92,7 +92,7 @@ class FeatureExtractor:
         #              for the eligible stride-1 blocks (ops/fused_mbconv
         #              .py; kept for measurement — XLA wins in-context).
         if backbone_impl is None:
-            backbone_impl = "flax" if mesh is not None else "folded"
+            backbone_impl = "folded"
         self.backbone_impl = str(backbone_impl)
         if self.backbone_impl not in ("flax", "folded", "fused"):
             raise ValueError(
@@ -100,10 +100,10 @@ class FeatureExtractor:
                 f" got {self.backbone_impl!r}"
             )
         if self.backbone_impl != "flax":
-            if mesh is not None:
+            if mesh is not None and self.backbone_impl == "fused":
                 raise ValueError(
-                    "folded/fused backbone_impl is single-device; the mesh"
-                    " path shards the flax forward."
+                    "fused backbone_impl is single-device; the mesh path"
+                    " shards the folded or flax forward."
                 )
             from mermaid_classifier_tpu.ops.fused_mbconv import (
                 apply_folded,
@@ -158,7 +158,10 @@ class FeatureExtractor:
                     f"backbone_batch={self.backbone_batch} must be divisible"
                     f" by the {n_devices}-device mesh."
                 )
-            sharded = make_sharded_feature_fn(mesh, variables, self.config)
+            sharded = make_sharded_feature_fn(
+                mesh, variables, self.config,
+                backbone_impl=self.backbone_impl,
+            )
             self._apply = lambda _vars, patches: sharded(patches)
         else:
             self._apply = jax.jit(self._forward)

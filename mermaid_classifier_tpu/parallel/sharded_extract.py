@@ -27,27 +27,56 @@ def make_sharded_feature_fn(
     mesh: Mesh,
     variables: Any,
     config: EfficientNetConfig | None = None,
+    *,
+    backbone_impl: str = "folded",
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``patches (N, ps, ps, 3) -> features (N, D)`` with the batch
     sharded over every device in ``mesh`` and the backbone replicated.
+
+    The per-shard forward follows ``backbone_impl``: "folded" (the
+    BN-folded single-device fast path — docs/perf_roofline.md §3.2; the
+    fold is batch-independent, so sharding the batch axis composes with
+    it unchanged) or "flax" (the nn.Module forward, the parity
+    reference).
 
     N must be divisible by the total device count (the extractor's
     fixed-batch bucketing upstream guarantees this; see
     models/extractor.py point_bucket/backbone_batch discipline).
     """
     config = config or EfficientNetConfig()
-    model = EfficientNetBackbone(config=config)
+
+    if backbone_impl == "folded":
+        from mermaid_classifier_tpu.ops.fused_mbconv import (
+            apply_folded,
+            fold_backbone,
+        )
+
+        folded = jax.tree.map(jnp.asarray, fold_backbone(variables, config))
+
+        def forward(params, patches):
+            return apply_folded(params, config, patches)
+
+        params = folded
+    elif backbone_impl == "flax":
+        model = EfficientNetBackbone(config=config)
+        forward = model.apply
+        params = variables
+    else:
+        raise ValueError(
+            f"backbone_impl must be folded|flax for the sharded forward,"
+            f" got {backbone_impl!r}"
+        )
 
     batch_spec = P((DATA_AXIS, MODEL_AXIS))
     batch_sharding = NamedSharding(mesh, batch_spec)
     replicated = NamedSharding(mesh, P())
 
     variables = jax.device_put(
-        variables, jax.tree.map(lambda _: replicated, variables)
+        params, jax.tree.map(lambda _: replicated, params)
     )
 
     apply_sharded = jax.jit(
-        model.apply,
+        forward,
         in_shardings=(jax.tree.map(lambda _: replicated, variables), batch_sharding),
         out_shardings=batch_sharding,
     )

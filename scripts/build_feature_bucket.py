@@ -72,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
         help="EfficientNetConfig.to_dict() JSON path overriding the"
         " production B0 (integration tests / alternative backbones)",
     )
+    parser.add_argument(
+        "--backbone-variant", default=None,
+        choices=("b0", "b1", "b2", "b3"),
+        help="compound-scaled EfficientNet preset (default: production"
+        " b0); mutually exclusive with --backbone-config-json",
+    )
+    parser.add_argument(
+        "--backbone-impl", default=None,
+        choices=("folded", "flax", "fused"),
+        help="backbone schedule (default: BN-folded fast path on a single"
+        " device, flax under --mesh-devices; docs/perf_roofline.md §3.2)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -109,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
 
     config = None
     if args.backbone_config_json:
+        if args.backbone_variant:
+            parser.error(
+                "--backbone-variant and --backbone-config-json are mutually"
+                " exclusive"
+            )
         import json
 
         from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
@@ -119,13 +136,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.compute_dtype is not None:
             config_dict["compute_dtype"] = args.compute_dtype
         config = EfficientNetConfig.from_dict(config_dict)
+    elif args.backbone_variant:
+        from mermaid_classifier_tpu.models.efficientnet import variant_config
+
+        config = variant_config(
+            args.backbone_variant,
+            compute_dtype=args.compute_dtype or "float32",
+        )
     elif args.compute_dtype is not None and args.compute_dtype != "float32":
         from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
 
         config = EfficientNetConfig(compute_dtype=args.compute_dtype)
 
     extractor = build_extractor(
-        weights, config=config, backbone_batch=args.backbone_batch, mesh=mesh
+        weights, config=config, backbone_batch=args.backbone_batch, mesh=mesh,
+        backbone_impl=args.backbone_impl,
     )
     builder = FeatureBucketBuilder(
         get_default_store(),

@@ -180,3 +180,66 @@ class TestComputeDtype:
         d = cfg.to_dict()
         del d["compute_dtype"]
         assert EfficientNetConfig.from_dict(d).compute_dtype == "float32"
+
+
+class TestVariantConfigs:
+    """Compound-scaled variant presets (b0..b3): the published width/depth
+    tables, artifact-config round trips, and shape-generic forwards."""
+
+    def test_published_tables(self):
+        from mermaid_classifier_tpu.models.efficientnet import variant_config
+
+        expected = {
+            "b0": (32, 1280, 224, [16, 24, 40, 80, 112, 192, 320],
+                   [1, 2, 2, 3, 3, 4, 1]),
+            "b1": (32, 1280, 240, [16, 24, 40, 80, 112, 192, 320],
+                   [2, 3, 3, 4, 4, 5, 2]),
+            "b2": (32, 1408, 260, [16, 24, 48, 88, 120, 208, 352],
+                   [2, 3, 3, 4, 4, 5, 2]),
+            "b3": (40, 1536, 300, [24, 32, 48, 96, 136, 232, 384],
+                   [2, 3, 3, 5, 5, 6, 2]),
+        }
+        for name, (stem, head, res, widths, depths) in expected.items():
+            cfg = variant_config(name)
+            assert cfg.stem_channels == stem, name
+            assert cfg.head_channels == head, name
+            assert cfg.patch_size == res, name
+            assert [s[1] for s in cfg.stages] == widths, name
+            assert [s[2] for s in cfg.stages] == depths, name
+
+    def test_name_normalization_and_unknown(self):
+        import pytest
+
+        from mermaid_classifier_tpu.models.efficientnet import variant_config
+
+        assert variant_config("EfficientNet-B2") == variant_config("b2")
+        with pytest.raises(ValueError, match="variant"):
+            variant_config("b9")
+
+    def test_variant_forward_shapes_and_fold(self):
+        """b1 traces end to end (eval_shape only — no device compute) and
+        the BN-folding path consumes the scaled topology unchanged."""
+        import jax
+
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetBackbone,
+            init_backbone_params,
+            variant_config,
+        )
+        from mermaid_classifier_tpu.ops.fused_mbconv import (
+            block_metas,
+            fold_backbone,
+        )
+
+        cfg = variant_config("b1", feature_dim=4096)
+        variables = init_backbone_params(0, cfg)
+        model = EfficientNetBackbone(config=cfg)
+        out = jax.eval_shape(
+            model.apply,
+            variables,
+            jax.ShapeDtypeStruct((2, cfg.patch_size, cfg.patch_size, 3), jnp.float32),
+        )
+        assert out.shape == (2, 4096)
+        folded = fold_backbone(variables, cfg)
+        assert len(folded["blocks"]) == sum(s[2] for s in cfg.stages)
+        assert block_metas(cfg)[0].h == cfg.patch_size // 2
