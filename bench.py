@@ -36,26 +36,32 @@ def make_backbone_forward(args, model, variables, config):
     convs (the measured v5e fast path); 'fused' additionally runs
     eligible blocks as VMEM-fused Pallas kernels
     (ops/fused_mbconv.py; kept for measurement)."""
-    if args.backbone == "flax":
-        return model.apply, None
-    from mermaid_classifier_tpu.ops.fused_mbconv import (
-        apply_folded,
-        fold_backbone,
-    )
     import jax
 
-    folded = jax.device_put(fold_backbone(variables, config))
+    if args.backbone == "flax":
+        return model.apply, jax.device_put(variables)
+    from mermaid_classifier_tpu.ops.fused_mbconv import (
+        apply_folded,
+        default_interpret,
+        fold_backbone,
+    )
 
-    def fwd(_variables, patches):
+    folded = jax.device_put(fold_backbone(variables, config))
+    interp = default_interpret()
+
+    def fwd(weights, patches):
         return apply_folded(
-            folded, config, patches, fused=args.backbone == "fused"
+            weights, config, patches,
+            fused=args.backbone == "fused", interpret=interp,
         )
 
     return fwd, folded
 
 
-def run_device_loop(args, fwd, variables, config) -> float:
-    """Steady-state jitted step throughput with device-resident inputs."""
+def run_device_loop(args, fwd, weights, config) -> float:
+    """Steady-state jitted step throughput with device-resident inputs.
+    ``weights`` is the exact pytree ``fwd`` consumes (folded bundle or
+    flax variables), already on device."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -80,7 +86,7 @@ def run_device_loop(args, fwd, variables, config) -> float:
     n_chunks = args.points // chunk
 
     @jax.jit
-    def step(prev, variables, padded, starts3, scale, bias):
+    def step(prev, weights, padded, starts3, scale, bias):
         # Chunk-scanned gather+backbone: one program per step, chunks sized
         # to the measured v5e sweet spot (docs/perf_roofline.md). The carry
         # chains steps so the single final readback fences ALL of them:
@@ -92,7 +98,7 @@ def run_device_loop(args, fwd, variables, config) -> float:
                 padded, starts, ps, scale, bias,
                 out_dtype=jnp.dtype(config.compute_dtype),
             )
-            return acc + jnp.sum(fwd(variables, patches)), None
+            return acc + jnp.sum(fwd(weights, patches)), None
 
         acc, _ = jax.lax.scan(body, prev, starts3)
         return acc
@@ -107,7 +113,7 @@ def run_device_loop(args, fwd, variables, config) -> float:
         )
         for _ in range(n_inputs)
     ]
-    dv = jax.device_put(variables)
+    dv = jax.device_put(weights)
     dp = jnp.asarray(padded)
     ds = jnp.asarray(scale)
     db = jnp.asarray(bias)
@@ -314,9 +320,11 @@ def main() -> None:
         ps = config.patch_size
         probe = rng.random((8, ps, ps, 3)).astype(np.float32)
         ref = np.asarray(jax.jit(model_f32.apply)(variables, jnp.asarray(probe)))
-        gate_fwd, _ = make_backbone_forward(args, model, variables, config)
+        gate_fwd, gate_weights = make_backbone_forward(
+            args, model, variables, config
+        )
         got = np.asarray(
-            jax.jit(lambda p: gate_fwd(variables, p))(jnp.asarray(probe))
+            jax.jit(gate_fwd)(gate_weights, jnp.asarray(probe))
         )
         num = np.sum(ref * got, axis=1)
         den = np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
@@ -337,9 +345,17 @@ def main() -> None:
             model = EfficientNetBackbone(config=config)
             effective_dtype = "float32"
             args.backbone = "flax"
+            fwd = weights = None
+        else:
+            # Gate passed: the probed forward IS the one to time — reuse
+            # it rather than folding/uploading the weights a second time.
+            fwd, weights = gate_fwd, gate_weights
+    else:
+        fwd = weights = None
 
-    fwd, _ = make_backbone_forward(args, model, variables, config)
-    device_pps = run_device_loop(args, fwd, variables, config)
+    if fwd is None:
+        fwd, weights = make_backbone_forward(args, model, variables, config)
+    device_pps = run_device_loop(args, fwd, weights, config)
 
     bucket = None
     if not args.no_bucket:

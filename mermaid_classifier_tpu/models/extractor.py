@@ -63,12 +63,6 @@ class FeatureExtractor:
         mesh: Any = None,
     ) -> None:
         self.config = config or EfficientNetConfig()
-        # Pin the weights on device ONCE: production weight bundles arrive as
-        # host numpy arrays, and passing those to a jitted call re-uploads
-        # the full parameter set every dispatch (hundreds of ms through a
-        # tunneled backend; measured in docs/perf_roofline.md).
-        if mesh is None:
-            variables = jax.device_put(variables)
         self.variables = variables
         self.backbone_batch = int(backbone_batch)
         self.point_bucket = int(point_bucket)
@@ -80,17 +74,17 @@ class FeatureExtractor:
         # offsets on the current Mosaic stack; see that module's table.
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         self._model = EfficientNetBackbone(config=self.config)
-        # Backbone implementation:
+        # Backbone implementation (default everywhere: "folded"):
         #   "folded" — BatchNorm folded into the convs, plain XLA ops: the
         #              measured v5e fast path (+10% over flax,
-        #              docs/perf_roofline.md §3.2) and the single-device
-        #              default; answers to the same device-numerics gate
-        #              as every optimized path.
-        #   "flax"   — the nn.Module forward (parity reference; the mesh
-        #              path's default — sharding shards this forward).
+        #              docs/perf_roofline.md §3.2); answers to the same
+        #              device-numerics gate as every optimized path. Under
+        #              a mesh the folded forward is what gets sharded.
+        #   "flax"   — the nn.Module forward (parity reference).
         #   "fused"  — folded weights + VMEM-fused Pallas MBConv blocks
         #              for the eligible stride-1 blocks (ops/fused_mbconv
-        #              .py; kept for measurement — XLA wins in-context).
+        #              .py; kept for measurement — XLA wins in-context);
+        #              single-device only.
         if backbone_impl is None:
             backbone_impl = "folded"
         self.backbone_impl = str(backbone_impl)
@@ -99,6 +93,15 @@ class FeatureExtractor:
                 f"backbone_impl must be flax|folded|fused,"
                 f" got {self.backbone_impl!r}"
             )
+        # self._forward(weights, patches) is the configured forward and
+        # self._weights is the EXACT pytree it consumes, pinned on device
+        # ONCE for the single-device path: production bundles arrive as
+        # host numpy, and passing those to a jitted call re-uploads the
+        # full parameter set every dispatch (hundreds of ms through a
+        # tunneled backend; docs/perf_roofline.md). Folding happens on the
+        # HOST bundle first so the flax variables are never shipped to the
+        # device just to be ignored.
+        folded_host = None
         if self.backbone_impl != "flax":
             if mesh is not None and self.backbone_impl == "fused":
                 raise ValueError(
@@ -111,24 +114,28 @@ class FeatureExtractor:
                 fold_backbone,
             )
 
-            folded = fold_backbone(variables, self.config)
-            self._folded = jax.device_put(
-                jax.tree.map(jnp.asarray, folded)
-            )
+            folded_host = fold_backbone(variables, self.config)
             run_fused = self.backbone_impl == "fused"
             interp = default_interpret()
             cfg = self.config
 
-            def _forward(_variables, patches):
+            def _forward(weights, patches):
                 return apply_folded(
-                    self._folded, cfg, patches,
+                    weights, cfg, patches,
                     fused=run_fused, interpret=interp,
                 )
 
             self._forward = _forward
+            self._weights = (
+                jax.device_put(jax.tree.map(jnp.asarray, folded_host))
+                if mesh is None
+                else folded_host  # the sharded fn pins its own replicas
+            )
         else:
-            self._folded = None
             self._forward = self._model.apply
+            self._weights = (
+                jax.device_put(variables) if mesh is None else variables
+            )
         scale, bias = channel_scale_bias(self.config.mean_rgb, self.config.std_rgb)
         self._scale = jnp.asarray(scale)
         self._bias = jnp.asarray(bias)
@@ -161,6 +168,7 @@ class FeatureExtractor:
             sharded = make_sharded_feature_fn(
                 mesh, variables, self.config,
                 backbone_impl=self.backbone_impl,
+                prefolded=folded_host,
             )
             self._apply = lambda _vars, patches: sharded(patches)
         else:
@@ -332,12 +340,12 @@ class FeatureExtractor:
         if self._backbone_scan is not None and n_chunks > 1:
             # One program scanning fixed chunks (see __init__ note).
             feats = self._backbone_scan(
-                self.variables, patches.reshape(n_chunks, bb, *patches.shape[1:])
+                self._weights, patches.reshape(n_chunks, bb, *patches.shape[1:])
             )
             return feats[:n]
         outs = []
         for i in range(0, n_pad, bb):
-            outs.append(self._apply(self.variables, patches[i : i + bb]))
+            outs.append(self._apply(self._weights, patches[i : i + bb]))
         return jnp.concatenate(outs)[:n] if len(outs) > 1 else outs[0][:n]
 
     def features_for_patches(self, patches: jnp.ndarray) -> np.ndarray:
@@ -384,7 +392,7 @@ class FeatureExtractor:
             padded = self._pad_on_device(jnp.asarray(raw), hp=hp, wp=wp)
             starts = self._pad_starts(rowcols, self.backbone_batch)
             starts3 = starts.reshape(-1, self.backbone_batch, 2)
-            feats = self._fused_scan(self.variables, padded, jnp.asarray(starts3))
+            feats = self._fused_scan(self._weights, padded, jnp.asarray(starts3))
             return feats[:n]
         patches = self.extract_patches(image, rowcols)
         return self.features_for_patches_device(patches)
@@ -453,7 +461,7 @@ class FeatureExtractor:
         # whose divisibility contract is about batch layout, not numerics
         # — the per-example math is identical).
         device_out = np.asarray(
-            jax.jit(self._forward)(self.variables, jnp.asarray(patches))
+            jax.jit(self._forward)(self._weights, jnp.asarray(patches))
         )
 
         from dataclasses import replace

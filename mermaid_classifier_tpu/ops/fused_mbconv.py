@@ -122,7 +122,10 @@ def block_metas(config: EfficientNetConfig) -> list[BlockMeta]:
                 )
             )
             if s == 2:
-                h = h // 2
+                # Symmetric-pad stride-2 convs emit ceil(h/2) (p=(k-1)//2:
+                # out = floor((h-1)/2)+1) — floor would mis-size every
+                # block after an odd-size transition (b1..b3 resolutions).
+                h = -(-h // 2)
             in_ch = out_ch
     return metas
 

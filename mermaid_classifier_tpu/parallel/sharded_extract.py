@@ -29,6 +29,7 @@ def make_sharded_feature_fn(
     config: EfficientNetConfig | None = None,
     *,
     backbone_impl: str = "folded",
+    prefolded: Any = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``patches (N, ps, ps, 3) -> features (N, D)`` with the batch
     sharded over every device in ``mesh`` and the backbone replicated.
@@ -51,7 +52,11 @@ def make_sharded_feature_fn(
             fold_backbone,
         )
 
-        folded = jax.tree.map(jnp.asarray, fold_backbone(variables, config))
+        # prefolded lets a caller that already folded the bundle (the
+        # extractor) skip a second host-side fold.
+        folded = prefolded if prefolded is not None else fold_backbone(
+            variables, config
+        )
 
         def forward(params, patches):
             return apply_folded(params, config, patches)

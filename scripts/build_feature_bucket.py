@@ -81,8 +81,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--backbone-impl", default=None,
         choices=("folded", "flax", "fused"),
-        help="backbone schedule (default: BN-folded fast path on a single"
-        " device, flax under --mesh-devices; docs/perf_roofline.md §3.2)",
+        help="backbone schedule (default: the BN-folded fast path, single"
+        " device or sharded; docs/perf_roofline.md §3.2)",
     )
     args = parser.parse_args(argv)
 

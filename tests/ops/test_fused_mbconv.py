@@ -47,6 +47,26 @@ class TestFoldedForward:
         rel = np.abs(ref - got).max() / np.abs(ref).max()
         assert rel < 1e-5, rel
 
+    def test_odd_spatial_transitions(self):
+        """Stride-2 with symmetric padding emits ceil(h/2); odd
+        intermediate sizes (every b1-b3 resolution hits some) must flow
+        through block_metas, the folded forward, AND the fused kernels
+        without geometry drift vs flax."""
+        from dataclasses import replace
+
+        cfg = replace(CONFIG, patch_size=60)  # 60 -> 30 -> 15 -> 8 -> 4 -> 2
+        variables = init_backbone_params(0, cfg)
+        metas = block_metas(cfg)
+        assert {m.h for m in metas} >= {30, 15, 8}
+        folded = fold_backbone(variables, cfg)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 60, 60, 3)).astype(np.float32))
+        ref = np.asarray(EfficientNetBackbone(config=cfg).apply(variables, x))
+        for kw in ({}, {"fused": True, "interpret": True}):
+            got = np.asarray(apply_folded(folded, cfg, x, **kw))
+            rel = np.abs(ref - got).max() / np.abs(ref).max()
+            assert rel < 1e-5, (kw, rel)
+
     def test_block_metas_cover_all_blocks(self):
         metas = block_metas(CONFIG)
         assert len(metas) == sum(s[2] for s in CONFIG.stages)

@@ -125,9 +125,14 @@ class TestShardedHeadTrainer(unittest.TestCase):
 
 class TestShardedExtract(unittest.TestCase):
     def test_matches_unsharded_backbone(self):
+        # Pin the flax impl on BOTH sides so the differential isolates
+        # sharding alone (folded-vs-flax schedule equivalence is pinned
+        # separately in tests/ops and tests/models).
         mesh = make_mesh(8)
         variables = init_backbone_params(0, TINY_CONFIG)
-        run = make_sharded_feature_fn(mesh, variables, TINY_CONFIG)
+        run = make_sharded_feature_fn(
+            mesh, variables, TINY_CONFIG, backbone_impl="flax"
+        )
         patches = (
             np.random.default_rng(0)
             .standard_normal((16, 32, 32, 3))
@@ -138,6 +143,31 @@ class TestShardedExtract(unittest.TestCase):
         model = EfficientNetBackbone(config=TINY_CONFIG)
         ref_out = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(patches)))
         np.testing.assert_allclose(sharded_out, ref_out, rtol=1e-4, atol=1e-5)
+
+    def test_folded_sharded_matches_folded_single(self):
+        """The default sharded schedule (folded) against the same folded
+        forward on one device: sharding must not move the numbers."""
+        from mermaid_classifier_tpu.ops.fused_mbconv import (
+            apply_folded,
+            fold_backbone,
+        )
+
+        mesh = make_mesh(8)
+        variables = init_backbone_params(0, TINY_CONFIG)
+        run = make_sharded_feature_fn(mesh, variables, TINY_CONFIG)
+        patches = (
+            np.random.default_rng(1)
+            .standard_normal((16, 32, 32, 3))
+            .astype(np.float32)
+        )
+        sharded_out = np.asarray(run(jnp.asarray(patches)))
+        folded = fold_backbone(variables, TINY_CONFIG)
+        ref_out = np.asarray(
+            jax.jit(lambda p: apply_folded(folded, TINY_CONFIG, p))(
+                jnp.asarray(patches)
+            )
+        )
+        np.testing.assert_allclose(sharded_out, ref_out, rtol=1e-5, atol=1e-6)
 
     def test_rejects_indivisible_batch(self):
         mesh = make_mesh(8)
