@@ -263,8 +263,11 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--image-size", type=int, default=1536)
-    parser.add_argument("--backbone-batch", type=int, default=1024,
-                        help="extractor batch for the bucket mode")
+    parser.add_argument("--backbone-batch", type=int, default=128,
+                        help="extractor chunk for the bucket mode (points pad"
+                        " up to a multiple of this; 128 is the measured v5e"
+                        " sweet spot, and larger values waste padded compute"
+                        " when --bucket-points is smaller)")
     parser.add_argument("--bucket-images", type=int, default=24)
     parser.add_argument("--bucket-points", type=int, default=256)
     parser.add_argument("--no-bucket", action="store_true",

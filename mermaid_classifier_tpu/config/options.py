@@ -62,7 +62,9 @@ class TrainingOptions:
     checkpoint_dir: str | None = None
     # Pin the train features on device once and gather per-epoch batches by
     # index on device — bit-identical to streaming, with per-epoch H2D cut
-    # to O(rows) indices. Single-device; ignored under a train mesh.
+    # to O(rows) indices. Composes with a train mesh: the resident buffer
+    # is row-sharded across every chip's HBM and mini-batches re-shard for
+    # data-parallel compute (train/mlp_classifier.set_resident_features).
     device_resident: bool = False
 
 

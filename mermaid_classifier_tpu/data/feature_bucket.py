@@ -230,7 +230,12 @@ class FeatureBucketBuilder:
             with result_lock:
                 result.images_failed += 1
                 result.failures.append((image_id, str(exc)))
-                self._record_failure(source_id, image_id, str(exc))
+                try:
+                    self._record_failure(source_id, image_id, str(exc))
+                except Exception:  # noqa: BLE001 - the log is best-effort
+                    logger.exception(
+                        "failure-log write failed for image %s", image_id
+                    )
             logger.warning(
                 "source %s image %s failed: %s", source_id, image_id, exc
             )
@@ -247,10 +252,19 @@ class FeatureBucketBuilder:
             with result_lock:
                 result.images_done += 1
                 result.points_done += n_points
-                self._record_progress(
-                    {"source_id": source_id, "image_id": image_id,
-                     "points": n_points}
-                )
+                try:
+                    self._record_progress(
+                        {"source_id": source_id, "image_id": image_id,
+                         "points": n_points}
+                    )
+                except Exception:  # noqa: BLE001
+                    # The bucket (not the log) is the progress truth: the
+                    # features ARE written, so a failing progress-log write
+                    # (e.g. full disk) must neither mark the image failed
+                    # nor escape into the writer loop.
+                    logger.exception(
+                        "progress-log write failed for image %s", image_id
+                    )
 
         # The main thread only decodes->dispatches; a dedicated writer thread
         # drains (readback + store write) from a depth-2 queue. Host decode,
@@ -270,11 +284,17 @@ class FeatureBucketBuilder:
                 try:
                     finalize(pending)
                 except Exception as exc:  # noqa: BLE001 - writer must survive
-                    # finalize isolates write failures itself; this guards
-                    # the bookkeeping around it (e.g. a full disk killing the
-                    # progress log). A dead writer would deadlock the bounded
-                    # queue, so record and continue instead.
-                    record_failure(pending[0], exc)
+                    # finalize isolates per-image write AND log failures
+                    # itself; this is the last line of defense. A dead
+                    # writer would deadlock the bounded queue, so even a
+                    # failing record_failure must not escape.
+                    try:
+                        record_failure(pending[0], exc)
+                    except Exception:  # noqa: BLE001
+                        logger.exception(
+                            "failure bookkeeping failed for image %s",
+                            pending[0],
+                        )
 
         writer_thread = Thread(target=writer, daemon=True)
         writer_thread.start()

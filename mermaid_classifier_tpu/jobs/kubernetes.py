@@ -43,8 +43,18 @@ def _label_safe(value: str) -> str:
 def _name_safe(value: str) -> str:
     """Job names are DNS-1123 labels: lowercase alphanumerics and '-',
     start/end alphanumeric, max 63 — stricter than label VALUES
-    ('_' and '.' are label-legal but name-illegal)."""
-    cleaned = _NAME_BAD.sub("-", str(value).lower())[:63].strip("-")
+    ('_' and '.' are label-legal but name-illegal).
+
+    Truncation must not collapse distinct requests onto one Job name
+    (a long run_id would otherwise cut off the per-worker -wN suffix,
+    making worker 1 and workers 10..19 the same Job): names over the
+    limit keep a deterministic hash of the FULL value as a suffix."""
+    import zlib
+
+    cleaned = _NAME_BAD.sub("-", str(value).lower()).strip("-")
+    if len(cleaned) > 63:
+        suffix = f"-{zlib.crc32(cleaned.encode()):08x}"
+        cleaned = cleaned[: 63 - len(suffix)].rstrip("-") + suffix
     return cleaned or "job"
 
 

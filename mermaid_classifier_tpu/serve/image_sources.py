@@ -85,10 +85,12 @@ class ImageFetcher:
     """Resolve an image spec to a decoded RGB array.
 
     Spec forms (reference: annotation.py:201-212):
-    - a local file path;
+    - a local file path (an existing file always wins, even when its name
+      is all digits);
     - ``store://<bucket>/<key>`` — fetched through the object store;
-    - an integer (or all-digits string) — a CoralNet image ID, resolved
-      through the cache dir first, then the injectable transport.
+    - an integer (or an all-digits string naming no existing file) — a
+      CoralNet image ID, resolved through the cache dir first, then the
+      injectable transport.
     """
 
     def __init__(
@@ -103,7 +105,12 @@ class ImageFetcher:
         self._coralnet_transport = coralnet_transport or scrape_coralnet_image
 
     def fetch(self, spec: str | int | Path) -> np.ndarray:
-        if isinstance(spec, int) or re.fullmatch(r"\d+", str(spec)):
+        # An existing local file always wins over the CoralNet-ID reading
+        # of an all-digits spec: a digit-named file must never trigger a
+        # network scrape (int specs are unambiguous IDs).
+        if isinstance(spec, int) or (
+            re.fullmatch(r"\d+", str(spec)) and not Path(str(spec)).exists()
+        ):
             return self._fetch_coralnet(int(spec))
         spec = str(spec)
         if spec.startswith("store://"):

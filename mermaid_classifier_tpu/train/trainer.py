@@ -311,6 +311,12 @@ class MermaidTrainer:
                 # runs; keep `epoch` pointing at the last completed epoch.
                 epoch = max(start_epoch - 1, 0)
 
+            # Per-call reset: stale offsets/buffers from a previous __call__
+            # must never leak into this one (e.g. a resumed run whose budget
+            # is already exhausted skips the upload below and then streams
+            # its evals from disk — correct, just not resident).
+            self._resident_split_offsets = None
+            self._resident_buffer = None
             if self.device_resident and nbr_epochs > start_epoch:
                 # ONE combined upload for the whole run: [train | ref | val]
                 # rows in canonical layout — training gathers from the train
@@ -318,11 +324,14 @@ class MermaidTrainer:
                 # ref/val spans (a resumed run re-uploads here too: the
                 # checkpoint stores model state only, never the data buffer).
                 parts = []
+                # Offsets hold a STRONG reference to each split object and
+                # match by identity, so a recycled id() can never alias a
+                # stale entry onto a new split.
                 self._resident_split_offsets = {}
                 pos = 0
                 for split_name in ("train", "ref", "val"):
                     split = getattr(labels, split_name)
-                    self._resident_split_offsets[id(split)] = pos
+                    self._resident_split_offsets[split_name] = (split, pos)
                     if len(split):
                         x, _ = split.load_all()
                         parts.append(x)
@@ -513,9 +522,12 @@ class MermaidTrainer:
         """This split's row offset into the combined resident buffer, or
         None when the run is not device-resident."""
         offsets = getattr(self, "_resident_split_offsets", None)
-        if offsets is None:
+        if not offsets:
             return None
-        return offsets.get(id(labels))
+        for split_obj, pos in offsets.values():
+            if split_obj is labels:
+                return pos
+        return None
 
     def _iter_proba_batches(self, clf, labels: ImageLabels):
         """Yield (proba, y) per batch — device-resident gathers when the

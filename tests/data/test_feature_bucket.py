@@ -107,6 +107,23 @@ class TestFeatureBucket:
         assert result.images_done == 2
         assert result.images_skipped == 0
 
+    def test_progress_log_failure_does_not_fail_images(self, populated, tmp_path):
+        """The bucket, not the log, is the progress truth: a progress-log
+        write failure (e.g. full disk) must neither mark images failed nor
+        kill the writer thread (which would deadlock the bounded queue)."""
+        builder = make_builder(populated, tmp_path)
+
+        def broken_progress(record):
+            raise OSError("disk full")
+
+        builder._record_progress = broken_progress
+        result = builder.process_source("1")
+        assert result.images_done == 2
+        assert result.images_failed == 0
+        # Features really are in the bucket despite the dead log.
+        rowcols, _ = read_feature_file_from_store(populated, "1", "10")
+        assert rowcols.shape == (2, 2)
+
     def test_per_image_failure_isolation(self, populated, tmp_path):
         # Corrupt one image: the other image still extracts, run continues,
         # failure is logged, exit code is 1.

@@ -50,6 +50,21 @@ class FakeKubectl:
 
 
 class TestManifest(unittest.TestCase):
+    def test_long_names_stay_unique_after_truncation(self):
+        """DNS-1123 truncation to 63 chars must not collapse distinct
+        workers onto one Job name (a long run_id would otherwise cut the
+        -wN suffix off): over-limit names carry a hash of the full value."""
+        from mermaid_classifier_tpu.jobs.kubernetes import _name_safe
+
+        run_id = "nightly-extraction-" + "x" * 50
+        names = {_name_safe(f"{run_id}-w{i}") for i in range(20)}
+        self.assertEqual(len(names), 20)
+        for name in names:
+            self.assertLessEqual(len(name), 63)
+            self.assertRegex(name, r"^[a-z0-9][a-z0-9-]*[a-z0-9]$")
+        # Short names are untouched.
+        self.assertEqual(_name_safe("run1-w0"), "run1-w0")
+
     def test_tpu_job_manifest(self):
         m = build_job_manifest(request(), TPU_CLUSTER)
         self.assertEqual(m["apiVersion"], "batch/v1")

@@ -46,6 +46,26 @@ class TestSpecResolution(unittest.TestCase):
             self.assertEqual(image.shape, (8, 8, 3))
             self.assertTrue((image == 7).all())
 
+    def test_digit_named_local_file_wins_over_coralnet_id(self):
+        """An existing all-digits file reads locally — it must never
+        trigger the CoralNet transport (zero-egress environments)."""
+        import os
+        import tempfile
+
+        def refuse(image_id):
+            raise AssertionError("transport must not be called")
+
+        with tempfile.TemporaryDirectory() as td:
+            path = Path(td) / "00123"
+            path.write_bytes(png_bytes(5))
+            cwd = os.getcwd()
+            os.chdir(td)
+            try:
+                image = ImageFetcher(coralnet_transport=refuse).fetch("00123")
+            finally:
+                os.chdir(cwd)
+            self.assertTrue((image == 5).all())
+
     def test_store_uri(self):
         import tempfile
 
