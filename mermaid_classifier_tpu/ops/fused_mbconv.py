@@ -247,20 +247,23 @@ def _fused_block_kernel(
     x = x_ref[...]  # (B, HW, Cin)
     b, _, cin = x.shape
 
-    # Expand 1x1 (+bias +SiLU) on the MXU, f32 accumulation. Without an
-    # expansion the depthwise consumes the block input directly (no
-    # activation), matching the MBConv layout.
+    # Expand 1x1 (+bias +SiLU) on the MXU, f32 accumulation. Rank-3
+    # dot_general contracts the channel dim directly — merging (B, HW)
+    # with a reshape is an unsupported Mosaic shape cast whenever HW is
+    # not sublane-aligned (e.g. 49 or 196 at bf16). Without an expansion
+    # the depthwise consumes the block input directly (no activation),
+    # matching the MBConv layout.
     if has_expand:
         z = lax.dot_general(
-            x.reshape(b * hw, cin), wexp_ref[...],
-            (((1,), (0,)), ((), ())),
+            x, wexp_ref[...],
+            (((2,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        z = jax.nn.silu(z + bexp_ref[...][None, :])
+        z = jax.nn.silu(z + bexp_ref[...][None, None, :])
     else:
-        z = x.reshape(b * hw, cin).astype(f32)
+        z = x.astype(f32)
     cmid = z.shape[-1]
-    z = z.reshape(b, hw, cmid).astype(act_dtype)
+    z = z.astype(act_dtype)  # (B, HW, Cmid)
 
     if dw_layout == "flat_padded":
         # True zero columns between rows: map position (y, x) lives at
@@ -306,11 +309,10 @@ def _fused_block_kernel(
         )
         m = (d * e[:, None, :]).astype(act_dtype)
         y_full = lax.dot_general(
-            m.reshape(b * hw2, cmid), wproj_ref[...],
-            (((1,), (0,)), ((), ())),
+            m, wproj_ref[...],
+            (((2,), (0,)), ((), ())),
             preferred_element_type=f32,
-        ) + bproj_ref[...][None, :]
-        y_full = y_full.reshape(b, hw2, -1)
+        ) + bproj_ref[...][None, None, :]
         xr = x if residual else None
         for y in range(h):
             strip = y_full[:, y * w2 : y * w2 + w, :]
@@ -353,15 +355,16 @@ def _fused_block_kernel(
     )
     m = (d * e[:, None, :]).astype(act_dtype)
 
-    # Project 1x1 (+bias), optional residual.
+    # Project 1x1 (+bias), optional residual — rank-3 contraction, no
+    # batch/spatial reshapes (see the expand note).
     y = lax.dot_general(
-        m.reshape(b * hw, cmid), wproj_ref[...],
-        (((1,), (0,)), ((), ())),
+        m, wproj_ref[...],
+        (((2,), (0,)), ((), ())),
         preferred_element_type=f32,
-    ) + bproj_ref[...][None, :]
+    ) + bproj_ref[...][None, None, :]
     if residual:
-        y = y + x.reshape(b * hw, cin).astype(f32)
-    out_ref[...] = y.reshape(b, hw, -1).astype(act_dtype)
+        y = y + x.astype(f32)
+    out_ref[...] = y.astype(act_dtype)
 
 
 def fused_mbconv(
@@ -423,6 +426,12 @@ def fused_mbconv(
         )
         block_b = max(1, min(n, (10 * 1024 * 1024) // per_patch))
     while n % block_b:
+        block_b -= 1
+    # Mosaic's dot_general lowering flattens (B, HW) into the sublane
+    # dim; that shape cast only lowers when B*HW is sublane-tile aligned
+    # (observed: 4x196 compiles, 4x49 does not). B=1 merges only a unit
+    # dim, which is always legal.
+    while block_b > 1 and ((block_b * hw) % 16 or n % block_b):
         block_b -= 1
     grid = (n // block_b,)
 
