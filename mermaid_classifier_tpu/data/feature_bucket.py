@@ -104,8 +104,8 @@ class FeatureBucketBuilder:
         progress_log: str | Path | None = None,
         error_log: str | Path | None = None,
         decode_image=None,
-        decode_workers: int = 4,
-        prefetch: int = 8,
+        decode_workers: int = 8,
+        prefetch: int = 16,
     ) -> None:
         self.store = store
         self.source_bucket = source_bucket
@@ -119,6 +119,9 @@ class FeatureBucketBuilder:
         # device extraction of the current one (JPEG decode, not the
         # backbone, is the classic loader bottleneck — PAPERS.md). Bounded
         # in-flight window caps host memory at ~prefetch decoded images.
+        # Sizing: a 1536^2 JPEG decodes in ~80 ms while the device extracts
+        # a 256-point image in ~11 ms (docs/perf_roofline.md §4), so ~8
+        # decode threads keep one chip fed on a real TPU VM.
         self.decode_workers = max(1, int(decode_workers))
         self.prefetch = max(1, int(prefetch))
 

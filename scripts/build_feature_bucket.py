@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--backbone-weights", default=None)
     parser.add_argument("--backbone-batch", type=int, default=128)
     parser.add_argument(
+        "--decode-workers", type=int, default=8,
+        help="host JPEG-decode threads feeding the device pipeline"
+        " (~8 keeps one chip fed at production image sizes)",
+    )
+    parser.add_argument(
         "--mesh-devices", type=int, default=None,
         help="shard the backbone batch over an N-device mesh"
         " (default: single device)",
@@ -160,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         skip_existing=not args.no_skip_existing,
         progress_log=args.progress_log,
         error_log=args.error_log,
+        decode_workers=args.decode_workers,
     )
     available, missing = builder.filter_to_available_sources(source_ids)
     if not available:

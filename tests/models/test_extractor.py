@@ -116,6 +116,44 @@ class TestBackboneImpl:
             )
 
 
+class TestGeometrySweep:
+    """Property-style sweep: arbitrary image sizes (odd/even, smaller and
+    larger than the patch), point counts across bucket boundaries, and
+    corner/edge points must all produce finite features identical to an
+    independently-built extractor — no geometry drift from bucketing,
+    padding, or the folded schedule."""
+
+    def test_random_geometries_are_stable(self):
+        rng = np.random.default_rng(42)
+        a = build_extractor(
+            config=TINY, seed=3, backbone_batch=8, point_bucket=4,
+            image_bucket=64,
+        )
+        b = build_extractor(
+            config=TINY, seed=3, backbone_batch=16, point_bucket=8,
+            image_bucket=32,
+        )
+        for h, w, n_points in [
+            (31, 47, 1),   # smaller than the 32^2 patch, odd dims
+            (33, 70, 5),   # straddles the patch size
+            (95, 129, 9),  # crosses both image buckets
+            (64, 64, 4),   # exactly bucket-aligned
+        ]:
+            image = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rowcols = np.stack(
+                [rng.integers(0, h, n_points), rng.integers(0, w, n_points)],
+                axis=1,
+            ).astype(np.int32)
+            rowcols[0] = (0, 0)  # always include the worst corner
+            fa = a.extract_features(image, rowcols)
+            fb = b.extract_features(image, rowcols)
+            assert fa.shape == (n_points, TINY.feature_dim)
+            assert np.isfinite(fa).all(), (h, w)
+            # Bucketing knobs must not change the numbers.
+            rel = np.abs(fa - fb).max() / max(np.abs(fa).max(), 1e-12)
+            assert rel < 1e-5, (h, w, n_points, rel)
+
+
 class TestDeviceNumerics:
     def test_self_check_passes_on_cpu(self, extractor):
         worst = extractor.verify_device_numerics(n_patches=4)
