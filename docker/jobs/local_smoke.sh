@@ -12,7 +12,8 @@ EOF
 for script in classifier_train build_feature_bucket launch_processing \
               launch_training build_coralnet_manifest generate_report \
               generate_training_config release_artifact \
-              extract_reference_features train_job_entrypoint; do
+              extract_reference_features train_job_entrypoint \
+              predict_features annotate_image sync_tracking; do
     python "scripts/${script}.py" --help > /dev/null
 done
 echo "smoke OK"

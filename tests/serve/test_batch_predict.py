@@ -1,0 +1,132 @@
+"""Bulk feature classification: packed batches vs per-file prediction
+(differential), CSV shape, CLI round trip."""
+
+import csv
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.data.features_io import write_feature_file
+from mermaid_classifier_tpu.inference import export_artifact
+from mermaid_classifier_tpu.inference.loader import load_predictor
+from mermaid_classifier_tpu.serve.batch_predict import (
+    load_feature_matrix,
+    predict_feature_files,
+    write_predictions_csv,
+)
+from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+DIM, K = 16, 3
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    n = 200
+    centers = rng.normal(0, 3, size=(K, DIM))
+    y_idx = rng.integers(0, K, n)
+    X = (rng.normal(0, 1, size=(n, DIM)) + centers[y_idx]).astype(np.float32)
+    labels = np.array([f"ba-{i}::" for i in range(K)])
+    clf = MLPClassifier(hidden_layer_sizes=(8,), random_state=0)
+    for _ in range(5):
+        clf.partial_fit(X, labels[y_idx], classes=list(labels))
+    model = CalibratedClassifier.fit_from_scores(
+        clf, clf.predict_proba(X), labels[y_idx]
+    )
+    out = tmp_path_factory.mktemp("artifact")
+    export_artifact(model, out, X[:16])
+    return out
+
+
+@pytest.fixture()
+def feature_files(tmp_path):
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, n_points in enumerate((5, 1, 7)):
+        rowcols = rng.integers(0, 100, size=(n_points, 2)).astype(np.int64)
+        features = rng.normal(0, 2, size=(n_points, DIM)).astype(np.float32)
+        p = tmp_path / f"i{i}.features.npz"
+        write_feature_file(p, rowcols, features)
+        paths.append(p)
+    # A bare matrix too.
+    bare = tmp_path / "extra.npy"
+    np.save(bare, rng.normal(size=(4, DIM)).astype(np.float32))
+    paths.append(bare)
+    return paths
+
+
+class TestBatchPredict:
+    def test_packed_matches_per_file(self, artifact_dir, feature_files):
+        """Cross-file packing must not change any prediction: the packed
+        run equals per-file predict_proba row for row."""
+        predictor = load_predictor(artifact_dir)
+        rows = predict_feature_files(
+            predictor, feature_files, top_n=K, batch_size=6
+        )
+        offset = 0
+        for path in feature_files:
+            _, features = load_feature_matrix(path)
+            proba = predictor.predict_proba(features)
+            for i in range(len(features)):
+                r = rows[offset + i]
+                assert r.source_file == str(path)
+                order = np.argsort(proba[i])[::-1]
+                assert list(r.labels) == [
+                    predictor.classes[j] for j in order
+                ]
+                # Different batch shapes reorder float accumulation in the
+                # jitted head; agreement is float32-rounding, not bitwise.
+                np.testing.assert_allclose(
+                    r.scores, proba[i][order], rtol=1e-5, atol=1e-7
+                )
+            offset += len(features)
+        assert offset == len(rows) == 17
+
+    def test_npy_rowcols_are_minus_one(self, artifact_dir, feature_files):
+        predictor = load_predictor(artifact_dir)
+        rows = predict_feature_files(predictor, [feature_files[-1]], top_n=1)
+        assert all(r.row == -1 and r.col == -1 for r in rows)
+
+    def test_csv_shape(self, artifact_dir, feature_files, tmp_path):
+        predictor = load_predictor(artifact_dir)
+        rows = predict_feature_files(predictor, feature_files[:1], top_n=2)
+        out = tmp_path / "preds.csv"
+        write_predictions_csv(rows, out, top_n=2)
+        with out.open() as f:
+            records = list(csv.reader(f))
+        assert records[0] == [
+            "file", "row", "col", "label_1", "score_1", "label_2", "score_2"
+        ]
+        assert len(records) == 6  # header + 5 points
+        assert float(records[1][4]) >= float(records[1][6])  # ranked
+
+    def test_top_n_validation(self, artifact_dir, feature_files):
+        predictor = load_predictor(artifact_dir)
+        with pytest.raises(ValueError, match="top_n"):
+            predict_feature_files(predictor, feature_files, top_n=0)
+
+    def test_bad_npy_shape_rejected(self, tmp_path):
+        p = tmp_path / "bad.npy"
+        np.save(p, np.zeros(7, np.float32))
+        with pytest.raises(ValueError, match="2-D"):
+            load_feature_matrix(p)
+
+
+class TestCLI:
+    def test_end_to_end(self, artifact_dir, feature_files, tmp_path):
+        import scripts.predict_features as cli
+
+        out = tmp_path / "p.csv"
+        rc = cli.main(
+            [
+                "--classifier", str(artifact_dir),
+                "--output", str(out),
+                "--top-n", "2",
+                *[str(p) for p in feature_files],
+            ]
+        )
+        assert rc == 0
+        lines = out.read_text().splitlines()
+        assert len(lines) == 18  # header + 17 points
