@@ -425,13 +425,13 @@ def fused_mbconv(
             + 2 * hw * (-(-cin // 128) * 128 + -(-cout // 128) * 128) * act_bytes
         )
         block_b = max(1, min(n, (10 * 1024 * 1024) // per_patch))
-    while n % block_b:
-        block_b -= 1
-    # Mosaic's dot_general lowering flattens (B, HW) into the sublane
-    # dim; that shape cast only lowers when B*HW is sublane-tile aligned
-    # (observed: 4x196 compiles, 4x49 does not). B=1 merges only a unit
-    # dim, which is always legal.
-    while block_b > 1 and ((block_b * hw) % 16 or n % block_b):
+    # Mosaic's dot_general lowering flattens (B, rows) into the sublane
+    # dim; that shape cast only lowers when B*rows is sublane-tile
+    # aligned (observed: 4x196 compiles, 4x49 does not). The flat_padded
+    # layout runs its dots over h*(w+2p) rows, so the guard uses the
+    # layout's actual extent. B=1 merges only a unit dim — always legal.
+    dot_rows = (hw // w) * (w + 2 * p) if dw_layout == "flat_padded" else hw
+    while block_b > 1 and ((block_b * dot_rows) % 16 or n % block_b):
         block_b -= 1
     grid = (n // block_b,)
 

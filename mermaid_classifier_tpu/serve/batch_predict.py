@@ -61,52 +61,59 @@ def predict_feature_files(
     batch_size: int = 4096,
 ) -> list[PredictionRow]:
     """Classify every row of every file through ``predictor`` and return
-    per-point top-N rows in input order. Rows are packed across files
-    into ``batch_size`` batches before hitting the head."""
+    per-point top-N rows in input order. Rows are packed across file
+    boundaries into ``batch_size`` batches before hitting the head, and
+    features stream through a bounded carry buffer — peak feature memory
+    is O(batch_size + one file), not O(total points)."""
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
-    loaded = []
-    for path in paths:
-        rowcols, features = load_feature_matrix(path)
-        loaded.append((str(path), rowcols, features))
-
-    all_features = (
-        np.concatenate([f for _, _, f in loaded])
-        if loaded
-        else np.zeros((0, 0), np.float32)
-    )
     classes = np.asarray(predictor.classes)
     k = min(top_n, len(classes))
 
-    probas = []
-    for start in range(0, len(all_features), batch_size):
-        probas.append(
-            np.asarray(
-                predictor.predict_proba(all_features[start : start + batch_size])
-            )
-        )
-    proba = (
-        np.concatenate(probas)
-        if probas
-        else np.zeros((0, len(classes)))
-    )
-
     rows: list[PredictionRow] = []
-    offset = 0
-    for source_file, rowcols, features in loaded:
-        for i in range(len(features)):
-            p = proba[offset + i]
-            order = np.argsort(p)[::-1][:k]
+    pending_feats: list[np.ndarray] = []
+    pending_meta: list[tuple[str, int, int]] = []  # aligned with pending rows
+
+    def flush(batch: np.ndarray, batch_meta: list) -> None:
+        proba = np.asarray(predictor.predict_proba(batch))
+        order = np.argsort(-proba, axis=1)[:, :k]
+        scores = np.take_along_axis(proba, order, axis=1)
+        labels = classes[order]
+        for i, (source_file, r, c) in enumerate(batch_meta):
             rows.append(
                 PredictionRow(
                     source_file=source_file,
-                    row=int(rowcols[i, 0]),
-                    col=int(rowcols[i, 1]),
-                    labels=tuple(str(classes[j]) for j in order),
-                    scores=tuple(float(p[j]) for j in order),
+                    row=r,
+                    col=c,
+                    labels=tuple(str(x) for x in labels[i]),
+                    scores=tuple(float(x) for x in scores[i]),
                 )
             )
-        offset += len(features)
+
+    for path in paths:
+        rowcols, features = load_feature_matrix(path)
+        pending_feats.append(features)
+        pending_meta.extend(
+            (str(path), int(rowcols[i, 0]), int(rowcols[i, 1]))
+            for i in range(len(features))
+        )
+        while len(pending_meta) >= batch_size:
+            stacked = (
+                np.concatenate(pending_feats)
+                if len(pending_feats) > 1
+                else pending_feats[0]
+            )
+            flush(stacked[:batch_size], pending_meta[:batch_size])
+            leftover = stacked[batch_size:]
+            pending_feats = [leftover] if len(leftover) else []
+            pending_meta = pending_meta[batch_size:]
+    if pending_meta:
+        flush(
+            np.concatenate(pending_feats)
+            if len(pending_feats) > 1
+            else pending_feats[0],
+            pending_meta,
+        )
     return rows
 
 

@@ -105,11 +105,12 @@ class ImageFetcher:
         self._coralnet_transport = coralnet_transport or scrape_coralnet_image
 
     def fetch(self, spec: str | int | Path) -> np.ndarray:
-        # An existing local file always wins over the CoralNet-ID reading
+        # An existing local FILE always wins over the CoralNet-ID reading
         # of an all-digits spec: a digit-named file must never trigger a
-        # network scrape (int specs are unambiguous IDs).
+        # network scrape (int specs are unambiguous IDs; a digit-named
+        # directory is not a readable image, so it does not block the ID).
         if isinstance(spec, int) or (
-            re.fullmatch(r"\d+", str(spec)) and not Path(str(spec)).exists()
+            re.fullmatch(r"\d+", str(spec)) and not Path(str(spec)).is_file()
         ):
             return self._fetch_coralnet(int(spec))
         spec = str(spec)
