@@ -326,6 +326,34 @@ def main(argv: list[str] | None = None) -> int:
     log(f"registered artifact reloads: {artifact_dirs[-1].name},"
         f" classes={predictor.classes}")
 
+    # Stage 3b: bulk classification of the extracted features through the
+    # serving CLI (the predict_features path a production user runs over a
+    # finished feature bucket).
+    feat_keys = [
+        k for k in store.list_keys("features") if k.endswith(".features.npz")
+    ][:4]
+    if not feat_keys:
+        raise SystemExit("no feature files found for bulk prediction")
+    bulk_dir = workspace / "bulk_features"
+    bulk_dir.mkdir(exist_ok=True)
+    local_feats = []
+    for k in feat_keys:
+        local = bulk_dir / k.replace("/", "_")
+        store.download("features", k, local)
+        local_feats.append(str(local))
+    preds_csv = workspace / "bulk_predictions.csv"
+    run_cli(
+        "predict_features.py",
+        ["--classifier", str(artifact_dirs[-1]),
+         "--output", str(preds_csv), "--top-n", "2", *local_feats],
+        workspace, env,
+    )
+    pred_lines = preds_csv.read_text().splitlines()
+    if len(pred_lines) < 2 or not pred_lines[0].startswith("file,row,col"):
+        raise SystemExit("bulk predictions CSV missing or malformed")
+    log(f"bulk predict: {len(pred_lines) - 1} points across"
+        f" {len(local_feats)} feature files")
+
     # Stage 4: HTML report.
     report_path = workspace / "report.html"
     run_cli(
