@@ -116,13 +116,15 @@ class FeatureExtractor:
 
             folded_host = fold_backbone(variables, self.config)
             run_fused = self.backbone_impl == "fused"
-            interp = default_interpret()
             cfg = self.config
 
             def _forward(weights, patches):
+                # default_interpret() is read at trace time (first call),
+                # not construction time: an extractor built before backend
+                # selection must not bake in a stale interpret decision.
                 return apply_folded(
                     weights, cfg, patches,
-                    fused=run_fused, interpret=interp,
+                    fused=run_fused, interpret=default_interpret(),
                 )
 
             self._forward = _forward

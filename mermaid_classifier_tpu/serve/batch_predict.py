@@ -70,9 +70,15 @@ def predict_feature_files(
     classes = np.asarray(predictor.classes)
     k = min(top_n, len(classes))
 
+    from collections import deque
+
     rows: list[PredictionRow] = []
-    pending_feats: list[np.ndarray] = []
-    pending_meta: list[tuple[str, int, int]] = []  # aligned with pending rows
+    # Pending feature blocks are drained through (deque of views, offset
+    # into the head block) — a flush copies only the batch it emits, so a
+    # single file much larger than batch_size costs O(n), not O(n^2/batch).
+    pending_feats: deque[np.ndarray] = deque()
+    pending_rows = 0
+    pending_meta: deque[tuple[str, int, int]] = deque()
 
     def flush(batch: np.ndarray, batch_meta: list) -> None:
         proba = np.asarray(predictor.predict_proba(batch))
@@ -90,30 +96,36 @@ def predict_feature_files(
                 )
             )
 
+    def drain(n: int) -> None:
+        nonlocal pending_rows
+        parts: list[np.ndarray] = []
+        need = n
+        while need:
+            head = pending_feats[0]
+            if len(head) <= need:
+                parts.append(pending_feats.popleft())
+                need -= len(head)
+            else:
+                parts.append(head[:need])
+                pending_feats[0] = head[need:]
+                need = 0
+        pending_rows -= n
+        batch = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        flush(batch, [pending_meta.popleft() for _ in range(n)])
+
     for path in paths:
         rowcols, features = load_feature_matrix(path)
-        pending_feats.append(features)
+        if len(features):
+            pending_feats.append(features)
+            pending_rows += len(features)
         pending_meta.extend(
             (str(path), int(rowcols[i, 0]), int(rowcols[i, 1]))
             for i in range(len(features))
         )
-        while len(pending_meta) >= batch_size:
-            stacked = (
-                np.concatenate(pending_feats)
-                if len(pending_feats) > 1
-                else pending_feats[0]
-            )
-            flush(stacked[:batch_size], pending_meta[:batch_size])
-            leftover = stacked[batch_size:]
-            pending_feats = [leftover] if len(leftover) else []
-            pending_meta = pending_meta[batch_size:]
-    if pending_meta:
-        flush(
-            np.concatenate(pending_feats)
-            if len(pending_feats) > 1
-            else pending_feats[0],
-            pending_meta,
-        )
+        while pending_rows >= batch_size:
+            drain(batch_size)
+    if pending_rows:
+        drain(pending_rows)
     return rows
 
 

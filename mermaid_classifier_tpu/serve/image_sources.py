@@ -114,6 +114,15 @@ class ImageFetcher:
         ):
             return self._fetch_coralnet(int(spec))
         spec = str(spec)
+        if re.fullmatch(r"\d+", spec):
+            # A digit spec resolved by the cwd-relative file check above —
+            # say so, or a stray digit-named file silently rerouting a
+            # CoralNet-ID fetch is undiagnosable.
+            logger.info(
+                "spec %r matches a local file in %s; serving the file, NOT"
+                " CoralNet image %s",
+                spec, Path.cwd(), spec,
+            )
         if spec.startswith("store://"):
             rest = spec[len("store://"):]
             bucket, _, key = rest.partition("/")

@@ -30,6 +30,19 @@ import numpy as np
 from scipy.optimize import minimize
 from scipy.special import expit
 
+# The sklearn version this module's differential tests were proven against
+# (tests/train/test_calibration.py compares fit_sigmoid_calibration and
+# CalibratedClassifier against the installed sklearn's private
+# ``_SigmoidCalibration``/``CalibratedClassifierCV``). If the installed
+# sklearn drifts from this pin, the differentials may faithfully match the
+# WRONG internals — the guard test
+# (tests/train/test_sklearn_calibration_pin.py) fails loudly so the
+# differential is re-proven and this constant bumped. Analog of the
+# reference's PARITY_PROVEN_SKLEARN
+# (reference: mermaid_classifier/pyspacer/inference/__init__.py:17) and of
+# this repo's PARITY_PROVEN_JAX (inference/__init__.py).
+PARITY_PROVEN_SKLEARN = "1.9.0"
+
 
 def fit_sigmoid_calibration(
     predictions: np.ndarray,

@@ -287,3 +287,79 @@ class TestProductionRecipeAnchor:
                        task_labels.val.load_data_in_batches(batch_size=512)])
         )
         np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-6)
+
+
+class FitConvergenceSemanticsTest:
+    """Pin fit()'s early-stop contract to sklearn's
+    ``n_iter_no_change`` rule (MLPClassifier._fit_stochastic /
+    _update_no_improvement_count): stop only after the loss fails to
+    improve on ``best_loss_`` by more than ``tol`` for
+    ``n_iter_no_change`` CONSECUTIVE epochs. This is a deliberate,
+    documented divergence from the reference's analog, which breaks after
+    a single epoch with |prev-cur| < tol
+    (reference: torch_classifier.py:319-330)."""
+
+    @staticmethod
+    def scripted(losses, **kwargs):
+        """Run fit() with partial_fit replaced by a loss script."""
+        script = iter(losses)
+
+        class Scripted(MLPClassifier):
+            def partial_fit(self, X, y, classes=None):
+                if not hasattr(self, "loss_curve_"):
+                    self.loss_curve_ = []
+                    self.n_iter_ = 0
+                self.loss_curve_.append(next(script))
+                self.n_iter_ += 1
+                return self
+
+        clf = Scripted((4,), max_iter=len(losses), **kwargs)
+        clf.fit(np.zeros((4, 2), np.float32), np.array(["a", "a", "b", "b"]))
+        return clf
+
+
+class TestFitConvergenceSemantics(FitConvergenceSemanticsTest):
+    def test_sub_tol_plateau_runs_n_iter_no_change_epochs(self):
+        # Improvements of 5e-5 < tol=1e-4 every epoch: the old |prev-cur|
+        # rule stops at epoch 2; sklearn's rule increments the
+        # no-improvement counter from epoch 2 on and stops when it EXCEEDS
+        # n_iter_no_change=10 -> epoch 12.
+        losses = [1.0 - 5e-5 * i for i in range(100)]
+        clf = self.scripted(losses, tol=1e-4, n_iter_no_change=10)
+        assert clf.n_iter_ == 12
+
+    def test_improvement_resets_the_counter(self):
+        # Two sub-tol epochs, one big improvement, then a sub-tol plateau:
+        # the counter resets at the improvement, so the stop lands
+        # n_iter_no_change+1 epochs after it.
+        losses = [1.0, 0.99996, 0.99993, 0.5] + [0.5 - 1e-6 * i
+                                                 for i in range(1, 50)]
+        clf = self.scripted(losses, tol=1e-4, n_iter_no_change=10)
+        assert clf.n_iter_ == 4 + 11
+
+    def test_best_loss_tracks_minimum_not_last(self):
+        # A loss that worsens then recovers above best-tol keeps counting:
+        # best_loss_ is the running MINIMUM (sklearn), not the last value.
+        losses = [1.0, 2.0, 1.5, 1.2, 1.1, 1.05, 1.01, 1.005, 1.001,
+                  1.0005, 1.0001, 1.00005, 3.0]
+        clf = self.scripted(losses, tol=1e-4, n_iter_no_change=10)
+        # epoch 1 sets best=1.0; every later epoch is > best - tol.
+        assert clf.n_iter_ == 12
+        assert clf.best_loss_ == 1.0
+
+    def test_steady_improvement_runs_to_max_iter(self):
+        losses = [float(100 - i) for i in range(30)]
+        clf = self.scripted(losses, tol=1e-4, n_iter_no_change=10)
+        assert clf.n_iter_ == 30
+
+    def test_real_fit_does_not_stop_after_one_plateau_epoch(self, clusters):
+        # End-to-end: on a learnable problem with a small max_iter budget,
+        # fit() must not bail on the first |prev-cur| < tol epoch (the old
+        # rule). A generous tol makes single-epoch deltas sub-tol almost
+        # immediately, yet the sklearn rule still runs 1 + n_iter_no_change
+        # + 1 epochs minimum before stopping.
+        clf = MLPClassifier(HIDDEN, learning_rate_init=LR, random_state=0,
+                            tol=10.0, n_iter_no_change=3, max_iter=30)
+        clf.fit(clusters["X_train"], clusters["y_train"])
+        assert clf.n_iter_ == 5  # epoch 1 + 3 non-improving + the trigger
+        assert clf.best_loss_ == min(clf.loss_curve_)
