@@ -9,10 +9,20 @@ features.
 
 Architecture notes:
 - Canonical B0 stage layout (MBConv expand/kernel/stride/repeats), SE ratio
-  0.25, SiLU activations, BatchNorm eps 1e-3 with running stats.
-- Symmetric spatial padding p=(k-1)//2 everywhere (torchvision-style); the
-  torch mirror used by the weight-conversion parity tests uses the same, so
-  converted weights are layer-for-layer aligned.
+  0.25, SiLU activations, BatchNorm eps 1e-3 with running stats
+  (``bn_eps`` configurable: lukemelas/TF lineages use 1e-3, raw
+  torchvision checkpoints 1e-5).
+- Two spatial padding modes (``config.padding``): "symmetric"
+  p=(k-1)//2 everywhere (torchvision-style, the default) and "tf_same"
+  (TensorFlow SAME semantics — asymmetric lo/hi for stride-2 convs at
+  even sizes, what lukemelas/EfficientNet-PyTorch static same-padding
+  does). The reference's production extractor is pyspacer, whose vendored
+  EfficientNet is lukemelas-lineage — REAL ``efficientnet.pt`` weights
+  need ``padding="tf_same"`` to hit the <1e-4 feature MAE contract
+  (tests/parity/test_foreign_checkpoint_fidelity.py proves both that
+  tf_same reproduces and that symmetric does NOT). Output sizes are
+  identical in both modes (ceil(in/stride)), so the rest of the pipeline
+  is mode-agnostic.
 - The trunk pools to 1280 dims; the extractor contract is ``feature_dim``
   floats per patch (production default 4096, reference: settings.py:7-8),
   produced by a final projection layer. When converting real production
@@ -66,6 +76,14 @@ class EfficientNetConfig:
     mean_rgb: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std_rgb: tuple[float, float, float] = (0.229, 0.224, 0.225)
     patch_size: int = 224
+    # Spatial padding semantics: "symmetric" (p=(k-1)//2 both sides,
+    # torchvision-style) or "tf_same" (TensorFlow SAME — asymmetric at
+    # stride-2 even sizes; lukemelas/pyspacer lineage). See conv_padding.
+    padding: str = "symmetric"
+    # BatchNorm epsilon. 1e-3 matches the TF/lukemelas/pyspacer lineage
+    # (the reference's production weights); raw torchvision B0 checkpoints
+    # were trained with torch's default 1e-5.
+    bn_eps: float = BN_EPS
 
     def to_dict(self) -> dict:
         return {
@@ -78,6 +96,8 @@ class EfficientNetConfig:
             "std_rgb": list(self.std_rgb),
             "patch_size": self.patch_size,
             "compute_dtype": self.compute_dtype,
+            "padding": self.padding,
+            "bn_eps": self.bn_eps,
         }
 
     @classmethod
@@ -92,6 +112,8 @@ class EfficientNetConfig:
             std_rgb=tuple(d["std_rgb"]),
             patch_size=d["patch_size"],
             compute_dtype=d.get("compute_dtype", "float32"),
+            padding=d.get("padding", "symmetric"),
+            bn_eps=d.get("bn_eps", BN_EPS),
         )
 
 
@@ -165,6 +187,34 @@ def variant_config(
     )
 
 
+def conv_padding(
+    kernel: int, stride: int, in_h: int, in_w: int, mode: str = "symmetric"
+) -> Sequence[tuple[int, int]]:
+    """Per-dim (lo, hi) spatial padding for a conv.
+
+    "symmetric": p=(k-1)//2 on both sides (torchvision-style).
+    "tf_same": TensorFlow SAME — total = max((ceil(in/s)-1)*s + k - in, 0),
+    split lo = total//2, hi = total - lo, so stride-2 convs at even sizes
+    pad MORE on the bottom/right (what lukemelas Conv2dStaticSamePadding
+    does, and what the reference's pyspacer-vendored extractor runs).
+    Both modes emit ceil(in/stride) outputs.
+    """
+    if mode == "symmetric":
+        p = (kernel - 1) // 2
+        return ((p, p), (p, p))
+    if mode == "tf_same":
+        pads = []
+        for size in (in_h, in_w):
+            out = -(-size // stride)
+            total = max((out - 1) * stride + kernel - size, 0)
+            lo = total // 2
+            pads.append((lo, total - lo))
+        return tuple(pads)
+    raise ValueError(
+        f"unknown padding mode {mode!r}; expected 'symmetric' or 'tf_same'"
+    )
+
+
 def _same_pad(kernel: int) -> Sequence[tuple[int, int]]:
     p = (kernel - 1) // 2
     return ((p, p), (p, p))
@@ -179,6 +229,8 @@ class ConvBNAct(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: jnp.dtype = jnp.float32
+    padding_mode: str = "symmetric"
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -186,7 +238,12 @@ class ConvBNAct(nn.Module):
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=_same_pad(self.kernel),
+            # Shapes are static under jit, so the (lo, hi) pads are trace-
+            # time constants even in tf_same mode.
+            padding=conv_padding(
+                self.kernel, self.stride, x.shape[1], x.shape[2],
+                self.padding_mode,
+            ),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -194,7 +251,7 @@ class ConvBNAct(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=True,
-            epsilon=BN_EPS,
+            epsilon=self.bn_eps,
             momentum=BN_MOMENTUM,
             dtype=self.dtype,
             name="bn",
@@ -236,22 +293,28 @@ class MBConv(nn.Module):
     stride: int
     se_ratio: float
     dtype: jnp.dtype = jnp.float32
+    padding_mode: str = "symmetric"
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inp = x
         mid = self.in_channels * self.expand_ratio
         if self.expand_ratio != 1:
-            x = ConvBNAct(mid, kernel=1, dtype=self.dtype, name="expand")(x)
+            x = ConvBNAct(
+                mid, kernel=1, dtype=self.dtype, bn_eps=self.bn_eps,
+                name="expand",
+            )(x)
         x = ConvBNAct(
             mid, kernel=self.kernel, stride=self.stride, groups=mid,
-            dtype=self.dtype, name="depthwise",
+            dtype=self.dtype, padding_mode=self.padding_mode,
+            bn_eps=self.bn_eps, name="depthwise",
         )(x)
         se_channels = max(1, int(self.in_channels * self.se_ratio))
         x = SqueezeExcite(mid, se_channels, dtype=self.dtype, name="se")(x)
         x = ConvBNAct(
             self.out_channels, kernel=1, act=False, dtype=self.dtype,
-            name="project",
+            bn_eps=self.bn_eps, name="project",
         )(x)
         if self.stride == 1 and self.in_channels == self.out_channels:
             x = x + inp
@@ -271,7 +334,8 @@ class EfficientNetBackbone(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         x = x.astype(dtype)
         x = ConvBNAct(
-            cfg.stem_channels, kernel=3, stride=2, dtype=dtype, name="stem"
+            cfg.stem_channels, kernel=3, stride=2, dtype=dtype,
+            padding_mode=cfg.padding, bn_eps=cfg.bn_eps, name="stem",
         )(x)
         in_ch = cfg.stem_channels
         for stage_idx, (expand, out_ch, repeats, stride, kernel) in enumerate(
@@ -286,10 +350,15 @@ class EfficientNetBackbone(nn.Module):
                     stride=stride if block_idx == 0 else 1,
                     se_ratio=cfg.se_ratio,
                     dtype=dtype,
+                    padding_mode=cfg.padding,
+                    bn_eps=cfg.bn_eps,
                     name=f"stage{stage_idx}_block{block_idx}",
                 )(x)
                 in_ch = out_ch
-        x = ConvBNAct(cfg.head_channels, kernel=1, dtype=dtype, name="head")(x)
+        x = ConvBNAct(
+            cfg.head_channels, kernel=1, dtype=dtype, bn_eps=cfg.bn_eps,
+            name="head",
+        )(x)
         # Pool + projection in float32 regardless of trunk dtype: the 4096-dim
         # output is the artifact contract, and the final matmul is cheap.
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

@@ -134,7 +134,7 @@ def fold_backbone(variables: Any, config: EfficientNetConfig) -> dict:
     """Fold every BatchNorm in the backbone into its conv; returns a plain
     dict of numpy float32 weights keyed the way ``apply_folded`` consumes
     them. Pure host-side preprocessing, done once per weight bundle."""
-    from mermaid_classifier_tpu.models.efficientnet import BN_EPS
+    BN_EPS = config.bn_eps
 
     params = jax.tree.map(np.asarray, variables["params"])
     stats = jax.tree.map(np.asarray, variables["batch_stats"])
@@ -524,7 +524,8 @@ def _conv1x1(x, w, b, dtype):
     return y + b.astype(dtype)
 
 
-def _dw_taps(z, w_dw, b_dw, kernel, stride, acc_dtype=jnp.float32):
+def _dw_taps(z, w_dw, b_dw, kernel, stride, acc_dtype=jnp.float32,
+             pads=None):
     """Depthwise conv as an explicit tap sum: k^2 static (optionally
     strided) slices of the zero-padded input, each scaled by its
     per-channel tap weight.
@@ -539,9 +540,11 @@ def _dw_taps(z, w_dw, b_dw, kernel, stride, acc_dtype=jnp.float32):
     numerics gate arbitrates.
     """
     n, h, w, c = z.shape
-    p = (kernel - 1) // 2
+    if pads is None:
+        p = (kernel - 1) // 2
+        pads = ((p, p), (p, p))
     s = stride
-    zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0)))
+    zp = jnp.pad(z, ((0, 0), pads[0], pads[1], (0, 0)))
     h_out = (h - 1) // s + 1
     w_out = (w - 1) // s + 1
     acc = jnp.zeros((n, h_out, w_out, c), acc_dtype) + b_dw.astype(acc_dtype)
@@ -557,13 +560,16 @@ def _dw_taps(z, w_dw, b_dw, kernel, stride, acc_dtype=jnp.float32):
     return acc
 
 
-def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = ()):
+def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = (),
+               padding_mode: str = "symmetric"):
     """One MBConv block with folded weights, plain XLA ops.
 
     dw_taps_kernels: depthwise kernel sizes routed through the tap-sum
     schedule instead of the native conv (k=5 wins big; k=3 native is
     already near-free — see _dw_taps).
     """
+    from mermaid_classifier_tpu.models.efficientnet import conv_padding
+
     meta: BlockMeta = blk["meta"]
     inp = x
     if meta.has_expand:
@@ -573,15 +579,15 @@ def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = ()):
         z = x
     w_dw, b_dw = blk["depthwise"]
     k = meta.kernel
-    pad = (k - 1) // 2
+    pads = conv_padding(k, meta.stride, z.shape[1], z.shape[2], padding_mode)
     if k in dw_taps_kernels:
-        z = _dw_taps(z, w_dw, b_dw, k, meta.stride)
+        z = _dw_taps(z, w_dw, b_dw, k, meta.stride, pads=pads)
     else:
         z = jax.lax.conv_general_dilated(
             z,
             w_dw[:, :, :, None].transpose(0, 1, 3, 2).astype(dtype),
             window_strides=(meta.stride, meta.stride),
-            padding=((pad, pad), (pad, pad)),
+            padding=pads,
             feature_group_count=meta.mid_channels,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + b_dw.astype(dtype)
@@ -649,24 +655,36 @@ def apply_folded(
     schedule overlaps better — both retained with their numbers so the
     negative result stays reproducible.
     """
+    from mermaid_classifier_tpu.models.efficientnet import conv_padding
+
     dtype = jnp.dtype(config.compute_dtype)
     x = x.astype(dtype)
     w, b = folded["stem"]
-    if stem_im2col and config.stages and x.shape[1] % 2 == 0:
+    if (
+        stem_im2col and config.stages and x.shape[1] % 2 == 0
+        and config.padding == "symmetric"  # the im2col slices bake p=(1,1)
+    ):
         x = _stem_im2col(x, w, b, dtype)
     else:
         x = jax.lax.conv_general_dilated(
             x, jnp.asarray(w).astype(dtype),
-            window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            window_strides=(2, 2),
+            padding=conv_padding(3, 2, x.shape[1], x.shape[2], config.padding),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         x = jax.nn.silu(x + b.astype(dtype)).astype(dtype)
     for blk in folded["blocks"]:
         meta: BlockMeta = blk["meta"]
         if fused and fusable(meta):
+            # Stride-1 odd-kernel SAME padding is symmetric in BOTH modes
+            # (total = k-1 splits evenly), so the fused kernel's baked-in
+            # (p, p) taps are correct regardless of config.padding.
             x = fused_mbconv(x, blk, interpret=interpret)
         else:
-            x = _block_xla(x, blk, dtype, dw_taps_kernels=dw_taps_kernels)
+            x = _block_xla(
+                x, blk, dtype, dw_taps_kernels=dw_taps_kernels,
+                padding_mode=config.padding,
+            )
     w, b = folded["head"]
     x = jax.nn.silu(_conv1x1(x, w[0, 0], b, dtype)).astype(dtype)
     x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

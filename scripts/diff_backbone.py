@@ -111,6 +111,16 @@ def main(argv=None) -> int:
     parser.add_argument("--feature-dim", type=int, default=None,
                         help="override feature_dim (e.g. 1280 for a raw"
                         " torchvision checkpoint with no 4096 projection)")
+    parser.add_argument("--padding", choices=("auto", "symmetric", "tf_same"),
+                        default="auto",
+                        help="conv padding semantics; 'auto' picks tf_same"
+                        " for lukemelas-named checkpoints (the pyspacer"
+                        " lineage uses TF-SAME static asymmetric padding)"
+                        " and symmetric otherwise")
+    parser.add_argument("--bn-eps", type=float, default=None,
+                        help="BatchNorm epsilon override (lukemelas/TF"
+                        " lineage: 1e-3, the default; raw torchvision"
+                        " checkpoints: 1e-5)")
     parser.add_argument("--config-json", default=None,
                         help="EfficientNetConfig.to_dict() JSON overriding"
                         " the production B0 geometry")
@@ -173,6 +183,25 @@ def main(argv=None) -> int:
 
     stripped = strip_module_prefix(state_dict)
     scheme = detect_naming_scheme(stripped)
+
+    import dataclasses
+
+    overrides = {}
+    if args.padding == "auto":
+        # pyspacer-lineage (lukemelas-named) checkpoints were trained with
+        # TF-SAME static asymmetric padding; running them through the
+        # symmetric graph fails the 1e-4 gate at every stride-2 layer
+        # (tests/parity/test_foreign_checkpoint_fidelity.py).
+        if scheme == "lukemelas":
+            overrides["padding"] = "tf_same"
+    else:
+        overrides["padding"] = args.padding
+    if args.bn_eps is not None:
+        overrides["bn_eps"] = args.bn_eps
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
+    print(f"padding={config.padding}, bn_eps={config.bn_eps:g}")
+
     canonical, applied, dropped = remap_state_dict(stripped, config, scheme)
     print(f"naming scheme: {scheme}; {len(applied)} keys mapped,"
           f" {len(dropped)} dropped ({sorted(dropped)[:3]}...)"

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""End-to-end quality parity bench: full repo pipeline vs sklearn on one
+structured synthetic dataset, ONE JSON line out.
+
+The composed-chain analog of the reference's quality evidence
+(reference: docs/research/balancing-experiments.md:49-84): balanced
+subsample -> train -> Platt calibration -> evaluate the shipped artifact,
+run through BOTH stacks on identical data. CI runs the small-scale version
+with asserted bands (tests/train/test_quality_parity.py); this CLI defaults
+to a mid-scale run for BENCH evidence.
+
+    python scripts/quality_parity_bench.py            # mid-scale (~1-2 min)
+    python scripts/quality_parity_bench.py --ci-scale # the CI spec
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--samples", type=int, default=40000)
+    parser.add_argument("--features", type=int, default=512)
+    parser.add_argument("--classes", type=int, default=30)
+    parser.add_argument("--hidden", type=int, nargs="+",
+                        default=[256, 128, 64])
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--subsample-total", type=int, default=24000)
+    parser.add_argument("--min-per-class", type=int, default=80)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ci-scale", action="store_true",
+                        help="run the exact spec the CI test asserts on")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
+    # Quality parity is a numerics differential, not a throughput bench —
+    # pin the host CPU backend so it never pays tunnel round trips (the
+    # axon plugin ignores JAX_PLATFORMS, so pin via jax.config).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from mermaid_classifier_tpu.train.quality_parity import (
+        QualityRunSpec,
+        run_quality_parity,
+    )
+
+    if args.ci_scale:
+        spec = QualityRunSpec(seed=args.seed)
+    else:
+        spec = QualityRunSpec(
+            n_samples=args.samples,
+            n_features=args.features,
+            n_classes=args.classes,
+            hidden=tuple(args.hidden),
+            epochs=args.epochs,
+            subsample_total=args.subsample_total,
+            min_per_class=args.min_per_class,
+            seed=args.seed,
+        )
+    result = run_quality_parity(spec)
+    result["metric"] = "quality_parity_accuracy_delta"
+    result["value"] = result["accuracy_delta"]
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -23,21 +23,32 @@ from mermaid_classifier_tpu.models.efficientnet import (
 
 
 class TorchConvBNAct(nn.Module):
-    def __init__(self, in_ch, out_ch, kernel, stride=1, groups=1, act=True):
+    def __init__(self, in_ch, out_ch, kernel, stride=1, groups=1, act=True,
+                 padding_mode="symmetric", bn_eps=BN_EPS):
         super().__init__()
+        self.tf_same = padding_mode == "tf_same"
+        self.kernel = kernel
+        self.stride = stride
         self.conv = nn.Conv2d(
             in_ch,
             out_ch,
             kernel,
             stride=stride,
-            padding=(kernel - 1) // 2,
+            padding=0 if self.tf_same else (kernel - 1) // 2,
             groups=groups,
             bias=False,
         )
-        self.bn = nn.BatchNorm2d(out_ch, eps=BN_EPS)
+        self.bn = nn.BatchNorm2d(out_ch, eps=bn_eps)
         self.act = act
 
     def forward(self, x):
+        if self.tf_same:
+            from mermaid_classifier_tpu.models.efficientnet import conv_padding
+
+            (top, bottom), (left, right) = conv_padding(
+                self.kernel, self.stride, x.shape[2], x.shape[3], "tf_same"
+            )
+            x = torch.nn.functional.pad(x, (left, right, top, bottom))
         x = self.bn(self.conv(x))
         return torch.nn.functional.silu(x) if self.act else x
 
@@ -55,15 +66,19 @@ class TorchSqueezeExcite(nn.Module):
 
 
 class TorchMBConv(nn.Module):
-    def __init__(self, in_ch, out_ch, expand_ratio, kernel, stride, se_ratio):
+    def __init__(self, in_ch, out_ch, expand_ratio, kernel, stride, se_ratio,
+                 padding_mode="symmetric", bn_eps=BN_EPS):
         super().__init__()
         mid = in_ch * expand_ratio
         self.has_expand = expand_ratio != 1
         if self.has_expand:
-            self.expand = TorchConvBNAct(in_ch, mid, 1)
-        self.depthwise = TorchConvBNAct(mid, mid, kernel, stride=stride, groups=mid)
+            self.expand = TorchConvBNAct(in_ch, mid, 1, bn_eps=bn_eps)
+        self.depthwise = TorchConvBNAct(
+            mid, mid, kernel, stride=stride, groups=mid,
+            padding_mode=padding_mode, bn_eps=bn_eps,
+        )
         self.se = TorchSqueezeExcite(mid, max(1, int(in_ch * se_ratio)))
-        self.project = TorchConvBNAct(mid, out_ch, 1, act=False)
+        self.project = TorchConvBNAct(mid, out_ch, 1, act=False, bn_eps=bn_eps)
         self.residual = stride == 1 and in_ch == out_ch
 
     def forward(self, x):
@@ -85,7 +100,10 @@ class TorchEfficientNetBackbone(nn.Module):
         super().__init__()
         cfg = config or EfficientNetConfig()
         self.config = cfg
-        self.stem = TorchConvBNAct(3, cfg.stem_channels, 3, stride=2)
+        self.stem = TorchConvBNAct(
+            3, cfg.stem_channels, 3, stride=2,
+            padding_mode=cfg.padding, bn_eps=cfg.bn_eps,
+        )
         in_ch = cfg.stem_channels
         for stage_idx, (expand, out_ch, repeats, stride, kernel) in enumerate(
             cfg.stages
@@ -98,10 +116,13 @@ class TorchEfficientNetBackbone(nn.Module):
                     kernel,
                     stride if block_idx == 0 else 1,
                     cfg.se_ratio,
+                    padding_mode=cfg.padding,
+                    bn_eps=cfg.bn_eps,
                 )
                 self.add_module(f"stage{stage_idx}_block{block_idx}", block)
                 in_ch = out_ch
-        self.head = TorchConvBNAct(in_ch, cfg.head_channels, 1)
+        self.head = TorchConvBNAct(in_ch, cfg.head_channels, 1,
+                                   bn_eps=cfg.bn_eps)
         if cfg.feature_dim != cfg.head_channels:
             self.feature_projection = nn.Linear(cfg.head_channels, cfg.feature_dim)
 
