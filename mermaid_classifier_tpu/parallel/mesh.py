@@ -83,3 +83,80 @@ def make_mesh(
         (spec.data, spec.model), devices=devices[: spec.n_devices]
     )
     return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids: list[int] | None = None,
+) -> None:
+    """Join this process into a multi-host JAX runtime
+    (``jax.distributed.initialize``): after it returns, ``jax.devices()``
+    is the GLOBAL device list across all hosts and every collective in the
+    `parallel/` layer spans them.
+
+    This is the growth seam SURVEY.md §5.8 names for scaling past one
+    host: the reference scales out by fanning independent workers over an
+    object store (reference: scripts/launch_processing.py:59-124, kept
+    here as `jobs/`), which remains the production path for extraction;
+    a jax-level multi-host mesh is what head training or any future
+    gradient-synchronized workload would use instead.
+
+    All arguments fall back to the standard env vars / cluster
+    auto-detection (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID, or a supported cluster environment). Safe to call on a
+    single process (num_processes=1) — and idempotent: a second call is a
+    no-op instead of an error.
+    """
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def make_multihost_mesh(model_parallel: int | None = None) -> Mesh:
+    """Build the (data, model) mesh over ALL processes' devices.
+
+    Requires ``initialize_distributed`` (or single-process, where it
+    degrades to ``make_mesh``). Axis layout policy for multi-host: the
+    model axis must stay INSIDE a host (its alternating column/row-
+    parallel collectives run every layer and need ICI bandwidth), while
+    the data axis may span hosts (its gradients sync once per step, DCN
+    tolerates that) — so the mesh is built hybrid: DCN dimension maps
+    onto the data axis only.
+    """
+    n_local = jax.local_device_count()
+    n_total = jax.device_count()
+    n_procs = max(1, n_total // max(n_local, 1))
+    if n_procs == 1:
+        return make_mesh(model_parallel=model_parallel)
+    if model_parallel is None:
+        model_parallel = _largest_pow2_divisor(n_local, cap=2)
+    if n_local % model_parallel != 0:
+        raise ValueError(
+            f"model_parallel={model_parallel} must divide the per-host"
+            f" device count {n_local} (the model axis cannot cross DCN)"
+        )
+    try:
+        # TPU pods: lay (data, model) onto ICI per slice and put the DCN
+        # dimension on the data axis.
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(n_local // model_parallel, model_parallel),
+            dcn_mesh_shape=(n_procs, 1),
+        )
+    except ValueError:
+        # Backends without slice metadata (the multi-process CPU dryrun):
+        # group devices by process so the model axis never crosses a
+        # process boundary and consecutive data rows stay process-local.
+        import numpy as np
+
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        mesh_devices = np.array(devs).reshape(
+            n_total // model_parallel, model_parallel
+        )
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
