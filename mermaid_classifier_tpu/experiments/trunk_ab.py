@@ -1,0 +1,167 @@
+"""Full-trunk A/B harness for backbone schedule experiments.
+
+The one measurement discipline that settles schedule questions on this
+hardware (docs/perf_roofline.md §1-3): isolated single-op probes INVERT
+in context, so every candidate schedule is timed as the FULL chunk-scanned
+extraction trunk — chained scalar carry, one readback, median of repeats.
+
+    python -m mermaid_classifier_tpu.experiments.trunk_ab \
+        --schedules folded folded+dwp5 folded+taps5
+
+Schedule names: 'flax', 'folded', plus '+' suffixes on folded:
+'+dwp5' (Pallas static-slice k5 depthwise, ops/depthwise.py),
+'+taps5' (XLA tap-sum k5), '+im2col' (im2col stem), '+fused'
+(VMEM-fused Pallas MBConv blocks). Results print as a table; nothing is
+persisted — paste winners into docs/perf_roofline.md with the run info.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_forward(schedule: str, model, variables, config):
+    import jax
+
+    if schedule == "flax":
+        return model.apply, jax.device_put(variables)
+    from mermaid_classifier_tpu.ops.fused_mbconv import (
+        apply_folded,
+        fold_backbone,
+    )
+
+    base, _, *mods = schedule.partition("+")
+    if base != "folded":
+        raise ValueError(f"unknown schedule base {base!r}")
+    mods = mods[0].split("+") if mods and mods[0] else []
+    kwargs: dict = {}
+    for mod in mods:
+        if mod == "dwp5":
+            kwargs["dw_pallas_kernels"] = (5,)
+        elif mod == "dwp3":
+            kwargs["dw_pallas_kernels"] = kwargs.get(
+                "dw_pallas_kernels", ()
+            ) + (3,)
+        elif mod == "taps5":
+            kwargs["dw_taps_kernels"] = (5,)
+        elif mod == "im2col":
+            kwargs["stem_im2col"] = True
+        elif mod == "fused":
+            kwargs["fused"] = True
+        else:
+            raise ValueError(f"unknown schedule mod {mod!r}")
+
+    folded = jax.device_put(fold_backbone(variables, config))
+
+    def fwd(weights, patches):
+        return apply_folded(weights, config, patches, **kwargs)
+
+    return fwd, folded
+
+
+def time_trunk(fwd, weights, config, *, points=1024, chunk=128, iters=6,
+               warmup=2, repeats=3, image_size=1536):
+    """bench.py's device-loop discipline, detached for experiments."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mermaid_classifier_tpu.ops.patch_ops import (
+        channel_scale_bias,
+        extract_patches_xla,
+    )
+
+    ps = config.patch_size
+    half = ps // 2
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, (image_size, image_size, 3), dtype=np.uint8)
+    padded = np.zeros((image_size + 2 * half, image_size + 2 * half, 3),
+                      np.uint8)
+    padded[half:-half, half:-half] = image
+    scale, bias = channel_scale_bias(config.mean_rgb, config.std_rgb)
+    n_chunks = points // chunk
+
+    @jax.jit
+    def step(prev, weights, padded, starts3, scale, bias):
+        def body(acc, starts):
+            patches = extract_patches_xla(
+                padded, starts, ps, scale, bias,
+                out_dtype=jnp.dtype(config.compute_dtype),
+            )
+            return acc + jnp.sum(fwd(weights, patches)), None
+
+        acc, _ = jax.lax.scan(body, prev, starts3)
+        return acc
+
+    n_inputs = warmup + iters
+    starts = [
+        jnp.asarray(rng.integers(0, image_size,
+                                 (n_chunks, chunk, 2)).astype(np.int32))
+        for _ in range(n_inputs)
+    ]
+    dp = jnp.asarray(padded)
+    ds = jnp.asarray(scale)
+    db = jnp.asarray(bias)
+    acc = jnp.float32(0)
+    for i in range(warmup):
+        acc = step(acc, weights, dp, starts[i], ds, db)
+    float(acc)
+    runs = []
+    for _ in range(repeats):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            acc = step(acc, weights, dp, starts[warmup + i], ds, db)
+        float(acc)
+        runs.append(points * iters / (time.perf_counter() - t0))
+    import numpy as np
+
+    return float(np.median(runs)), runs
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--schedules", nargs="+",
+                        default=["folded", "folded+dwp5"])
+    parser.add_argument("--points", type=int, default=1024)
+    parser.add_argument("--chunk", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=6)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from mermaid_classifier_tpu.models.efficientnet import (
+        EfficientNetBackbone,
+        EfficientNetConfig,
+        init_backbone_params,
+    )
+
+    print(f"backend: {jax.default_backend()}")
+    config = EfficientNetConfig(compute_dtype=args.dtype)
+    model = EfficientNetBackbone(config=config)
+    variables = init_backbone_params(0, config)
+
+    results = []
+    for schedule in args.schedules:
+        fwd, weights = build_forward(schedule, model, variables, config)
+        t0 = time.perf_counter()
+        pps, runs = time_trunk(
+            fwd, weights, config, points=args.points, chunk=args.chunk,
+            iters=args.iters, repeats=args.repeats,
+        )
+        us = 1e6 / pps
+        print(f"{schedule:24s} {us:7.1f} us/patch {pps:10,.0f} p/s"
+              f"  runs={[f'{r:,.0f}' for r in runs]}"
+              f"  (wall {time.perf_counter() - t0:.0f}s incl. compile)",
+              flush=True)
+        results.append((schedule, pps))
+    best = max(results, key=lambda r: r[1])
+    print(f"best: {best[0]} at {best[1]:,.0f} p/s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

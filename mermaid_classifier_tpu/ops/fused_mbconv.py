@@ -561,12 +561,16 @@ def _dw_taps(z, w_dw, b_dw, kernel, stride, acc_dtype=jnp.float32,
 
 
 def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = (),
+               dw_pallas_kernels: tuple = (), interpret: bool = False,
                padding_mode: str = "symmetric"):
     """One MBConv block with folded weights, plain XLA ops.
 
     dw_taps_kernels: depthwise kernel sizes routed through the tap-sum
     schedule instead of the native conv (k=5 wins big; k=3 native is
     already near-free — see _dw_taps).
+    dw_pallas_kernels: kernel sizes routed through the Pallas
+    static-slice depthwise (stride-1 symmetric-pad blocks only —
+    ops/depthwise.py); others fall through to the rules above.
     """
     from mermaid_classifier_tpu.models.efficientnet import conv_padding
 
@@ -580,7 +584,20 @@ def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = (),
     w_dw, b_dw = blk["depthwise"]
     k = meta.kernel
     pads = conv_padding(k, meta.stride, z.shape[1], z.shape[2], padding_mode)
-    if k in dw_taps_kernels:
+    if (
+        k in dw_pallas_kernels and meta.stride == 1
+        # stride-1 odd-k SAME pads are symmetric in both modes
+    ):
+        from mermaid_classifier_tpu.ops.depthwise import (
+            depthwise_conv_pallas,
+        )
+
+        # Emits the activation dtype (f32 accumulation inside the kernel),
+        # same as the native-conv branch — never materialize above it.
+        z = depthwise_conv_pallas(
+            z, w_dw, b_dw, kernel=k, interpret=interpret
+        )
+    elif k in dw_taps_kernels:
         z = _dw_taps(z, w_dw, b_dw, k, meta.stride, pads=pads)
     else:
         z = jax.lax.conv_general_dilated(
@@ -640,6 +657,7 @@ def apply_folded(
     fused: bool = False,
     interpret: bool = False,
     dw_taps_kernels: tuple = (),
+    dw_pallas_kernels: tuple = (),
     stem_im2col: bool = False,
 ) -> jnp.ndarray:
     """Full backbone forward over folded weights.
@@ -683,6 +701,7 @@ def apply_folded(
         else:
             x = _block_xla(
                 x, blk, dtype, dw_taps_kernels=dw_taps_kernels,
+                dw_pallas_kernels=dw_pallas_kernels, interpret=interpret,
                 padding_mode=config.padding,
             )
     w, b = folded["head"]
