@@ -408,6 +408,35 @@ def run_head_training(args) -> dict:
             "upload_seconds": upload_s}
 
 
+def run_quality_parity() -> dict | None:
+    """End-to-end quality vs sklearn in a CPU-pinned subprocess (a
+    numerics differential, not a throughput number — it must not pay
+    tunnel round trips, and the bench process itself owns the TPU)."""
+    import json as json_mod
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent / "scripts" / "quality_parity_bench.py"
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(script), "--ci-scale"],
+            capture_output=True, text=True, timeout=900,
+        )
+        if proc.returncode != 0:
+            log(f"quality parity leg failed (rc={proc.returncode}):"
+                f" {proc.stderr[-500:]}")
+            return None
+        result = json_mod.loads(proc.stdout.strip().splitlines()[-1])
+        log(f"quality parity: repo acc {result['repo_accuracy']}"
+            f" vs sklearn {result['sklearn_accuracy']}"
+            f" (delta {result['accuracy_delta']})")
+        return result
+    except Exception as exc:  # never let the quality leg kill the bench
+        log(f"quality parity leg errored: {exc}")
+        return None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--points", type=int, default=2048,
@@ -440,6 +469,8 @@ def main() -> None:
                         help="device loop only")
     parser.add_argument("--no-train", action="store_true",
                         help="skip the head-training metric")
+    parser.add_argument("--no-quality", action="store_true",
+                        help="skip the end-to-end quality-parity leg")
     parser.add_argument("--train-rows", type=int, default=10000)
     parser.add_argument("--train-epochs", type=int, default=3)
     parser.add_argument(
@@ -573,6 +604,18 @@ def main() -> None:
         payload["train_samples_per_sec"] = round(head["samples_per_sec"], 1)
         payload["train_upload_seconds"] = round(head["upload_seconds"], 1)
         payload["train_steady_state"] = True
+    if not args.no_quality:
+        quality = run_quality_parity()
+        if quality is not None:
+            payload["quality"] = {
+                k: quality[k]
+                for k in (
+                    "repo_accuracy", "repo_balanced_accuracy",
+                    "repo_log_loss", "sklearn_accuracy",
+                    "sklearn_balanced_accuracy", "sklearn_log_loss",
+                    "accuracy_delta", "balanced_accuracy_delta",
+                )
+            }
     print(json.dumps(payload))
 
 
