@@ -34,7 +34,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _lane_pad(c: int) -> int:
@@ -92,16 +91,14 @@ def depthwise_conv_pallas(
     # Host/XLA-side prep: symmetric spatial zero pad + channel pad to the
     # lane tile. XLA fuses this into the producer; the kernel sees aligned
     # static geometry only.
+    # All prep is jnp (trace-safe: weights arrive as jit arguments in the
+    # folded-schedule forward) and fuses into the producers.
     xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, cp - c)))
-    wk = jnp.asarray(
-        np.pad(np.asarray(w_dw, np.float32).reshape(k * k, c),
-               ((0, 0), (0, cp - c)))
-        if cp != c else np.asarray(w_dw, np.float32).reshape(k * k, c)
+    wk = jnp.pad(
+        jnp.asarray(w_dw, jnp.float32).reshape(k * k, c),
+        ((0, 0), (0, cp - c)),
     )
-    bk = jnp.asarray(
-        np.pad(np.asarray(b_dw, np.float32), (0, cp - c))
-        if cp != c else np.asarray(b_dw, np.float32)
-    )
+    bk = jnp.pad(jnp.asarray(b_dw, jnp.float32), (0, cp - c))
 
     if block_b is None:
         # VMEM budget: padded bf16 input block + f32 accumulator + output,
