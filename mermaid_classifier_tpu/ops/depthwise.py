@@ -108,11 +108,15 @@ def depthwise_conv_pallas(
         wp_t = -(-(w + 2 * p) // sub) * sub
         w_t = -(-w // 8) * 8
         per_patch = (
-            (h + 2 * p) * wp_t * cp * itemsize      # input block
-            + h * w_t * cp * 4 * 2                  # f32 acc + staging
-            + h * w_t * cp * itemsize               # out block
+            3 * (h + 2 * p) * wp_t * cp * itemsize  # in block (dbl-buffered)
+            + 2 * h * w_t * cp * 4 * 2              # f32 acc + tap staging
+            + 2 * h * w_t * cp * itemsize           # out block (dbl-buffered)
         )
-        block_b = max(1, min(n, (10 * 1024 * 1024) // per_patch))
+        # Measured on v5e: Mosaic's scoped stack for the 25-tap chain runs
+        # ~2x a naive in+acc+out estimate (the x value and slice temps stay
+        # live); 6 MB of estimated per-patch budget keeps the real scoped
+        # allocation under the 16 MB limit on every trunk geometry.
+        block_b = max(1, min(n, (6 * 1024 * 1024) // per_patch))
     while n % block_b:
         block_b -= 1
 

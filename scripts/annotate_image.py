@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--top-n", type=int, default=3)
     parser.add_argument("--backbone-weights", default=None)
+    parser.add_argument(
+        "--backbone-padding", default=None,
+        choices=("symmetric", "tf_same"),
+        help="conv padding semantics; real pyspacer-lineage weights need"
+        " tf_same (scripts/diff_backbone.py --padding auto decides)",
+    )
     parser.add_argument("--tracker-root", default=None)
     args = parser.parse_args(argv)
 
@@ -49,7 +55,18 @@ def main(argv: list[str] | None = None) -> int:
         from mermaid_classifier_tpu.models.convert import load_backbone_npz
 
         weights = load_backbone_npz(args.backbone_weights)
-    extractor = build_extractor(weights)
+    config = None
+    if args.backbone_padding is not None:
+        import dataclasses
+
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetConfig,
+        )
+
+        config = dataclasses.replace(
+            EfficientNetConfig(), padding=args.backbone_padding
+        )
+    extractor = build_extractor(weights, config=config)
 
     from mermaid_classifier_tpu.serve.image_sources import ImageFetcher
 

@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
         " b0); mutually exclusive with --backbone-config-json",
     )
     parser.add_argument(
+        "--backbone-padding", default=None,
+        choices=("symmetric", "tf_same"),
+        help="conv padding semantics; real pyspacer-lineage weights"
+        " (lukemelas naming) need tf_same to reproduce the reference's"
+        " features (<1e-4 MAE contract — scripts/diff_backbone.py)",
+    )
+    parser.add_argument(
         "--backbone-impl", default=None,
         choices=("folded", "flax", "fused"),
         help="backbone schedule (default: the BN-folded fast path, single"
@@ -152,6 +159,17 @@ def main(argv: list[str] | None = None) -> int:
         from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
 
         config = EfficientNetConfig(compute_dtype=args.compute_dtype)
+
+    if args.backbone_padding is not None:
+        import dataclasses
+
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetConfig,
+        )
+
+        config = dataclasses.replace(
+            config or EfficientNetConfig(), padding=args.backbone_padding
+        )
 
     extractor = build_extractor(
         weights, config=config, backbone_batch=args.backbone_batch, mesh=mesh,
