@@ -130,3 +130,65 @@ class TestCLI:
         assert rc == 0
         lines = out.read_text().splitlines()
         assert len(lines) == 18  # header + 17 points
+
+    def test_single_file_much_larger_than_batch(self, artifact_dir,
+                                                tmp_path):
+        """The deque-cursor drain (round-3 fix): one file many times the
+        batch size streams through in O(n) and yields identical rows to a
+        whole-file predict."""
+        rng = np.random.default_rng(7)
+        n = 53  # deliberately not a multiple of batch_size
+        rowcols = rng.integers(0, 100, size=(n, 2)).astype(np.int64)
+        features = rng.normal(0, 2, size=(n, DIM)).astype(np.float32)
+        p = tmp_path / "big.features.npz"
+        write_feature_file(p, rowcols, features)
+
+        predictor = load_predictor(artifact_dir)
+        rows = predict_feature_files(predictor, [p], top_n=1, batch_size=8)
+        assert len(rows) == n
+        proba = predictor.predict_proba(features)
+        want = np.argmax(proba, axis=1)
+        got = [predictor.classes.index(r.labels[0]) for r in rows]
+        assert got == want.tolist()
+        # row/col metadata stays aligned through every drain boundary.
+        assert [(r.row, r.col) for r in rows] == [
+            (int(a), int(b)) for a, b in rowcols
+        ]
+
+    def test_exact_batch_multiples_leave_no_leftovers(self, artifact_dir,
+                                                      tmp_path):
+        rng = np.random.default_rng(8)
+        paths = []
+        for i, n in enumerate((4, 4, 8)):  # totals 16 = 2 x batch_size 8
+            rowcols = rng.integers(0, 100, size=(n, 2)).astype(np.int64)
+            features = rng.normal(0, 2, size=(n, DIM)).astype(np.float32)
+            p = tmp_path / f"m{i}.features.npz"
+            write_feature_file(p, rowcols, features)
+            paths.append(p)
+        predictor = load_predictor(artifact_dir)
+        rows = predict_feature_files(predictor, paths, top_n=1, batch_size=8)
+        assert len(rows) == 16
+        assert [r.source_file for r in rows] == (
+            [str(paths[0])] * 4 + [str(paths[1])] * 4 + [str(paths[2])] * 8
+        )
+
+    def test_empty_file_among_inputs(self, artifact_dir, tmp_path):
+        rng = np.random.default_rng(9)
+        empty = tmp_path / "empty.features.npz"
+        write_feature_file(
+            empty,
+            np.zeros((0, 2), np.int64),
+            np.zeros((0, DIM), np.float32),
+        )
+        full = tmp_path / "full.features.npz"
+        write_feature_file(
+            full,
+            rng.integers(0, 9, size=(3, 2)).astype(np.int64),
+            rng.normal(size=(3, DIM)).astype(np.float32),
+        )
+        predictor = load_predictor(artifact_dir)
+        rows = predict_feature_files(
+            predictor, [empty, full, empty], top_n=1, batch_size=4
+        )
+        assert len(rows) == 3
+        assert all(r.source_file == str(full) for r in rows)
