@@ -134,8 +134,23 @@ def worker(args) -> int:
     )
     loss = float(loss)
     assert np.isfinite(loss), loss
-    print(f"{OK_MARKER} process={args.process_id} loss={loss:.4f}",
-          flush=True)
+
+    # The production classifier's own mesh path across process
+    # boundaries: every process supplies the identical global batch;
+    # device_put shards rows over the multi-host mesh and the jitted
+    # update's gradient reduction crosses DCN.
+    from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+    clf = MLPClassifier((8,), learning_rate_init=1e-3, random_state=0,
+                        batch_size=2 * n_total, mesh=mesh)
+    Xc = rng.standard_normal((4 * n_total, 6)).astype(np.float32)
+    yc = np.asarray([f"c{v}" for v in rng.integers(0, 3, 4 * n_total)])
+    clf.partial_fit(Xc, yc, classes=sorted(set(yc.tolist())))
+    clf_loss = clf.loss_curve_[-1]
+    assert np.isfinite(clf_loss), clf_loss
+
+    print(f"{OK_MARKER} process={args.process_id} loss={loss:.4f}"
+          f" clf_loss={clf_loss:.4f}", flush=True)
     return 0
 
 
