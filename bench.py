@@ -408,6 +408,55 @@ def run_head_training(args) -> dict:
             "upload_seconds": upload_s}
 
 
+def run_serve(args) -> dict:
+    """Calibrated-head serving throughput on device: the production
+    artifact shape (4096 -> 500/300/100 -> 80 classes + per-class Platt +
+    row-normalize), steady-state batched predict_proba rows/s with the
+    same chained-carry single-readback discipline as the device loop
+    (reference serve shape: annotation.py:249-261, generalized to bulk)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mermaid_classifier_tpu.inference.head import head_apply
+
+    rng = np.random.default_rng(4)
+    sizes = (4096, 500, 300, 100, 80)
+    params = {
+        "weights": [
+            jnp.asarray(rng.standard_normal((i, o)).astype(np.float32)
+                        * (1.0 / np.sqrt(i)))
+            for i, o in zip(sizes[:-1], sizes[1:])
+        ],
+        "biases": [jnp.asarray(np.zeros(o, np.float32)) for o in sizes[1:]],
+        "a": jnp.asarray(-np.ones(sizes[-1], np.float32)),
+        "b": jnp.asarray(np.zeros(sizes[-1], np.float32)),
+    }
+    batch = args.serve_batch
+    x = jax.device_put(
+        rng.standard_normal((batch, sizes[0])).astype(np.float32)
+    )
+
+    @jax.jit
+    def step(acc, params, x):
+        proba = head_apply(params, x + acc * 0)
+        return acc + jnp.float32(jnp.sum(proba))
+
+    acc = jnp.float32(0)
+    acc = step(acc, params, x)
+    float(acc)
+    iters = 30
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = step(acc, params, x)
+    float(acc)
+    rows_per_sec = batch * iters / (time.perf_counter() - t0)
+    log(f"serve: {iters} x {batch}-row head batches ->"
+        f" {rows_per_sec:,.0f} rows/s")
+    return {"rows_per_sec": rows_per_sec, "batch": batch}
+
+
 def run_quality_parity() -> dict | None:
     """End-to-end quality vs sklearn in a CPU-pinned subprocess (a
     numerics differential, not a throughput number — it must not pay
@@ -471,6 +520,9 @@ def main() -> None:
                         help="skip the head-training metric")
     parser.add_argument("--no-quality", action="store_true",
                         help="skip the end-to-end quality-parity leg")
+    parser.add_argument("--no-serve", action="store_true",
+                        help="skip the calibrated-head serving metric")
+    parser.add_argument("--serve-batch", type=int, default=4096)
     parser.add_argument("--train-rows", type=int, default=10000)
     parser.add_argument("--train-epochs", type=int, default=3)
     parser.add_argument(
@@ -604,6 +656,10 @@ def main() -> None:
         payload["train_samples_per_sec"] = round(head["samples_per_sec"], 1)
         payload["train_upload_seconds"] = round(head["upload_seconds"], 1)
         payload["train_steady_state"] = True
+    if not args.no_serve:
+        serve = run_serve(args)
+        payload["serve_rows_per_sec"] = round(serve["rows_per_sec"], 1)
+        payload["serve_batch"] = serve["batch"]
     if not args.no_quality:
         quality = run_quality_parity()
         if quality is not None:
