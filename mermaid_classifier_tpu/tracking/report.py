@@ -106,6 +106,76 @@ def _render_artifact(path: Path) -> str:
     return f"<p class='meta'>{escape(path.name)} ({path.stat().st_size} bytes)</p>"
 
 
+def _render_history_chart(name: str, history: list[dict]) -> str:
+    """One per-metric line chart as self-contained inline SVG.
+
+    Single series per chart (the title names it — no legend needed): a 2px
+    line in the report accent (#2b6cb0, 5.4:1 contrast on the white
+    surface), recessive gridlines, muted-ink min/max ticks, the last value
+    direct-labeled, and native hover tooltips via per-point <title> on
+    enlarged hit circles. The full table stays available under <details>
+    (the accessible table view).
+    """
+    pts = [
+        (h.get("step", i), float(h["value"]))
+        for i, h in enumerate(history)
+        if h.get("value") is not None
+    ]
+    pts = [(s, v) for s, v in pts if v == v and abs(v) != float("inf")]
+    if len(pts) < 2:
+        return ""
+    w_px, h_px, pad_l, pad_r, pad_t, pad_b = 560, 140, 58, 16, 12, 22
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    if y0 == y1:
+        y0, y1 = y0 - 0.5, y1 + 0.5
+    span_x = (x1 - x0) or 1
+    span_y = y1 - y0
+
+    def sx(x):
+        return pad_l + (x - x0) / span_x * (w_px - pad_l - pad_r)
+
+    def sy(y):
+        return pad_t + (y1 - y) / span_y * (h_px - pad_t - pad_b)
+
+    path = " ".join(
+        f"{'M' if i == 0 else 'L'}{sx(x):.1f},{sy(y):.1f}"
+        for i, (x, y) in enumerate(pts)
+    )
+    grid = "".join(
+        f'<line x1="{pad_l}" y1="{sy(y):.1f}" x2="{w_px - pad_r}"'
+        f' y2="{sy(y):.1f}" stroke="#e2e8f0" stroke-width="1"/>'
+        f'<text x="{pad_l - 6}" y="{sy(y) + 3:.1f}" text-anchor="end"'
+        f' font-size="10" fill="#718096">{y:.4g}</text>'
+        for y in (y0, y1)
+    )
+    hovers = "".join(
+        f'<circle cx="{sx(x):.1f}" cy="{sy(y):.1f}" r="7"'
+        f' fill="transparent"><title>step {x}: {y:.6g}</title></circle>'
+        for x, y in pts
+    )
+    lx, ly = sx(pts[-1][0]), sy(pts[-1][1])
+    anchor = "end" if lx > w_px - 70 else "start"
+    ldx = -8 if anchor == "end" else 8
+    return (
+        f'<svg viewBox="0 0 {w_px} {h_px}" width="{w_px}" height="{h_px}"'
+        f' role="img" aria-label="{escape(name)} history">'
+        f"{grid}"
+        f'<path d="{path}" fill="none" stroke="#2b6cb0" stroke-width="2"'
+        ' stroke-linejoin="round" stroke-linecap="round"/>'
+        f'<circle cx="{lx:.1f}" cy="{ly:.1f}" r="3" fill="#2b6cb0"/>'
+        f'<text x="{lx + ldx:.1f}" y="{ly + 4:.1f}" text-anchor="{anchor}"'
+        f' font-size="11" fill="#1a202c">{pts[-1][1]:.5g}</text>'
+        f'<text x="{pad_l}" y="{h_px - 6}" font-size="10" fill="#718096">'
+        f"step {x0}</text>"
+        f'<text x="{w_px - pad_r}" y="{h_px - 6}" text-anchor="end"'
+        f' font-size="10" fill="#718096">step {x1}</text>'
+        f"{hovers}</svg>"
+    )
+
+
 def _grouped_table(items: dict, title_key: str = "name") -> str:
     """Group a flat {'a/b': v} dict by first path segment into tables."""
     groups: dict[str, list[tuple[str, object]]] = {}
@@ -187,9 +257,17 @@ def generate_report(run: Run, output_html: str | Path) -> Path:
                 f"<tr><td>{h.get('step')}</td><td>{h['value']:.6g}</td></tr>"
                 for h in history
             )
-            html.append(
-                f"<h3>{escape(name)}</h3><table><thead><tr><th>step</th>"
+            table = (
+                "<details><summary class='meta'>table view"
+                f" ({len(history)} steps)</summary>"
+                f"<table><thead><tr><th>step</th>"
                 f"<th>value</th></tr></thead><tbody>{rows}</tbody></table>"
+                "</details>"
+            )
+            html.append(
+                f"<h3>{escape(name)}</h3>"
+                + _render_history_chart(name, history)
+                + table
             )
 
     for section in sections:
