@@ -117,7 +117,9 @@ def _render_history_chart(name: str, history: list[dict]) -> str:
     (the accessible table view).
     """
     pts = [
-        (h.get("step", i), float(h["value"]))
+        # Metrics logged without an explicit step fall back to their
+        # position in the history.
+        (h["step"] if h.get("step") is not None else i, float(h["value"]))
         for i, h in enumerate(history)
         if h.get("value") is not None
     ]
