@@ -61,3 +61,41 @@ def make_sharded_head_fn(
         return np.asarray(apply_sharded(tree, features), dtype=np.float64)
 
     return run
+
+
+def load_sharded_predictor(artifact: "str | Path", mesh: Mesh):
+    """A ``Predictor`` whose head runs batch-sharded over ``mesh``.
+
+    Every loader gate runs first (the single-device ``load_predictor`` is
+    the validation authority — schema, probe, class count); then the same
+    npz parameters are re-wrapped in the mesh head. Arbitrary batch sizes
+    are handled by weight-0-free padding: rows pad up to the device-count
+    multiple and the pad rows are dropped before returning, so callers
+    (e.g. the bulk feature classifier) see identical shapes either way.
+    """
+    from pathlib import Path
+
+    from mermaid_classifier_tpu.inference.loader import (
+        Predictor,
+        _load_head_params,
+        load_predictor,
+    )
+
+    base = load_predictor(artifact)
+    artifact = Path(artifact)
+    npz_path = artifact / "model.npz" if artifact.is_dir() else artifact
+    params = _load_head_params(npz_path)
+    run = make_sharded_head_fn(mesh, params)
+    n_devices = mesh.devices.size
+
+    def head_fn(features: np.ndarray) -> np.ndarray:
+        features = np.asarray(features, np.float32)
+        pad = -len(features) % n_devices
+        if pad:
+            features = np.concatenate(
+                [features, np.zeros((pad, features.shape[1]), np.float32)]
+            )
+        out = run(features)
+        return out[: len(out) - pad] if pad else out
+
+    return Predictor(head_fn, base.classes, base.input_dim)

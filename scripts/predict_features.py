@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--batch-size", type=int, default=4096)
     parser.add_argument("--tracking-root", default=None,
                         help="tracker root for models:/ specs")
+    parser.add_argument("--mesh-devices", type=int, default=None,
+                        help="shard the head batch over an N-device mesh"
+                        " (default: single device)")
     parser.add_argument("feature_files", nargs="+",
                         help="*.features.npz (rowcols+features) or bare"
                         " (P, D) *.npy matrices")
@@ -52,7 +55,17 @@ def main(argv: list[str] | None = None) -> int:
     artifact = resolve_classifier_artifact(
         args.classifier, tracker_root=args.tracking_root
     )
-    predictor = load_predictor(artifact)
+    if args.mesh_devices:
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+        from mermaid_classifier_tpu.parallel.sharded_serve import (
+            load_sharded_predictor,
+        )
+
+        mesh = make_mesh(args.mesh_devices)
+        predictor = load_sharded_predictor(artifact, mesh)
+        logger.info("serving over a %d-device mesh", args.mesh_devices)
+    else:
+        predictor = load_predictor(artifact)
     logger.info(
         "classifier %s: %d classes, input_dim %d",
         artifact, len(predictor.classes), predictor.input_dim,

@@ -192,3 +192,40 @@ class TestCLI:
         )
         assert len(rows) == 3
         assert all(r.source_file == str(full) for r in rows)
+
+
+class TestMeshServing:
+    """The bulk classifier over a virtual 8-device mesh must agree with
+    the single-device predictor row for row (including non-multiple batch
+    sizes, which the sharded predictor pads internally)."""
+
+    def test_sharded_predictor_matches_single_device(self, artifact_dir):
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+        from mermaid_classifier_tpu.parallel.sharded_serve import (
+            load_sharded_predictor,
+        )
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(0, 2, size=(37, DIM)).astype(np.float32)  # 37 % 8 != 0
+        single = load_predictor(artifact_dir)
+        sharded = load_sharded_predictor(artifact_dir, make_mesh(8))
+        assert sharded.classes == single.classes
+        np.testing.assert_allclose(
+            sharded.predict_proba(X), single.predict_proba(X),
+            rtol=1e-6, atol=1e-9,
+        )
+
+    def test_cli_mesh_flag(self, artifact_dir, feature_files, tmp_path):
+        import scripts.predict_features as cli
+
+        out = tmp_path / "preds.csv"
+        rc = cli.main([
+            "--classifier", str(artifact_dir),
+            "--output", str(out),
+            "--mesh-devices", "8",
+            "--top-n", "1",
+            *[str(p) for p in feature_files],
+        ])
+        assert rc == 0
+        lines = out.read_text().splitlines()
+        assert len(lines) == 1 + 17  # header + every point
