@@ -37,12 +37,12 @@ def build_forward(schedule: str, model, variables, config):
     mods = mods[0].split("+") if mods and mods[0] else []
     kwargs: dict = {}
     for mod in mods:
-        if mod == "dwp5":
-            kwargs["dw_pallas_kernels"] = (5,)
-        elif mod == "dwp3":
+        if mod in ("dwp5", "dwp3"):
+            # Append (never overwrite) so '+dwp3+dwp5' routes BOTH kernel
+            # sizes regardless of mod order.
             kwargs["dw_pallas_kernels"] = kwargs.get(
                 "dw_pallas_kernels", ()
-            ) + (3,)
+            ) + (int(mod[-1]),)
         elif mod == "taps5":
             kwargs["dw_taps_kernels"] = (5,)
         elif mod == "im2col":

@@ -82,9 +82,9 @@ def load_sharded_predictor(artifact: "str | Path", mesh: Mesh):
     )
 
     base = load_predictor(artifact)
-    artifact = Path(artifact)
-    npz_path = artifact / "model.npz" if artifact.is_dir() else artifact
-    params = _load_head_params(npz_path)
+    # load_predictor's single-argument form only accepts a directory, so
+    # reaching here guarantees the dir layout (dir-only is the contract).
+    params = _load_head_params(Path(artifact) / "model.npz")
     run = make_sharded_head_fn(mesh, params)
     n_devices = mesh.devices.size
 

@@ -116,14 +116,19 @@ def _render_history_chart(name: str, history: list[dict]) -> str:
     enlarged hit circles. The full table stays available under <details>
     (the accessible table view).
     """
-    pts = [
-        # Metrics logged without an explicit step fall back to their
-        # position in the history.
-        (h["step"] if h.get("step") is not None else i, float(h["value"]))
-        for i, h in enumerate(history)
+    finite = [
+        h for h in history
         if h.get("value") is not None
+        and float(h["value"]) == float(h["value"])
+        and abs(float(h["value"])) != float("inf")
     ]
-    pts = [(s, v) for s, v in pts if v == v and abs(v) != float("inf")]
+    # Metrics logged without an explicit step fall back to their position
+    # among the kept points; sorting by x keeps the line monotonic even
+    # when stepped and step-less logs are mixed in one history.
+    pts = sorted(
+        (h["step"] if h.get("step") is not None else i, float(h["value"]))
+        for i, h in enumerate(finite)
+    )
     if len(pts) < 2:
         return ""
     w_px, h_px, pad_l, pad_r, pad_t, pad_b = 560, 140, 58, 16, 12, 22

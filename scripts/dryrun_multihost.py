@@ -155,11 +155,26 @@ def worker(args) -> int:
 
 
 def parent(args) -> int:
+    import tempfile
+    import time
+
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
-    procs = []
+    # Workers write to FILES, not pipes: a worker stuck mid-collective
+    # while another floods 64KB of XLA traceback into a full pipe would
+    # deadlock both; files also survive a kill so diagnostics are never
+    # lost. args.timeout is ONE shared wall-clock deadline for the whole
+    # fleet (a hung collective hangs every worker at once — waiting for
+    # them sequentially would multiply the wait past every caller's outer
+    # timeout).
+    procs: list[subprocess.Popen] = []
+    logs = []
     for pid in range(args.processes):
+        log = tempfile.NamedTemporaryFile(
+            "w+", prefix=f"multihost_w{pid}_", suffix=".log", delete=False
+        )
+        logs.append(log)
         procs.append(subprocess.Popen(
             [
                 sys.executable, str(Path(__file__).resolve()), "--worker",
@@ -169,27 +184,39 @@ def parent(args) -> int:
                 "--local-devices", str(args.local_devices),
             ],
             env=env,
-            stdout=subprocess.PIPE,
+            stdout=log,
             stderr=subprocess.STDOUT,
-            text=True,
         ))
-    failures = 0
+    deadline = time.monotonic() + args.timeout
+    timed_out = []
     for pid, proc in enumerate(procs):
+        remaining = deadline - time.monotonic()
         try:
-            out, _ = proc.communicate(timeout=args.timeout)
+            proc.wait(timeout=max(remaining, 0.1))
         except subprocess.TimeoutExpired:
             proc.kill()
-            out, _ = proc.communicate()
-            print(f"worker {pid}: TIMEOUT after {args.timeout}s")
+            proc.wait()
+            timed_out.append(pid)
+    failures = 0
+    for pid, proc in enumerate(procs):
+        out = Path(logs[pid].name).read_text()
+        if pid in timed_out:
+            print(f"worker {pid}: TIMEOUT after {args.timeout}s (shared"
+                  " deadline)")
             failures += 1
+            print("--- worker output (tail) ---")
+            print(out[-4000:])
             continue
         ok = proc.returncode == 0 and OK_MARKER in out
         print(f"worker {pid}: rc={proc.returncode}"
               f" {'ok' if ok else 'FAILED'}")
         if not ok:
             failures += 1
-            print("--- worker output ---")
+            print("--- worker output (tail) ---")
             print(out[-4000:])
+    for log in logs:
+        log.close()
+        Path(log.name).unlink(missing_ok=True)
     if failures:
         return 1
     print(f"{OK_MARKER}: {args.processes} processes x"

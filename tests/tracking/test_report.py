@@ -86,3 +86,25 @@ class TestGenerateReport(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+def test_history_chart_handles_mixed_and_missing_steps():
+    from mermaid_classifier_tpu.tracking.report import _render_history_chart
+
+    # Stepped logs followed by a step-less summary: the chart must stay a
+    # monotonic left-to-right line (sorted by x, fallback x = position),
+    # never doubling back.
+    history = [
+        {"step": 500, "value": 0.5},
+        {"step": 1000, "value": 0.4},
+        {"step": None, "value": 0.35},
+        {"step": 750, "value": 0.45},
+        {"step": 20, "value": float("nan")},  # dropped
+    ]
+    svg = _render_history_chart("epoch/val_loss", history)
+    assert svg.startswith("<svg")
+    import re
+
+    xs = [float(m.group(1)) for m in re.finditer(r"[ML]([\d.]+),", svg)]
+    assert xs == sorted(xs), "chart line must be monotonic in x"
+    assert len(xs) == 4  # NaN point dropped
