@@ -250,7 +250,15 @@ class MLPClassifier:
         epsilon: float = 1e-8,
         class_weight: dict[Any, float] | None = None,
         mesh: Any = None,
+        init: str = "reference",
     ):
+        if init not in ("reference", "sklearn"):
+            raise ValueError(
+                f"init must be 'reference' (Xavier weights, zero biases —"
+                f" the reference analog) or 'sklearn' (sklearn's exact"
+                f" RandomState stream incl. uniform intercepts);"
+                f" got {init!r}."
+            )
         if activation != "relu":
             raise ValueError(
                 f"MLPClassifier only supports activation='relu', got {activation!r}."
@@ -272,6 +280,7 @@ class MLPClassifier:
         self.beta_1 = beta_1
         self.beta_2 = beta_2
         self.epsilon = epsilon
+        self.init = init
         # Per-class loss weighting: dict class label -> non-negative float,
         # materialized in classes_ order on first partial_fit
         # (reference: torch_classifier.py:132-136).
@@ -331,15 +340,50 @@ class MLPClassifier:
         return (self.n_features_in_, *self.hidden_layer_sizes, len(self.classes_))
 
     def _init_params(self) -> None:
-        if self.random_state is not None:
-            key = jax.random.PRNGKey(int(self.random_state))
-        else:
-            key = jax.random.PRNGKey(np.random.randint(0, np.iinfo(np.int32).max))
         sizes = self._layer_sizes()
         weights, biases = [], []
-        for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
-            weights.append(_xavier_uniform(jax.random.fold_in(key, i), fan_in, fan_out))
-            biases.append(jnp.zeros((fan_out,), dtype=jnp.float32))
+        if self.init == "sklearn":
+            # Replicate sklearn MLPClassifier._init_coef EXACTLY — the
+            # same np.random.RandomState stream, the same draw order
+            # (coefs then intercepts, layer by layer), the same Glorot
+            # bound, and UNIFORM intercepts (not zero). With the update
+            # path already bit-tracking sklearn
+            # (TestIdenticalInitTracksSklearn), init='sklearn' +
+            # shuffle=False + the same seed trains the same model sklearn
+            # would, from the seed alone. Measured consequence: at short
+            # budgets the reference's zero-bias init trails sklearn's by
+            # a few points (docs/training.md); this option removes that
+            # gap when sklearn-parity matters more than reference-parity.
+            rs = np.random.RandomState(
+                int(self.random_state) if self.random_state is not None
+                else None
+            )
+            for fan_in, fan_out in zip(sizes[:-1], sizes[1:]):
+                bound = math.sqrt(6.0 / (fan_in + fan_out))
+                weights.append(jnp.asarray(
+                    rs.uniform(-bound, bound, (fan_in, fan_out)),
+                    jnp.float32,
+                ))
+                biases.append(jnp.asarray(
+                    rs.uniform(-bound, bound, fan_out), jnp.float32
+                ))
+        else:
+            # Default 'reference': Xavier-uniform weights, ZERO biases —
+            # the reference analog's init (reference:
+            # torch_classifier.py:64-74).
+            if self.random_state is not None:
+                key = jax.random.PRNGKey(int(self.random_state))
+            else:
+                key = jax.random.PRNGKey(
+                    np.random.randint(0, np.iinfo(np.int32).max)
+                )
+            for i, (fan_in, fan_out) in enumerate(
+                zip(sizes[:-1], sizes[1:])
+            ):
+                weights.append(_xavier_uniform(
+                    jax.random.fold_in(key, i), fan_in, fan_out
+                ))
+                biases.append(jnp.zeros((fan_out,), dtype=jnp.float32))
         self._params = {"W": weights, "b": biases}
 
     def _init_optimizer(self) -> None:
@@ -767,6 +811,7 @@ class MLPClassifier:
             "epsilon": self.epsilon,
             "class_weight": getattr(self, "class_weight", None),
             "mesh": getattr(self, "mesh", None),
+            "init": getattr(self, "init", "reference"),
         }
 
     def set_params(self, **params: Any) -> "MLPClassifier":
@@ -808,6 +853,7 @@ class MLPClassifier:
         self.__dict__.setdefault("_class_weight_vector", None)
         self.__dict__.setdefault("mesh", None)
         self.__dict__.setdefault("n_iter_no_change", 10)
+        self.__dict__.setdefault("init", "reference")
         if params_state is not None:
             self._params = jax.tree.map(jnp.asarray, params_state)
         if opt_state_state is not None:

@@ -266,3 +266,69 @@ class TestCrossImageBatching:
         out = extractor.extract_features_many(items)
         assert out[0].shape == (0, TINY.feature_dim)
         assert out[1].shape == (2, TINY.feature_dim)
+
+
+class TestExtractorTfSamePadding:
+    """The full extraction path (gather -> folded backbone) honors
+    padding='tf_same': the extractor's features must match the flax
+    tf_same forward on the same gathered patches, and differ from the
+    symmetric graph — at the INTEGRATION level, not just the module."""
+
+    def test_folded_extractor_matches_flax_tf_same(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetBackbone,
+            EfficientNetConfig,
+            init_backbone_params,
+        )
+        from mermaid_classifier_tpu.models.extractor import FeatureExtractor
+        from mermaid_classifier_tpu.ops.patch_ops import (
+            channel_scale_bias,
+            extract_patches_xla,
+        )
+
+        config = EfficientNetConfig(
+            stem_channels=8,
+            stages=((1, 8, 1, 1, 3), (6, 16, 1, 2, 5)),
+            head_channels=32,
+            feature_dim=48,
+            patch_size=32,
+            padding="tf_same",
+        )
+        variables = init_backbone_params(0, config)
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        rowcols = np.asarray([[10, 12], [40, 50], [31, 7]], np.int32)
+
+        extractor = FeatureExtractor(
+            variables, config, backbone_batch=4, backbone_impl="folded"
+        )
+        got = extractor.extract_features(image, rowcols)
+
+        half = config.patch_size // 2
+        padded = np.zeros((64 + 2 * half, 64 + 2 * half, 3), np.uint8)
+        padded[half:-half, half:-half] = image
+        scale, bias = channel_scale_bias(config.mean_rgb, config.std_rgb)
+        patches = extract_patches_xla(
+            jnp.asarray(padded), jnp.asarray(rowcols), config.patch_size,
+            jnp.asarray(scale), jnp.asarray(bias),
+        )
+        model = EfficientNetBackbone(config=config)
+        want = np.asarray(jax.jit(model.apply)(variables, patches))
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=2e-4, rtol=1e-4
+        )
+
+        # And the symmetric graph on the same weights must NOT agree —
+        # the padding mode is load-bearing through the extractor too.
+        import dataclasses
+
+        sym = dataclasses.replace(config, padding="symmetric")
+        extractor_sym = FeatureExtractor(
+            variables, sym, backbone_batch=4, backbone_impl="folded"
+        )
+        got_sym = np.asarray(extractor_sym.extract_features(image, rowcols))
+        assert float(np.mean(np.abs(got_sym - want))) > 1e-4

@@ -431,3 +431,46 @@ class TestIdenticalInitTracksSklearn:
         np.testing.assert_allclose(
             ours.predict_proba(X_val), skl.predict_proba(X_val), atol=0.02
         )
+
+
+class TestSklearnInitTracksFromSeedAlone:
+    """init='sklearn' replicates sklearn's exact init stream (same
+    RandomState draws, same order, uniform intercepts), so with the same
+    seed and shuffle=False the trained model tracks sklearn's from the
+    SEED alone — no weight copying. The strongest possible drop-in
+    compatibility claim, complementing TestIdenticalInitTracksSklearn
+    (which proves the update path with injected weights)."""
+
+    def test_same_seed_same_model(self, clusters):
+        X_tr = clusters["X_train"]
+        y_tr = clusters["y_train"]
+        classes = clusters["classes"]
+        ours = MLPClassifier(HIDDEN, learning_rate_init=LR, batch_size=100,
+                             random_state=7, shuffle=False, init="sklearn")
+        skl = SklearnMLP(hidden_layer_sizes=HIDDEN, learning_rate_init=LR,
+                         batch_size=100, random_state=7, shuffle=False,
+                         max_iter=6)
+        for clf in (ours, skl):
+            train_epochs(clf, X_tr, y_tr, classes, epochs=6)
+        X_val = clusters["X_val"]
+        po = ours.predict_proba(X_val)
+        ps = skl.predict_proba(X_val)
+        np.testing.assert_allclose(po, ps, atol=5e-4)
+        assert float(np.mean(po.argmax(1) == ps.argmax(1))) == 1.0
+        np.testing.assert_allclose(
+            np.asarray(ours.loss_curve_, np.float64),
+            np.asarray(skl.loss_curve_, np.float64),
+            rtol=1e-3,
+        )
+
+    def test_invalid_init_rejected(self):
+        with pytest.raises(ValueError):
+            MLPClassifier((8,), init="zeros")
+
+    def test_reference_init_is_default_with_zero_biases(self):
+        clf = MLPClassifier((8,), random_state=0)
+        clf.partial_fit(np.zeros((4, 3), np.float32),
+                        np.array(["a", "a", "b", "b"]),
+                        classes=["a", "b"])
+        assert clf.init == "reference"
+        assert all(float(np.abs(b).max()) == 0.0 for b in clf._params["b"])
