@@ -64,6 +64,10 @@ class QualityRunSpec:
     min_per_class: int = 40
     ref_ratio: float = 0.1
     val_ratio: float = 0.2
+    # MLPClassifier init mode: "reference" (the production default) or
+    # "sklearn" (replicates sklearn's init stream — with it, residual
+    # deltas measure the PIPELINE, with init-draw noise removed).
+    init: str = "reference"
 
 
 @dataclass
@@ -180,6 +184,7 @@ def run_repo_pipeline(train_sub, ref, val, spec: QualityRunSpec,
         learning_rate_init=spec.learning_rate,
         batch_size=spec.batch_size,
         random_state=0,
+        init=spec.init,
     )
     for idx in _epoch_stream(len(X_tr), spec.epochs, spec.batch_size * 4,
                              spec.seed + 2):

@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     parser.add_argument("--subsample-total", type=int, default=24000)
     parser.add_argument("--min-per-class", type=int, default=80)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--init", choices=("reference", "sklearn"),
+                        default="reference",
+                        help="repo-side MLP init; 'sklearn' removes the"
+                        " init-draw difference so residual deltas measure"
+                        " the pipeline")
     parser.add_argument("--ci-scale", action="store_true",
                         help="run the exact spec the CI test asserts on")
     args = parser.parse_args(argv)
@@ -54,7 +59,7 @@ def main(argv=None) -> int:
     )
 
     if args.ci_scale:
-        spec = QualityRunSpec(seed=args.seed)
+        spec = QualityRunSpec(seed=args.seed, init=args.init)
     else:
         # Class separability grows ~sqrt(d) at fixed noise, so scale the
         # cluster noise with the feature dim to keep the problem in the
@@ -71,6 +76,7 @@ def main(argv=None) -> int:
             subsample_total=args.subsample_total,
             min_per_class=args.min_per_class,
             seed=args.seed,
+            init=args.init,
         )
     result = run_quality_parity(spec)
     result["metric"] = "quality_parity_accuracy_delta"
