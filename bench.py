@@ -418,20 +418,20 @@ def run_serve(args) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from mermaid_classifier_tpu.inference.head import head_apply
+    from mermaid_classifier_tpu.inference.head import HeadParams, head_apply
 
     rng = np.random.default_rng(4)
     sizes = (4096, 500, 300, 100, 80)
-    params = {
-        "weights": [
-            jnp.asarray(rng.standard_normal((i, o)).astype(np.float32)
-                        * (1.0 / np.sqrt(i)))
+    params = HeadParams(
+        [
+            rng.standard_normal((i, o)).astype(np.float32)
+            * (1.0 / np.sqrt(i))
             for i, o in zip(sizes[:-1], sizes[1:])
         ],
-        "biases": [jnp.asarray(np.zeros(o, np.float32)) for o in sizes[1:]],
-        "a": jnp.asarray(-np.ones(sizes[-1], np.float32)),
-        "b": jnp.asarray(np.zeros(sizes[-1], np.float32)),
-    }
+        [np.zeros(o, np.float32) for o in sizes[1:]],
+        -np.ones(sizes[-1], np.float32),
+        np.zeros(sizes[-1], np.float32),
+    ).as_pytree()
     batch = args.serve_batch
     x = jax.device_put(
         rng.standard_normal((batch, sizes[0])).astype(np.float32)

@@ -115,8 +115,6 @@ def time_trunk(fwd, weights, config, *, points=1024, chunk=128, iters=6,
             acc = step(acc, weights, dp, starts[warmup + i], ds, db)
         float(acc)
         runs.append(points * iters / (time.perf_counter() - t0))
-    import numpy as np
-
     return float(np.median(runs)), runs
 
 
