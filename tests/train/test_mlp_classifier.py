@@ -527,3 +527,52 @@ class TestResidentMesh:
             sharded.predict_proba_resident(np.arange(64)),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestBatchSizeAndPickleCompat:
+    """Scenario-parity with the reference battery: auto batch-size rule,
+    explicit clipping, and resuming an OLD pickle that predates
+    newer attributes (reference: tests/pyspacer/test_mlp_benchmark.py:
+    262-283, 467-494)."""
+
+    def _fitted(self, n=30, batch_size="auto"):
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((n, 6)).astype(np.float32)
+        y = np.asarray(["a", "b"] * (n // 2))
+        clf = MLPClassifier((4,), random_state=0, batch_size=batch_size)
+        clf.partial_fit(X, y, classes=["a", "b"])
+        return clf, X, y
+
+    def test_auto_batch_size_is_min_200_and_n_samples(self):
+        clf, _, _ = self._fitted()
+        assert clf._resolve_batch_size(30) == 30
+        assert clf._resolve_batch_size(1000) == 200
+
+    def test_explicit_batch_size_clipped_to_n_samples(self):
+        clf, _, _ = self._fitted(batch_size=64)
+        assert clf._resolve_batch_size(10) == 10
+        assert clf._resolve_batch_size(500) == 64
+
+    def test_old_pickle_without_new_attributes_resumes(self):
+        import pickle
+
+        clf, X, y = self._fitted()
+        state = clf.__getstate__()
+        # Simulate a pickle written before these attributes existed.
+        for attr in ("class_weight", "_class_weight_vector", "mesh",
+                     "n_iter_no_change", "init"):
+            state.pop(attr, None)
+        blob = pickle.dumps(state)
+
+        clone = MLPClassifier.__new__(MLPClassifier)
+        clone.__setstate__(pickle.loads(blob))
+        assert clone.class_weight is None
+        assert clone.mesh is None
+        assert clone.n_iter_no_change == 10
+        assert clone.init == "reference"
+        # Resumable: training continues and predictions still work.
+        clone.partial_fit(X, y)
+        np.testing.assert_array_equal(
+            np.sort(np.unique(clone.predict(X))),
+            np.sort(clone.classes_),
+        )
