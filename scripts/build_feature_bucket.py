@@ -27,21 +27,54 @@ logger = logging.getLogger("build_feature_bucket")
 
 def parse_source_ids(args) -> list[str]:
     """Source IDs from --source-ids or a CSV with a source_id column
-    (auto-detecting the column, reference: :218-260)."""
+    (auto-detecting the column with an explicit override, normalizing
+    whitespace/blank/float-formatted IDs, and dropping duplicates while
+    preserving order — reference: :218-260)."""
     if args.source_ids:
         return [s.strip() for s in args.source_ids.split(",") if s.strip()]
     import pandas as pd
 
     df = pd.read_csv(args.source_ids_csv)
-    for col in ("source_id", "source", "id"):
-        if col in df.columns:
-            return [str(v) for v in df[col].tolist()]
-    if len(df.columns) == 1:
-        return [str(v) for v in df[df.columns[0]].tolist()]
-    raise ValueError(
-        f"cannot find a source-id column in {args.source_ids_csv};"
-        f" has {list(df.columns)}"
-    )
+    cols = list(df.columns)
+    override = getattr(args, "source_id_column", None)
+    if override:
+        if override not in cols:
+            raise ValueError(
+                f"--source-id-column={override!r} not found in"
+                f" {args.source_ids_csv}; has {cols}"
+            )
+        col = override
+    else:
+        for candidate in ("source_id", "source id", "source", "id"):
+            if candidate in cols:
+                col = candidate
+                break
+        else:
+            if len(cols) == 1:
+                col = cols[0]
+            else:
+                raise ValueError(
+                    f"cannot find a source-id column in"
+                    f" {args.source_ids_csv}; tried source_id/'source id'/"
+                    f"source/id, has {cols}. Pass --source-id-column."
+                )
+    ids = [str(v).strip() for v in df[col].tolist()]
+    ids = [v for v in ids if v and v.lower() != "nan"]
+    # "123.0" (a float-typed CSV column) -> "123"; non-numeric IDs pass
+    # through untouched.
+    normalized = []
+    for v in ids:
+        try:
+            normalized.append(str(int(float(v))))
+        except ValueError:
+            normalized.append(v)
+    seen: set[str] = set()
+    deduped = []
+    for v in normalized:
+        if v not in seen:
+            seen.add(v)
+            deduped.append(v)
+    return deduped
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -49,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     group = parser.add_mutually_exclusive_group(required=True)
     group.add_argument("--source-ids", default=None)
     group.add_argument("--source-ids-csv", default=None)
+    parser.add_argument("--source-id-column", default=None,
+                        help="explicit source-ID column in --source-ids-csv"
+                        " (default: auto-detect source_id/'source id'/"
+                        "source/id, or the only column)")
     parser.add_argument("--source-bucket", required=True)
     parser.add_argument("--target-bucket", required=True)
     parser.add_argument("--no-skip-existing", action="store_true")
