@@ -14,10 +14,17 @@ object-store abstraction and the TPU FeatureExtractor:
 - Optional device-vs-CPU numerics self-check before any extraction
   (reference: :451-502, min cosine >= 0.999).
 
-Input layout (source bucket):
+Input layout (source bucket) — either of:
   ``s{source_id}/annotations.csv`` — columns image_id, image_key, row, col
   (image_key is the image object's key in the same bucket);
   image objects at their image_key (PNG/JPEG).
+OR the raw CoralNet-export layout the reference consumes
+(reference: :569-670): annotations.csv with ``Name``/``Row``/``Column``
+columns plus ``s{source_id}/image_list.csv`` (``Name`` with a
+" - Confirmed|Unconfirmed|Unclassified" status suffix, ``Image Page``
+"/image/<id>/view/") mapping names to numeric IDs; images live at
+``s{source_id}/images/{image_id}.jpg``. Rows whose name has no mapping
+are counted and dropped, never silently extracted.
 
 Output layout (target bucket, consumed by data/dataset.py):
   ``s{source_id}/features/i{image_id}.features.npz``
@@ -46,6 +53,13 @@ logger = getLogger(__name__)
 _FEATURE_KEY_RE = re.compile(r"^s(?P<source>[^/]+)/features/i(?P<image>.+)\.features\.npz$")
 
 ANNOTATION_COLUMNS = ("image_id", "image_key", "row", "col")
+
+# The raw CoralNet-export annotation shape (reference: :569-670).
+CORALNET_ANNOTATION_COLUMNS = ("Name", "Row", "Column")
+_STATUS_SUFFIX_RE = re.compile(
+    r"\s+-\s+(?:Confirmed|Unconfirmed|Unclassified)\s*$"
+)
+_IMAGE_PAGE_ID_RE = re.compile(r"/image/(\d+)/")
 
 
 def feature_key(source_id: str, image_id: str) -> str:
@@ -150,16 +164,83 @@ class FeatureBucketBuilder:
     def read_annotations(self, source_id: str) -> pd.DataFrame:
         raw = self.store.get_bytes(self.source_bucket, annotations_key(source_id))
         df = pd.read_csv(io.BytesIO(raw), keep_default_na=False)
+        if set(CORALNET_ANNOTATION_COLUMNS) <= set(df.columns) and not (
+            set(ANNOTATION_COLUMNS) <= set(df.columns)
+        ):
+            df = self._normalize_coralnet_annotations(source_id, df)
         missing = set(ANNOTATION_COLUMNS) - set(df.columns)
         if missing:
             raise ValueError(
                 f"source {source_id} annotations.csv missing columns"
-                f" {sorted(missing)}"
+                f" {sorted(missing)} (canonical layout) and it is not a"
+                f" CoralNet export ({CORALNET_ANNOTATION_COLUMNS})"
             )
         df["image_id"] = df["image_id"].astype(str)
         df["row"] = df["row"].astype(int)
         df["col"] = df["col"].astype(int)
         return df
+
+    def _name_to_image_id(self, source_id: str) -> dict[str, str]:
+        """{bare filename: numeric image id} from s{id}/image_list.csv —
+        the CoralNet export keys annotations by Name while images land at
+        numeric IDs; the status suffix (" - Confirmed" etc.) is stripped
+        before keying (reference: :569-596)."""
+        key = f"s{source_id}/image_list.csv"
+        try:
+            raw = self.store.get_bytes(self.source_bucket, key)
+        except Exception as exc:
+            raise ValueError(
+                f"source {source_id} annotations are CoralNet-export shaped"
+                f" (Name/Row/Column) but {key} is unreadable: {exc}"
+            ) from exc
+        lst = pd.read_csv(io.BytesIO(raw))
+        if "Name" not in lst.columns or "Image Page" not in lst.columns:
+            raise ValueError(
+                f"{key} missing required columns Name/'Image Page';"
+                f" got {list(lst.columns)}"
+            )
+        lst = lst[["Name", "Image Page"]].dropna()
+        ids = lst["Image Page"].astype(str).str.extract(
+            _IMAGE_PAGE_ID_RE.pattern
+        )[0]
+        names = lst["Name"].astype(str).map(
+            lambda n: _STATUS_SUFFIX_RE.sub("", n).strip()
+        )
+        mapping = {
+            name: image_id
+            for name, image_id in zip(names, ids)
+            if isinstance(image_id, str) and image_id
+        }
+        return mapping
+
+    def _normalize_coralnet_annotations(
+        self, source_id: str, df: pd.DataFrame
+    ) -> pd.DataFrame:
+        """Name/Row/Column rows -> the canonical image_id/image_key/row/col
+        frame, dropping (and counting) rows whose name has no image_list
+        mapping (reference: :599-670)."""
+        mapping = self._name_to_image_id(source_id)
+        names = df["Name"].astype(str).map(
+            lambda n: _STATUS_SUFFIX_RE.sub("", n).strip()
+        )
+        image_ids = names.map(mapping)
+        unmapped = int(image_ids.isna().sum())
+        if unmapped:
+            logger.warning(
+                "source %s: %d annotation rows name images absent from"
+                " image_list.csv — dropped",
+                source_id, unmapped,
+            )
+        keep = ~image_ids.isna()
+        out = pd.DataFrame({
+            "image_id": image_ids[keep].astype(str),
+            "image_key": image_ids[keep].map(
+                lambda i: f"s{source_id}/images/{i}.jpg"
+            ),
+            "row": df.loc[keep, "Row"].astype(int),
+            "col": df.loc[keep, "Column"].astype(int),
+        })
+        return out.reset_index(drop=True)
 
     def upload_annotations_csv(self, source_id: str) -> None:
         """Copy the source's annotations.csv to the target bucket once —

@@ -165,3 +165,78 @@ class TestSourceAvailability:
         )
         assert available == ["1", "2"]
         assert missing == ["9"]
+
+
+class TestCoralNetLayout:
+    """Raw CoralNet-export source buckets: annotations keyed by Name with
+    a separate image_list.csv mapping names (status-suffixed) to numeric
+    IDs, images at s{id}/images/{id}.jpg (reference:
+    build_feature_bucket.py:569-670, tests :408-507)."""
+
+    @pytest.fixture()
+    def coralnet_store(self, store):
+        rng = np.random.default_rng(1)
+        sid = "9"
+        for image_id in ("100", "200", "300"):
+            store.put_bytes(
+                SRC, f"s{sid}/images/{image_id}.jpg", _png_bytes(rng)
+            )
+        ann = pd.DataFrame([
+            {"Name": "a.JPG", "Row": 5, "Column": 6},
+            {"Name": "a.JPG", "Row": 7, "Column": 8},
+            {"Name": "b.JPG", "Row": 9, "Column": 10},
+            {"Name": "c.JPG", "Row": 1, "Column": 2},
+            {"Name": "ghost.JPG", "Row": 3, "Column": 4},  # unmapped
+        ])
+        store.put_bytes(SRC, annotations_key(sid),
+                        ann.to_csv(index=False).encode())
+        lst = pd.DataFrame([
+            {"Name": "a.JPG - Confirmed",
+             "Image Page": "/image/100/view/", "Image URL": ""},
+            {"Name": "b.JPG - Unconfirmed",
+             "Image Page": "/image/200/view/", "Image URL": ""},
+            {"Name": "c.JPG - Unclassified",
+             "Image Page": "/image/300/view/", "Image URL": ""},
+        ])
+        store.put_bytes(SRC, f"s{sid}/image_list.csv",
+                        lst.to_csv(index=False).encode())
+        return store
+
+    def test_names_map_through_image_list(self, coralnet_store, tmp_path):
+        builder = make_builder(coralnet_store, tmp_path)
+        df = builder.read_annotations("9")
+        assert sorted(df["image_id"].unique()) == ["100", "200", "300"]
+        assert set(df.columns) >= {"image_id", "image_key", "row", "col"}
+        a_rows = df[df["image_id"] == "100"]
+        assert list(zip(a_rows["row"], a_rows["col"])) == [(5, 6), (7, 8)]
+        assert a_rows["image_key"].iloc[0] == "s9/images/100.jpg"
+        # The unmapped ghost.JPG row is dropped, not extracted.
+        assert len(df) == 4
+
+    def test_end_to_end_extraction(self, coralnet_store, tmp_path):
+        builder = make_builder(coralnet_store, tmp_path)
+        result = builder.process_source("9")
+        assert result.images_failed == 0
+        assert result.images_done == 3
+        assert result.points_done == 4
+        rowcols, feats = read_feature_file_from_store(
+            coralnet_store, "9", "100"
+        )
+        assert rowcols.shape == (2, 2) and feats.shape == (2, 16)
+
+    def test_missing_image_list_is_loud(self, store, tmp_path):
+        ann = pd.DataFrame([{"Name": "a.JPG", "Row": 1, "Column": 2}])
+        store.put_bytes(SRC, annotations_key("7"),
+                        ann.to_csv(index=False).encode())
+        builder = make_builder(store, tmp_path)
+        with pytest.raises(ValueError, match="image_list.csv"):
+            builder.read_annotations("7")
+
+    def test_malformed_image_list_is_loud(self, store, tmp_path):
+        ann = pd.DataFrame([{"Name": "a.JPG", "Row": 1, "Column": 2}])
+        store.put_bytes(SRC, annotations_key("8"),
+                        ann.to_csv(index=False).encode())
+        store.put_bytes(SRC, "s8/image_list.csv", b"foo,bar\n1,2\n")
+        builder = make_builder(store, tmp_path)
+        with pytest.raises(ValueError, match="required columns"):
+            builder.read_annotations("8")
