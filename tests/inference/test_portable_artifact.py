@@ -142,3 +142,64 @@ class TestManifestGates:
         predictor = load_predictor(model_npz, json_path)
         with pytest.raises(ValueError, match="features must be"):
             predictor.predict_proba(np.zeros((3, manifest["input_dim"] + 2)))
+
+
+class TestManifestProvenanceAndAliases:
+    """Manifest provenance + metrics-facing aliases (reference analog:
+    test_portable_artifact.py:100-160)."""
+
+    def test_manifest_records_jax_provenance(self, calibrated_model, tmp_path):
+        import jax
+
+        model, X = calibrated_model
+        _, manifest, _ = export_artifact(model, tmp_path, X[:16])
+        trained_with = manifest["trained_with"]
+        assert trained_with["jax"] == jax.__version__
+        assert "numpy" in trained_with
+        # The on-disk manifest carries the same provenance.
+        disk = json.loads((tmp_path / "model.json").read_text())
+        assert disk["trained_with"] == trained_with
+
+    def test_predictor_exposes_classes_alias_for_metrics(
+        self, calibrated_model, tmp_path
+    ):
+        model, X = calibrated_model
+        export_artifact(model, tmp_path / "a", X[:16])
+        predictor = load_predictor(tmp_path / "a")
+        # Evaluation code written against a fitted classifier must run
+        # unchanged against the shipped artifact.
+        assert list(predictor.classes_) == list(predictor.classes)
+        assert list(predictor.classes_) == [
+            str(c) for c in model.classes_
+        ]
+
+
+LIVE_MODEL = "PORTABLE_ARTIFACT_LIVE_MODEL"
+LIVE_FEATURES = "PORTABLE_ARTIFACT_LIVE_FEATURES"
+
+
+class TestLiveModelParity:
+    """Opt-in live gate (reference analog: test_portable_artifact.py:
+    162-203): point the env vars at a REAL artifact directory and a real
+    (N, input_dim) .npy feature matrix (built by
+    scripts/extract_reference_features.py) and the parity contract is
+    re-proven on production data. Skipped by default — CI stays
+    synthetic/offline."""
+
+    def test_live_artifact_serves_real_features(self):
+        import os
+
+        model_dir = os.environ.get(LIVE_MODEL)
+        features_path = os.environ.get(LIVE_FEATURES)
+        if not model_dir or not features_path:
+            pytest.skip(
+                f"set {LIVE_MODEL} and {LIVE_FEATURES} to run the live gate"
+            )
+        predictor = load_predictor(model_dir)
+        features = np.load(features_path).astype(np.float32)
+        assert features.ndim == 2
+        assert features.shape[1] == predictor.input_dim
+        proba = predictor.predict_proba(features)
+        assert proba.shape == (len(features), len(predictor.classes))
+        np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-6)
+        assert float(proba.min()) >= 0.0 and float(proba.max()) <= 1.0
