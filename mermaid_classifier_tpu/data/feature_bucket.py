@@ -193,24 +193,34 @@ class FeatureBucketBuilder:
                 f"source {source_id} annotations are CoralNet-export shaped"
                 f" (Name/Row/Column) but {key} is unreadable: {exc}"
             ) from exc
-        lst = pd.read_csv(io.BytesIO(raw))
+        # keep_default_na=False: a filename matching a pandas NA sentinel
+        # must not be silently dropped (same discipline as the annotations
+        # read above).
+        lst = pd.read_csv(io.BytesIO(raw), keep_default_na=False, dtype=str)
         if "Name" not in lst.columns or "Image Page" not in lst.columns:
             raise ValueError(
                 f"{key} missing required columns Name/'Image Page';"
                 f" got {list(lst.columns)}"
             )
-        lst = lst[["Name", "Image Page"]].dropna()
         ids = lst["Image Page"].astype(str).str.extract(
             _IMAGE_PAGE_ID_RE.pattern
         )[0]
         names = lst["Name"].astype(str).map(
             lambda n: _STATUS_SUFFIX_RE.sub("", n).strip()
         )
-        mapping = {
-            name: image_id
-            for name, image_id in zip(names, ids)
-            if isinstance(image_id, str) and image_id
-        }
+        mapping: dict[str, str] = {}
+        for name, image_id in zip(names, ids):
+            if not name or not isinstance(image_id, str) or not image_id:
+                continue
+            if name in mapping and mapping[name] != image_id:
+                # Last-wins here would extract annotations from the WRONG
+                # image's pixels; refuse loudly instead.
+                raise ValueError(
+                    f"{key}: name {name!r} maps to both image"
+                    f" {mapping[name]} and {image_id} after status-suffix"
+                    " stripping — ambiguous mapping."
+                )
+            mapping[name] = image_id
         return mapping
 
     def _normalize_coralnet_annotations(

@@ -122,13 +122,16 @@ def _render_history_chart(name: str, history: list[dict]) -> str:
         and float(h["value"]) == float(h["value"])
         and abs(float(h["value"])) != float("inf")
     ]
-    # Metrics logged without an explicit step fall back to their position
-    # among the kept points; sorting by x keeps the line monotonic even
-    # when stepped and step-less logs are mixed in one history.
-    pts = sorted(
-        (h["step"] if h.get("step") is not None else i, float(h["value"]))
-        for i, h in enumerate(finite)
-    )
+    # Step semantics: when ANY entry carries a real step, the stepped
+    # entries ARE the series and step-less entries (summary re-logs) are
+    # excluded from the chart — a positional x would render a final
+    # summary at the far left with a bogus step label. Only a history
+    # with NO steps at all falls back to positional x.
+    stepped = [h for h in finite if h.get("step") is not None]
+    if stepped:
+        pts = sorted((h["step"], float(h["value"])) for h in stepped)
+    else:
+        pts = [(i, float(h["value"])) for i, h in enumerate(finite)]
     if len(pts) < 2:
         return ""
     w_px, h_px, pad_l, pad_r, pad_t, pad_b = 560, 140, 58, 16, 12, 22

@@ -193,15 +193,17 @@ def run_repo_pipeline(train_sub, ref, val, spec: QualityRunSpec,
     uncal = clf.predict_proba(X_ref)
     cal = CalibratedClassifier.fit_from_scores(clf, uncal, y_ref)
 
-    if workdir is not None:
-        export_artifact(cal, workdir, X_val[: min(len(X_val), 256)])
-        predictor = load_predictor(workdir)
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext(workdir)
+        if workdir is not None
+        else tempfile.TemporaryDirectory(prefix="quality_parity_")
+    )
+    with ctx as out:
+        export_artifact(cal, out, X_val[: min(len(X_val), 256)])
+        predictor = load_predictor(out)
         proba = predictor.predict_proba(X_val.astype(np.float32))
-    else:
-        with tempfile.TemporaryDirectory(prefix="quality_parity_") as td:
-            export_artifact(cal, td, X_val[: min(len(X_val), 256)])
-            predictor = load_predictor(td)
-            proba = predictor.predict_proba(X_val.astype(np.float32))
     return _score(y_val, proba, classes, extra={"loss_curve_len": clf.n_iter_})
 
 

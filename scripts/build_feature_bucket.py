@@ -29,12 +29,22 @@ def parse_source_ids(args) -> list[str]:
     """Source IDs from --source-ids or a CSV with a source_id column
     (auto-detecting the column with an explicit override, normalizing
     whitespace/blank/float-formatted IDs, and dropping duplicates while
-    preserving order — reference: :218-260)."""
+    preserving order — reference: :218-260). Both entry points get the
+    SAME normalize+dedup; NA-like strings ('NA', 'null', …) are real IDs
+    here, never pandas sentinels, and only the unambiguous float64-column
+    artifact ('123.0') is rewritten — zero-padded, scientific-notation-
+    looking, or fractional IDs pass through untouched."""
     if args.source_ids:
-        return [s.strip() for s in args.source_ids.split(",") if s.strip()]
+        return _normalize_source_ids(
+            s.strip() for s in args.source_ids.split(",")
+        )
     import pandas as pd
 
-    df = pd.read_csv(args.source_ids_csv)
+    # dtype=str: IDs are opaque strings — pandas' numeric inference would
+    # mangle '007' -> 7 and '5e2' -> 500.0 at read time, before any
+    # normalization could protect them. keep_default_na=False: 'NA'-like
+    # IDs are real IDs, not sentinels.
+    df = pd.read_csv(args.source_ids_csv, dtype=str, keep_default_na=False)
     cols = list(df.columns)
     override = getattr(args, "source_id_column", None)
     if override:
@@ -58,23 +68,28 @@ def parse_source_ids(args) -> list[str]:
                     f" {args.source_ids_csv}; tried source_id/'source id'/"
                     f"source/id, has {cols}. Pass --source-id-column."
                 )
-    ids = [str(v).strip() for v in df[col].tolist()]
-    ids = [v for v in ids if v and v.lower() != "nan"]
-    # "123.0" (a float-typed CSV column) -> "123"; non-numeric IDs pass
-    # through untouched.
-    normalized = []
-    for v in ids:
-        try:
-            normalized.append(str(int(float(v))))
-        except ValueError:
-            normalized.append(v)
+    return _normalize_source_ids(str(v).strip() for v in df[col].tolist())
+
+
+def _normalize_source_ids(values) -> list[str]:
+    import re
+
+    # ONLY the pandas float64-column artifact: digits + '.0' exactly.
+    # '007' (zero-padded), '5e2', '123.5', 'inf', 'NA' are all
+    # legitimate opaque IDs and pass through unchanged.
+    _FLOAT_ARTIFACT_RE = re.compile(r"^(\d+)\.0$")
     seen: set[str] = set()
-    deduped = []
-    for v in normalized:
+    out: list[str] = []
+    for v in values:
+        if not v:
+            continue
+        m = _FLOAT_ARTIFACT_RE.match(v)
+        if m:
+            v = m.group(1)
         if v not in seen:
             seen.add(v)
-            deduped.append(v)
-    return deduped
+            out.append(v)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -170,53 +170,62 @@ def parent(args) -> int:
     # timeout).
     procs: list[subprocess.Popen] = []
     logs = []
-    for pid in range(args.processes):
-        log = tempfile.NamedTemporaryFile(
-            "w+", prefix=f"multihost_w{pid}_", suffix=".log", delete=False
-        )
-        logs.append(log)
-        procs.append(subprocess.Popen(
-            [
-                sys.executable, str(Path(__file__).resolve()), "--worker",
-                "--coordinator", coordinator,
-                "--processes", str(args.processes),
-                "--process-id", str(pid),
-                "--local-devices", str(args.local_devices),
-            ],
-            env=env,
-            stdout=log,
-            stderr=subprocess.STDOUT,
-        ))
-    deadline = time.monotonic() + args.timeout
-    timed_out = []
-    for pid, proc in enumerate(procs):
-        remaining = deadline - time.monotonic()
-        try:
-            proc.wait(timeout=max(remaining, 0.1))
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.wait()
-            timed_out.append(pid)
     failures = 0
-    for pid, proc in enumerate(procs):
-        out = Path(logs[pid].name).read_text()
-        if pid in timed_out:
-            print(f"worker {pid}: TIMEOUT after {args.timeout}s (shared"
-                  " deadline)")
-            failures += 1
-            print("--- worker output (tail) ---")
-            print(out[-4000:])
-            continue
-        ok = proc.returncode == 0 and OK_MARKER in out
-        print(f"worker {pid}: rc={proc.returncode}"
-              f" {'ok' if ok else 'FAILED'}")
-        if not ok:
-            failures += 1
-            print("--- worker output (tail) ---")
-            print(out[-4000:])
-    for log in logs:
-        log.close()
-        Path(log.name).unlink(missing_ok=True)
+    try:
+        for pid in range(args.processes):
+            log = tempfile.NamedTemporaryFile(
+                "w+", prefix=f"multihost_w{pid}_", suffix=".log",
+                delete=False,
+            )
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                [
+                    sys.executable, str(Path(__file__).resolve()),
+                    "--worker",
+                    "--coordinator", coordinator,
+                    "--processes", str(args.processes),
+                    "--process-id", str(pid),
+                    "--local-devices", str(args.local_devices),
+                ],
+                env=env,
+                stdout=log,
+                stderr=subprocess.STDOUT,
+            ))
+        deadline = time.monotonic() + args.timeout
+        timed_out = []
+        for pid, proc in enumerate(procs):
+            remaining = deadline - time.monotonic()
+            try:
+                proc.wait(timeout=max(remaining, 0.1))
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                timed_out.append(pid)
+        for pid, proc in enumerate(procs):
+            out = Path(logs[pid].name).read_text()
+            if pid in timed_out:
+                print(f"worker {pid}: TIMEOUT after {args.timeout}s (shared"
+                      " deadline)")
+                failures += 1
+                print("--- worker output (tail) ---")
+                print(out[-4000:])
+                continue
+            ok = proc.returncode == 0 and OK_MARKER in out
+            print(f"worker {pid}: rc={proc.returncode}"
+                  f" {'ok' if ok else 'FAILED'}")
+            if not ok:
+                failures += 1
+                print("--- worker output (tail) ---")
+                print(out[-4000:])
+    finally:
+        # Never orphan workers or their log files, whatever raised above.
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+        for log in logs:
+            log.close()
+            Path(log.name).unlink(missing_ok=True)
     if failures:
         return 1
     print(f"{OK_MARKER}: {args.processes} processes x"

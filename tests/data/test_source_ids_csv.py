@@ -43,8 +43,30 @@ class TestSourceIdsCsv:
     def test_float_formatted_ids_normalize(self, tmp_path):
         assert resolve(tmp_path, "id\n123.0\n45\n") == ["123", "45"]
 
-    def test_blanks_and_nans_dropped(self, tmp_path):
+    def test_blanks_dropped(self, tmp_path):
         assert resolve(tmp_path, "id\n5\n\n  \n6\n") == ["5", "6"]
+
+    def test_na_like_ids_are_real_ids_not_sentinels(self, tmp_path):
+        # 'NA' (North Atlantic), 'null', 'None' are legitimate opaque IDs;
+        # pandas default NA handling must never silently drop them.
+        assert resolve(tmp_path, "id\nNA\nnull\nNone\n") == [
+            "NA", "null", "None"
+        ]
+
+    def test_only_the_float_artifact_is_rewritten(self, tmp_path):
+        # Zero-padded, scientific-looking, fractional, and inf-like IDs
+        # pass through untouched — normalization targets ONLY the pandas
+        # float64-column artifact ('<digits>.0').
+        assert resolve(tmp_path, "id\n007\n5e2\n123.5\ninf\n") == [
+            "007", "5e2", "123.5", "inf"
+        ]
+
+    def test_comma_list_gets_same_normalization(self, tmp_path):
+        args = argparse.Namespace(
+            source_ids="123.0,123, 123 ,007",
+            source_ids_csv=None, source_id_column=None,
+        )
+        assert cli.parse_source_ids(args) == ["123", "007"]
 
     def test_duplicates_dropped_preserve_order(self, tmp_path):
         assert resolve(tmp_path, "id\n4\n2\n4\n2\n9\n") == ["4", "2", "9"]

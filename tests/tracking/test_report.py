@@ -91,9 +91,10 @@ if __name__ == "__main__":
 def test_history_chart_handles_mixed_and_missing_steps():
     from mermaid_classifier_tpu.tracking.report import _render_history_chart
 
-    # Stepped logs followed by a step-less summary: the chart must stay a
-    # monotonic left-to-right line (sorted by x, fallback x = position),
-    # never doubling back.
+    # Stepped logs followed by a step-less summary: the stepped entries
+    # ARE the series (sorted by step), and the step-less re-log is
+    # excluded — a positional x would render it at the far left with a
+    # bogus step label.
     history = [
         {"step": 500, "value": 0.5},
         {"step": 1000, "value": 0.4},
@@ -107,4 +108,10 @@ def test_history_chart_handles_mixed_and_missing_steps():
 
     xs = [float(m.group(1)) for m in re.finditer(r"[ML]([\d.]+),", svg)]
     assert xs == sorted(xs), "chart line must be monotonic in x"
-    assert len(xs) == 4  # NaN point dropped
+    assert len(xs) == 3  # NaN dropped, step-less summary excluded
+
+    # A purely step-less history still charts by position.
+    svg2 = _render_history_chart(
+        "x", [{"step": None, "value": v} for v in (3.0, 2.0, 1.0)]
+    )
+    assert svg2.startswith("<svg")
