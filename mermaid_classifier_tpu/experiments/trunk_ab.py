@@ -61,8 +61,16 @@ def build_forward(schedule: str, model, variables, config):
 
 
 def time_trunk(fwd, weights, config, *, points=1024, chunk=128, iters=6,
-               warmup=2, repeats=3, image_size=1536):
-    """bench.py's device-loop discipline, detached for experiments."""
+               warmup=2, repeats=3, image_size=1536, split=None):
+    """bench.py's device-loop discipline, detached for experiments.
+
+    split=k runs a TWO-PHASE schedule instead of ``fwd``: stem + the
+    first k MBConv blocks scan per chunk (big spatial maps like the
+    chunked working set), the stacked mid tensor then runs blocks k:
+    + head WHOLE-BATCH (small maps might amortize better at full
+    width) — the chunk-granularity-per-stage-group axis the flat sweep
+    cannot reach.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -82,17 +90,39 @@ def time_trunk(fwd, weights, config, *, points=1024, chunk=128, iters=6,
     scale, bias = channel_scale_bias(config.mean_rgb, config.std_rgb)
     n_chunks = points // chunk
 
-    @jax.jit
-    def step(prev, weights, padded, starts3, scale, bias):
-        def body(acc, starts):
-            patches = extract_patches_xla(
-                padded, starts, ps, scale, bias,
-                out_dtype=jnp.dtype(config.compute_dtype),
-            )
-            return acc + jnp.sum(fwd(weights, patches)), None
+    if split is None:
+        @jax.jit
+        def step(prev, weights, padded, starts3, scale, bias):
+            def body(acc, starts):
+                patches = extract_patches_xla(
+                    padded, starts, ps, scale, bias,
+                    out_dtype=jnp.dtype(config.compute_dtype),
+                )
+                return acc + jnp.sum(fwd(weights, patches)), None
 
-        acc, _ = jax.lax.scan(body, prev, starts3)
-        return acc
+            acc, _ = jax.lax.scan(body, prev, starts3)
+            return acc
+    else:
+        from mermaid_classifier_tpu.ops.fused_mbconv import (
+            apply_folded_prefix,
+            apply_folded_suffix,
+        )
+
+        @jax.jit
+        def step(prev, weights, padded, starts3, scale, bias):
+            def body(_, starts):
+                patches = extract_patches_xla(
+                    padded, starts, ps, scale, bias,
+                    out_dtype=jnp.dtype(config.compute_dtype),
+                )
+                return 0.0, apply_folded_prefix(
+                    weights, config, patches, split
+                )
+
+            _, mids = jax.lax.scan(body, 0.0, starts3)
+            mid = mids.reshape(-1, *mids.shape[2:])
+            out = apply_folded_suffix(weights, config, mid, split)
+            return prev + jnp.sum(out)
 
     n_inputs = warmup + iters
     starts = [
@@ -144,11 +174,18 @@ def main(argv=None) -> int:
 
     results = []
     for schedule in args.schedules:
-        fwd, weights = build_forward(schedule, model, variables, config)
+        split = None
+        base_schedule = schedule
+        if "+split" in schedule:
+            base_schedule, _, tail = schedule.rpartition("+split")
+            split = int(tail)
+            if base_schedule != "folded":
+                raise ValueError("+splitN composes with 'folded' only")
+        fwd, weights = build_forward(base_schedule, model, variables, config)
         t0 = time.perf_counter()
         pps, runs = time_trunk(
             fwd, weights, config, points=args.points, chunk=args.chunk,
-            iters=args.iters, repeats=args.repeats,
+            iters=args.iters, repeats=args.repeats, split=split,
         )
         us = 1e6 / pps
         print(f"{schedule:24s} {us:7.1f} us/patch {pps:10,.0f} p/s"

@@ -649,6 +649,63 @@ def _stem_im2col(x, w, b, dtype):
     return jax.nn.silu(_conv1x1(z, wmat, b, dtype)).astype(dtype)
 
 
+def apply_folded_prefix(
+    folded: dict,
+    config: EfficientNetConfig,
+    x: jnp.ndarray,
+    n_blocks: int,
+    *,
+    padding_mode: str | None = None,
+) -> jnp.ndarray:
+    """Stem + the first ``n_blocks`` MBConv blocks of the folded trunk.
+
+    Pairs with ``apply_folded_suffix`` to split the trunk at a block
+    boundary — the seam the two-phase extraction schedule uses (scan the
+    big-map shallow stages per chunk, run the small-map deep stages
+    whole-batch). ``apply_folded_suffix(apply_folded_prefix(x, k), k)``
+    equals ``apply_folded(x)`` exactly (tests/ops/test_fused_mbconv.py).
+    """
+    from mermaid_classifier_tpu.models.efficientnet import conv_padding
+
+    mode = padding_mode or config.padding
+    dtype = jnp.dtype(config.compute_dtype)
+    x = x.astype(dtype)
+    w, b = folded["stem"]
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w).astype(dtype),
+        window_strides=(2, 2),
+        padding=conv_padding(3, 2, x.shape[1], x.shape[2], mode),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = jax.nn.silu(x + b.astype(dtype)).astype(dtype)
+    for blk in folded["blocks"][:n_blocks]:
+        x = _block_xla(x, blk, dtype, padding_mode=mode)
+    return x
+
+
+def apply_folded_suffix(
+    folded: dict,
+    config: EfficientNetConfig,
+    x: jnp.ndarray,
+    n_blocks: int,
+    *,
+    padding_mode: str | None = None,
+) -> jnp.ndarray:
+    """MBConv blocks ``n_blocks:`` + head + pool + projection."""
+    mode = padding_mode or config.padding
+    dtype = jnp.dtype(config.compute_dtype)
+    x = x.astype(dtype)
+    for blk in folded["blocks"][n_blocks:]:
+        x = _block_xla(x, blk, dtype, padding_mode=mode)
+    w, b = folded["head"]
+    x = jax.nn.silu(_conv1x1(x, w[0, 0], b, dtype)).astype(dtype)
+    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    if folded["proj"] is not None:
+        w, b = folded["proj"]
+        x = x @ w + b
+    return x
+
+
 def apply_folded(
     folded: dict,
     config: EfficientNetConfig,

@@ -285,3 +285,46 @@ class TestFusedKernel:
         ref = np.asarray(apply_folded(folded, CONFIG, x, fused=False))
         got = np.asarray(fwd(df, x))
         assert np.allclose(ref, got, atol=1e-5)
+
+
+class TestPrefixSuffixSplit:
+    """apply_folded_suffix(apply_folded_prefix(x, k), k) must equal
+    apply_folded(x) at every split point (the two-phase schedule seam)."""
+
+    def test_split_equals_full(self):
+        import jax
+        import numpy as np
+
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetConfig,
+            init_backbone_params,
+        )
+        from mermaid_classifier_tpu.ops.fused_mbconv import (
+            apply_folded,
+            apply_folded_prefix,
+            apply_folded_suffix,
+            fold_backbone,
+        )
+
+        config = EfficientNetConfig(
+            stem_channels=8,
+            stages=((1, 8, 1, 1, 3), (6, 16, 2, 2, 5), (6, 24, 1, 2, 3)),
+            head_channels=32,
+            feature_dim=48,
+            patch_size=32,
+        )
+        variables = init_backbone_params(0, config)
+        folded = fold_backbone(variables, config)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+        full = np.asarray(jax.jit(
+            lambda v, x: apply_folded(v, config, x)
+        )(folded, x))
+        n_total = len(folded["blocks"])
+        for k in (0, 1, 2, n_total):
+            got = np.asarray(apply_folded_suffix(
+                folded, config,
+                apply_folded_prefix(folded, config, x, k), k,
+            ))
+            np.testing.assert_allclose(got, full, atol=1e-5, rtol=1e-5,
+                                       err_msg=f"split at {k}")
