@@ -143,6 +143,10 @@ VARIANT_COEFFS: dict[str, tuple[float, float, int]] = {
     "b1": (1.0, 1.1, 240),
     "b2": (1.1, 1.2, 260),
     "b3": (1.2, 1.4, 300),
+    "b4": (1.4, 1.8, 380),
+    "b5": (1.6, 2.2, 456),
+    "b6": (1.8, 2.6, 528),
+    "b7": (2.0, 3.1, 600),
 }
 
 

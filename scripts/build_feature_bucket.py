@@ -131,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--backbone-variant", default=None,
-        choices=("b0", "b1", "b2", "b3"),
+        # Mirrors models/efficientnet.py VARIANT_COEFFS (kept literal so
+        # --help stays import-free; guard-tested in test_efficientnet).
+        choices=("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7"),
         help="compound-scaled EfficientNet preset (default: production"
         " b0); mutually exclusive with --backbone-config-json",
     )

@@ -243,3 +243,30 @@ class TestVariantConfigs:
         folded = fold_backbone(variables, cfg)
         assert len(folded["blocks"]) == sum(s[2] for s in cfg.stages)
         assert block_metas(cfg)[0].h == cfg.patch_size // 2
+
+
+def test_variant_presets_cover_b0_through_b7_and_match_cli():
+    """b4-b7 presets exist with the published compound coefficients, and
+    the extraction CLI's literal choices tuple stays in sync with the
+    preset dict."""
+    from mermaid_classifier_tpu.models.efficientnet import (
+        VARIANT_COEFFS,
+        variant_config,
+    )
+
+    assert sorted(VARIANT_COEFFS) == [f"b{i}" for i in range(8)]
+    # Published geometry spot checks: b4 widens to 48-ch stem / 1792 head
+    # at 380 res; b7 to 64 / 2560 at 600.
+    b4 = variant_config("b4")
+    assert (b4.stem_channels, b4.head_channels, b4.patch_size) == (
+        48, 1792, 380,
+    )
+    b7 = variant_config("b7")
+    assert (b7.stem_channels, b7.head_channels, b7.patch_size) == (
+        64, 2560, 600,
+    )
+
+    import scripts.build_feature_bucket as cli
+
+    src = open(cli.__file__).read()
+    assert '("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")' in src
