@@ -156,7 +156,7 @@ def variant_config(
     feature_dim: int = 4096,
     compute_dtype: str = "float32",
 ) -> EfficientNetConfig:
-    """EfficientNetConfig for a compound-scaled variant (b0..b3).
+    """EfficientNetConfig for a compound-scaled variant (b0..b7).
 
     The production contract is B0 (the reference ships a B0 extractor —
     scripts/build_feature_bucket.py:375-448); larger variants are the
