@@ -270,3 +270,28 @@ def test_variant_presets_cover_b0_through_b7_and_match_cli():
 
     src = open(cli.__file__).read()
     assert '("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")' in src
+
+
+@pytest.mark.parametrize("variant", ["b4", "b5", "b6", "b7"])
+@pytest.mark.parametrize("padding", ["symmetric", "tf_same"])
+def test_large_variant_geometry_traces(variant, padding):
+    """The big presets' full geometry chains (incl. odd-size stride-2
+    transitions like b4's 95->48) trace through the trunk in both padding
+    modes — pure eval_shape, zero compute, so even b7 at 600^2 is free."""
+    import dataclasses
+
+    import jax
+
+    from mermaid_classifier_tpu.models.efficientnet import (
+        EfficientNetBackbone,
+        variant_config,
+    )
+
+    config = dataclasses.replace(variant_config(variant), padding=padding)
+    model = EfficientNetBackbone(config=config)
+    dummy = jax.ShapeDtypeStruct(
+        (1, config.patch_size, config.patch_size, 3), jnp.float32
+    )
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy)
+    out = jax.eval_shape(model.apply, shapes, dummy)
+    assert out.shape == (1, config.feature_dim)
