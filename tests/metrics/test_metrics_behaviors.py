@@ -1,0 +1,325 @@
+"""Per-behavior metric pins, mirroring the reference's per-group test
+density (reference analogs: tests/pyspacer/test_metrics_taxonomy_helpers.py
+(32 scenarios), test_metrics_calibration/classification/cover/probability/
+per_source.py). Fixture tree (tests/common/taxonomy_fixtures):
+
+    ba-hard ── ba-acro ── ba-acro-tab
+           └── ba-porites
+    ba-algae
+"""
+
+import numpy as np
+import pytest
+
+from mermaid_classifier_tpu.metrics.taxonomy_index import (
+    build_ba_paths,
+    build_ba_to_top,
+    find_lca,
+    group_by_top_level,
+    taxonomic_similarity,
+)
+
+from tests.common.taxonomy_fixtures import make_ba_library, make_gf_library
+
+CLASSES = [
+    "ba-acro-tab::",      # depth-3 leaf
+    "ba-acro::gf-br",     # depth-2, with growth form
+    "ba-porites::",       # depth-2 sibling of ba-acro
+    "ba-hard::",          # root used as a class
+    "ba-algae::",         # other root
+]
+
+
+@pytest.fixture(scope="module")
+def ba_library():
+    return make_ba_library()
+
+
+@pytest.fixture(scope="module")
+def paths(ba_library):
+    return build_ba_paths(CLASSES, ba_library)
+
+
+class TestBaPaths:
+    def test_leaf_path_is_root_to_leaf(self, paths):
+        assert paths["ba-acro-tab"] == ["ba-hard", "ba-acro", "ba-acro-tab"]
+
+    def test_mid_path(self, paths):
+        assert paths["ba-porites"] == ["ba-hard", "ba-porites"]
+
+    def test_root_path_is_just_root(self, paths):
+        assert paths["ba-hard"] == ["ba-hard"]
+        assert paths["ba-algae"] == ["ba-algae"]
+
+    def test_growth_forms_do_not_duplicate_bas(self, ba_library):
+        # 'ba-acro::gf-br' and a bare 'ba-acro::' key the same BA once.
+        paths = build_ba_paths(["ba-acro::gf-br", "ba-acro::"], ba_library)
+        assert set(paths) == {"ba-acro"}
+
+    def test_all_class_bas_present(self, paths):
+        assert set(paths) == {
+            "ba-acro-tab", "ba-acro", "ba-porites", "ba-hard", "ba-algae",
+        }
+
+
+class TestBaToTop:
+    def test_maps_leaves_to_roots(self, ba_library):
+        top = build_ba_to_top(CLASSES, ba_library)
+        assert top["ba-acro-tab"] == "ba-hard"
+        assert top["ba-acro"] == "ba-hard"
+        assert top["ba-porites"] == "ba-hard"
+
+    def test_roots_map_to_themselves(self, ba_library):
+        top = build_ba_to_top(CLASSES, ba_library)
+        assert top["ba-hard"] == "ba-hard"
+        assert top["ba-algae"] == "ba-algae"
+
+
+class TestLca:
+    def test_same_node_returns_itself(self, paths):
+        assert find_lca("ba-acro", "ba-acro", paths) == "ba-acro"
+
+    def test_siblings_return_parent(self, paths):
+        assert find_lca("ba-acro", "ba-porites", paths) == "ba-hard"
+
+    def test_root_and_leaf_same_branch_returns_root(self, paths):
+        assert find_lca("ba-hard", "ba-acro-tab", paths) == "ba-hard"
+
+    def test_ancestor_and_descendant_returns_ancestor(self, paths):
+        assert find_lca("ba-acro", "ba-acro-tab", paths) == "ba-acro"
+
+    def test_different_roots_returns_none(self, paths):
+        assert find_lca("ba-acro", "ba-algae", paths) is None
+
+    def test_symmetry(self, paths):
+        for a in paths:
+            for b in paths:
+                assert find_lca(a, b, paths) == find_lca(b, a, paths)
+
+
+class TestTaxonomicSimilarity:
+    def test_same_node_returns_one(self, paths):
+        assert taxonomic_similarity("ba-acro-tab", "ba-acro-tab", paths) == 1.0
+
+    def test_siblings_share_root_fraction(self, paths):
+        # ba-acro vs ba-porites: shared prefix 1 over depth 2.
+        assert taxonomic_similarity("ba-acro", "ba-porites", paths) == 0.5
+
+    def test_ancestor_fraction(self, paths):
+        # ba-acro (depth 2) vs ba-acro-tab (depth 3): shared 2 / max 3.
+        assert taxonomic_similarity(
+            "ba-acro", "ba-acro-tab", paths
+        ) == pytest.approx(2 / 3)
+
+    def test_different_roots_return_zero(self, paths):
+        assert taxonomic_similarity("ba-hard", "ba-algae", paths) == 0.0
+        assert taxonomic_similarity("ba-acro-tab", "ba-algae", paths) == 0.0
+
+    def test_symmetry(self, paths):
+        for a in paths:
+            for b in paths:
+                assert taxonomic_similarity(a, b, paths) == pytest.approx(
+                    taxonomic_similarity(b, a, paths)
+                )
+
+
+class TestGroupByTopLevel:
+    def _grouped(self, ba_library, gt_indices, min_samples=1):
+        top = build_ba_to_top(CLASSES, ba_library)
+        return group_by_top_level(
+            list(range(len(gt_indices))), gt_indices, CLASSES, top,
+            ba_library, min_samples=min_samples,
+        )
+
+    def test_groups_by_top_level_ba(self, ba_library):
+        # gt classes: two hard-coral branches + one algae.
+        groups = self._grouped(ba_library, [0, 2, 4, 1])
+        by_id = {g["top_ba_id"]: g for g in groups}
+        assert set(by_id) == {"ba-hard", "ba-algae"}
+        assert sorted(by_id["ba-hard"]["indices"]) == [0, 1, 3]
+        assert by_id["ba-algae"]["indices"] == [2]
+
+    def test_group_fields_and_names_from_library(self, ba_library):
+        group = self._grouped(ba_library, [4])[0]
+        assert set(group) == {"top_ba_id", "name", "indices", "n_samples"}
+        assert group["name"] == "Macroalgae"
+        assert group["n_samples"] == len(group["indices"]) == 1
+
+    def test_min_samples_filters_small_groups(self, ba_library):
+        groups = self._grouped(ba_library, [0, 1, 2, 4], min_samples=2)
+        assert [g["top_ba_id"] for g in groups] == ["ba-hard"]
+
+    def test_all_below_min_samples_returns_no_groups(self, ba_library):
+        assert self._grouped(ba_library, [0, 4], min_samples=5) == []
+
+    def test_empty_sample_indices_returns_no_groups(self, ba_library):
+        top = build_ba_to_top(CLASSES, ba_library)
+        assert group_by_top_level([], [], CLASSES, top, ba_library) == []
+
+
+class TestAdaptiveEce:
+    def test_perfectly_calibrated_low_ece(self):
+        from mermaid_classifier_tpu.metrics.calibration import adaptive_ece
+
+        rng = np.random.default_rng(0)
+        n = 4000
+        conf = rng.uniform(0.2, 1.0, n)
+        correct = rng.random(n) < conf  # accuracy == confidence
+        est = np.zeros(n, dtype=int)
+        gt = np.where(correct, 0, 1)
+        ece, bins = adaptive_ece(conf, gt, est)
+        assert ece < 0.05
+        assert isinstance(ece, float)
+
+    def test_maximally_overconfident_high_ece(self):
+        from mermaid_classifier_tpu.metrics.calibration import adaptive_ece
+
+        n = 1000
+        conf = np.full(n, 0.99)
+        gt = np.ones(n, dtype=int)
+        est = np.zeros(n, dtype=int)  # always wrong at 0.99 confidence
+        ece, _ = adaptive_ece(conf, gt, est)
+        assert ece > 0.9
+
+    def test_equal_mass_bin_structure(self):
+        from mermaid_classifier_tpu.metrics.calibration import adaptive_ece
+
+        rng = np.random.default_rng(1)
+        n, n_bins = 2000, 20
+        conf = rng.uniform(0, 1, n)
+        gt = np.zeros(n, dtype=int)
+        est = np.zeros(n, dtype=int)
+        _, bins = adaptive_ece(conf, gt, est, n_bins=n_bins)
+        assert len(bins) == n_bins
+        counts = [b["count"] for b in bins]
+        assert sum(counts) == n
+        assert max(counts) - min(counts) <= 1  # equal mass
+        # Bins are sorted by confidence and non-overlapping.
+        for prev, cur in zip(bins, bins[1:]):
+            assert prev["conf_max"] <= cur["conf_min"] + 1e-12
+        assert set(bins[0]) == {
+            "avg_confidence", "avg_accuracy", "count", "conf_min", "conf_max",
+        }
+
+
+class TestClassificationEdges:
+    def _ctx(self, gt, est, scores=None):
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import MetricsContext
+
+        n = len(gt)
+        return MetricsContext(
+            val_results=ValResults(
+                scores=list(scores) if scores is not None else [0.9] * n,
+                gt=list(gt),
+                est=list(est),
+                classes=list(CLASSES),
+            ),
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+        )
+
+    def test_perfect_predictions_max_scores(self):
+        from mermaid_classifier_tpu.metrics.classification import (
+            compute_balanced_accuracy_mcc,
+            compute_precision_recall_f1,
+        )
+
+        gt = [0, 1, 2, 3, 4] * 8
+        ctx = self._ctx(gt, gt)
+        out = compute_precision_recall_f1(ctx)
+        assert out.scalars["precision_macro"] == pytest.approx(1.0)
+        assert out.scalars["recall_macro"] == pytest.approx(1.0)
+        assert out.scalars["f1_macro"] == pytest.approx(1.0)
+        out2 = compute_balanced_accuracy_mcc(ctx)
+        assert out2.scalars["balanced_accuracy"] == pytest.approx(1.0)
+        assert out2.scalars["mcc"] == pytest.approx(1.0)
+
+    def test_all_wrong_predictions_zero_scores(self):
+        from mermaid_classifier_tpu.metrics.classification import (
+            compute_balanced_accuracy_mcc,
+            compute_precision_recall_f1,
+        )
+
+        gt = [0, 1] * 20
+        est = [1, 0] * 20
+        ctx = self._ctx(gt, est)
+        out = compute_precision_recall_f1(ctx)
+        assert out.scalars["f1_macro"] == pytest.approx(0.0)
+        out2 = compute_balanced_accuracy_mcc(ctx)
+        assert out2.scalars["balanced_accuracy"] == pytest.approx(0.0)
+        assert out2.scalars["mcc"] <= 0.0
+
+
+class TestProbabilityBehaviors:
+    """compute_probability: perfect ~0 log loss, uniform = log K, and the
+    per-category table honors min_samples (reference analog:
+    test_metrics_probability.py)."""
+
+    # sklearn's log_loss binarizes labels in SORTED order, so the proba
+    # columns (and clf.classes_) must be sorted — as the production
+    # classifier's np.unique classes_ always are.
+    SORTED = sorted(CLASSES)
+
+    def _ctx(self, proba, gt_labels):
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import MetricsContext
+
+        SORTED = self.SORTED
+
+        class _Clf:
+            classes_ = list(SORTED)
+
+        n = len(gt_labels)
+        idx = {c: i for i, c in enumerate(SORTED)}
+        gt_idx = [idx[g] for g in gt_labels]
+        return MetricsContext(
+            val_results=ValResults(
+                scores=[0.9] * n, gt=gt_idx, est=gt_idx,
+                classes=list(SORTED),
+            ),
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+            clf=_Clf(),
+            val_proba=np.asarray(proba, dtype=float),
+            val_gt_labels=list(gt_labels),
+        )
+
+    def test_perfect_probability_matrix(self):
+        from mermaid_classifier_tpu.metrics.probability import (
+            compute_probability,
+        )
+
+        n = 60
+        gt = [self.SORTED[i % len(self.SORTED)] for i in range(n)]
+        idx = {c: i for i, c in enumerate(self.SORTED)}
+        proba = np.full((n, len(CLASSES)), 1e-9)
+        for i, g in enumerate(gt):
+            proba[i, idx[g]] = 1.0
+        proba /= proba.sum(axis=1, keepdims=True)
+        out = compute_probability(self._ctx(proba, gt))
+        assert out.scalars["log_loss"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_uniform_probability_matrix_is_log_k(self):
+        from mermaid_classifier_tpu.metrics.probability import (
+            compute_probability,
+        )
+
+        n, k = 50, len(self.SORTED)
+        gt = [self.SORTED[i % k] for i in range(n)]
+        proba = np.full((n, k), 1.0 / k)
+        out = compute_probability(self._ctx(proba, gt))
+        assert out.scalars["log_loss"] == pytest.approx(np.log(k), rel=1e-6)
+
+    def test_per_category_respects_min_samples(self):
+        from mermaid_classifier_tpu.metrics.probability import (
+            compute_probability,
+        )
+
+        k = len(self.SORTED)
+        # 40 hard-coral points (>= the 30 floor), 5 algae (< floor).
+        gt = ["ba-acro::gf-br"] * 40 + ["ba-algae::"] * 5
+        proba = np.full((len(gt), k), 1.0 / k)
+        out = compute_probability(self._ctx(proba, gt))
+        table = out.tables()[0].payload
+        assert list(table["category"]) == ["Hard coral"]
