@@ -323,3 +323,103 @@ class TestProbabilityBehaviors:
         out = compute_probability(self._ctx(proba, gt))
         table = out.tables()[0].payload
         assert list(table["category"]) == ["Hard coral"]
+
+
+class TestRankingBehaviors:
+    """topk_and_mrr edges (reference analog: test_metrics_ranking.py)."""
+
+    def test_true_class_always_first(self):
+        from mermaid_classifier_tpu.metrics.ranking import topk_and_mrr
+
+        classes = sorted(CLASSES)
+        n, k = 30, len(classes)
+        proba = np.full((n, k), 0.01)
+        gt = [classes[i % k] for i in range(n)]
+        for i, g in enumerate(gt):
+            proba[i, classes.index(g)] = 0.9
+        result = topk_and_mrr(proba, gt, classes)
+        assert result["topk"][1] == 1.0
+        assert result["mrr"] == 1.0
+        assert (result["ranks"] == 1).all()
+
+    def test_true_class_always_second(self):
+        from mermaid_classifier_tpu.metrics.ranking import topk_and_mrr
+
+        classes = sorted(CLASSES)
+        k = len(classes)
+        n = 20
+        proba = np.full((n, k), 0.01)
+        gt = [classes[1]] * n
+        proba[:, 0] = 0.9   # wrong class first
+        proba[:, 1] = 0.5   # true class second
+        result = topk_and_mrr(proba, gt, classes)
+        assert result["topk"][1] == 0.0
+        assert result["topk"][3] == 1.0
+        assert result["mrr"] == pytest.approx(0.5)
+        assert (result["ranks"] == 2).all()
+
+    def test_topk_monotone_in_k(self):
+        from mermaid_classifier_tpu.metrics.ranking import KS, topk_and_mrr
+
+        rng = np.random.default_rng(0)
+        classes = sorted(CLASSES)
+        proba = rng.random((100, len(classes)))
+        proba /= proba.sum(axis=1, keepdims=True)
+        gt = [classes[i] for i in rng.integers(0, len(classes), 100)]
+        topk = topk_and_mrr(proba, gt, classes)["topk"]
+        values = [topk[k] for k in KS]
+        assert values == sorted(values)
+        assert topk[max(KS)] == 1.0  # K >= n_classes covers everything
+
+
+class TestCoordinatorFailureIsolation:
+    """One failing group must not take down the run, and the healthy
+    groups must still log (reference analog:
+    test_metrics_coordinator.py:failed_group_* scenarios)."""
+
+    def test_failing_group_is_isolated(self, tmp_path, monkeypatch):
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import (
+            MetricsContext,
+            MetricsCoordinator,
+        )
+        from mermaid_classifier_tpu.metrics import groups as groups_mod
+        from mermaid_classifier_tpu.tracking.local_tracker import LocalTracker
+
+        classes = sorted(CLASSES)
+        rng = np.random.default_rng(0)
+        n = 60
+        gt = rng.integers(0, len(classes), n).tolist()
+        val_results = ValResults(
+            scores=[0.8] * n, gt=gt, est=list(gt), classes=classes
+        )
+        ctx = MetricsContext(
+            val_results=val_results,
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+        )
+
+        # Sabotage ONE registered group (frozen dataclass in the module
+        # registry: swap the entry, monkeypatch restores it afterwards).
+        import dataclasses
+
+        groups_mod.all_groups()  # force registration
+        victim = groups_mod._REGISTERED["calibration"]
+
+        def boom(ctx):
+            raise RuntimeError("boom")
+
+        monkeypatch.setitem(
+            groups_mod._REGISTERED, "calibration",
+            dataclasses.replace(victim, compute=boom),
+        )
+
+        tracker = LocalTracker(tmp_path / "t")
+        with tracker.start_run("isolation") as run:
+            MetricsCoordinator(ctx, run).compute_and_log_all()
+
+        metrics = run.latest_metrics()
+        # The sabotaged group's scalar is absent; healthy groups logged.
+        assert "ece" not in metrics
+        assert "balanced_accuracy" in metrics
+        assert "f1_macro" in metrics
