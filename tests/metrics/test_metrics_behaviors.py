@@ -423,3 +423,75 @@ class TestCoordinatorFailureIsolation:
         assert "ece" not in metrics
         assert "balanced_accuracy" in metrics
         assert "f1_macro" in metrics
+
+
+class TestTaxonomicAttribution:
+    """LCA error attribution + GF differentiation with engineered
+    confusions (reference analog: test_metrics_taxonomic.py)."""
+
+    def _ctx(self, gt, est):
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import MetricsContext
+
+        n = len(gt)
+        return MetricsContext(
+            val_results=ValResults(
+                scores=[0.9] * n, gt=list(gt), est=list(est),
+                classes=list(CLASSES),
+            ),
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+        )
+
+    def test_pure_cross_branch_errors(self):
+        from mermaid_classifier_tpu.metrics.taxonomic import compute_taxonomic
+
+        # acro (hard coral) always predicted as algae: every error crosses
+        # the top level.
+        gt = [1] * 40   # ba-acro::gf-br
+        est = [4] * 40  # ba-algae::
+        out = compute_taxonomic(self._ctx(gt, est))
+        assert out.scalars["cross_branch_error_rate"] == 1.0
+        assert out.scalars["within_branch_error_rate"] == 0.0
+
+    def test_pure_within_branch_errors(self):
+        from mermaid_classifier_tpu.metrics.taxonomic import compute_taxonomic
+
+        # acro confused with its SIBLING porites: all errors stay inside
+        # the hard-coral branch.
+        gt = [1] * 40   # ba-acro::gf-br
+        est = [2] * 40  # ba-porites::
+        out = compute_taxonomic(self._ctx(gt, est))
+        assert out.scalars["cross_branch_error_rate"] == 0.0
+        assert out.scalars["within_branch_error_rate"] == 1.0
+
+    def test_no_errors_rates_are_zero(self):
+        from mermaid_classifier_tpu.metrics.taxonomic import compute_taxonomic
+
+        gt = [0, 1, 2, 3, 4] * 8
+        out = compute_taxonomic(self._ctx(gt, gt))
+        assert out.scalars["cross_branch_error_rate"] == 0.0
+        assert out.scalars["within_branch_error_rate"] == 0.0
+
+    def test_mixed_attribution_fractions(self):
+        from mermaid_classifier_tpu.metrics.taxonomic import compute_taxonomic
+
+        # 3 within-branch errors (acro->porites) + 1 cross (acro->algae),
+        # plus correct rows that must not count.
+        gt = [1, 1, 1, 1, 0, 2]
+        est = [2, 2, 2, 4, 0, 2]
+        out = compute_taxonomic(self._ctx(gt, est))
+        assert out.scalars["cross_branch_error_rate"] == pytest.approx(0.25)
+        assert out.scalars["within_branch_error_rate"] == pytest.approx(0.75)
+
+    def test_gf_accuracy_among_relevant_samples(self):
+        from mermaid_classifier_tpu.metrics.taxonomic import compute_taxonomic
+
+        # gt 'ba-acro::gf-br' predicted as the same class half the time
+        # and as bare 'ba-acro-tab::' (no GF) the other half: GF accuracy
+        # over GF-relevant rows = 0.5; when the BA matched the GF matched.
+        gt = [1, 1, 1, 1]
+        est = [1, 0, 1, 0]
+        out = compute_taxonomic(self._ctx(gt, est))
+        assert out.scalars["gf_accuracy_gf_relevant"] == pytest.approx(0.5)
+        assert out.scalars["within_ba_gf_accuracy"] == pytest.approx(1.0)
