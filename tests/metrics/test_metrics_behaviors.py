@@ -495,3 +495,63 @@ class TestTaxonomicAttribution:
         out = compute_taxonomic(self._ctx(gt, est))
         assert out.scalars["gf_accuracy_gf_relevant"] == pytest.approx(0.5)
         assert out.scalars["within_ba_gf_accuracy"] == pytest.approx(1.0)
+
+
+class TestCoverBehaviors:
+    """Per-image cover reconstruction (reference analog:
+    test_metrics_cover.py): perfect predictions, vectors summing to one,
+    and a deliberate bias showing up signed."""
+
+    def _ctx_with_dataset(self, per_image_labels, est_labels_flat):
+        from types import SimpleNamespace
+
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import MetricsContext
+
+        class_to_idx = {c: i for i, c in enumerate(CLASSES)}
+        val_data = {}
+        gt = []
+        for img_idx, labels in enumerate(per_image_labels):
+            key = f"img{img_idx:02d}"
+            val_data[key] = [(r, r * 2, lab) for r, lab in enumerate(labels)]
+            gt.extend(class_to_idx[lab] for lab in labels)
+        est = [class_to_idx[lab] for lab in est_labels_flat]
+        dataset = SimpleNamespace(
+            labels=SimpleNamespace(val=SimpleNamespace(data=val_data))
+        )
+        return MetricsContext(
+            val_results=ValResults(
+                scores=[0.9] * len(gt), gt=gt, est=est,
+                classes=list(CLASSES),
+            ),
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+            dataset=dataset,
+        )
+
+    def test_perfect_predictions_zero_bias(self):
+        from mermaid_classifier_tpu.metrics.cover import compute_cover
+
+        per_image = [
+            ["ba-acro::gf-br"] * 3 + ["ba-algae::"],
+            ["ba-porites::"] * 2 + ["ba-algae::"] * 2,
+        ]
+        flat = [lab for labels in per_image for lab in labels]
+        out = compute_cover(self._ctx_with_dataset(per_image, flat))
+        table = out.tables()[0].payload
+        assert np.allclose(table["bias_pct"], 0.0)
+        assert np.allclose(table["rmse_pct"], 0.0)
+        # True cover percentages are per-image means and sum to 100.
+        assert table["mean_true_cover_pct"].sum() == pytest.approx(100.0)
+
+    def test_systematic_bias_is_signed(self):
+        from mermaid_classifier_tpu.metrics.cover import compute_cover
+
+        # Every image: half acro / half algae in truth, but predictions
+        # call EVERYTHING algae -> algae bias +50 pts, acro -50.
+        per_image = [["ba-acro::gf-br", "ba-algae::"] * 2 for _ in range(3)]
+        flat = ["ba-algae::"] * 12
+        out = compute_cover(self._ctx_with_dataset(per_image, flat))
+        table = out.tables()[0].payload.set_index("bagf_id")
+        assert table.loc["ba-algae::", "bias_pct"] == pytest.approx(50.0)
+        assert table.loc["ba-acro::gf-br", "bias_pct"] == pytest.approx(-50.0)
