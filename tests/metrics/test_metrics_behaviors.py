@@ -555,3 +555,87 @@ class TestCoverBehaviors:
         table = out.tables()[0].payload.set_index("bagf_id")
         assert table.loc["ba-algae::", "bias_pct"] == pytest.approx(50.0)
         assert table.loc["ba-acro::gf-br", "bias_pct"] == pytest.approx(-50.0)
+
+
+class TestPerSourceBehaviors:
+    """Per-source breakdown (reference analog: test_metrics_per_source.py):
+    correct split, annotation-count-descending sort, min/max scalars, and
+    the graceful no-source-map skip."""
+
+    def _ctx(self, sources):
+        """sources: list of (source_id, labels, est_labels)."""
+        from types import SimpleNamespace
+
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import MetricsContext
+
+        class_to_idx = {c: i for i, c in enumerate(CLASSES)}
+        val_data, fmap = {}, {}
+        gt, est = [], []
+        for img_idx, (source_id, labels, est_labels) in enumerate(sources):
+            key = f"img{img_idx:02d}"
+            val_data[key] = [(r, r, lab) for r, lab in enumerate(labels)]
+            fmap[key] = ("coralnet", source_id)
+            gt.extend(class_to_idx[lab] for lab in labels)
+            est.extend(class_to_idx[lab] for lab in est_labels)
+        dataset = SimpleNamespace(
+            labels=SimpleNamespace(val=SimpleNamespace(data=val_data)),
+            feature_path_to_source=fmap,
+        )
+        return MetricsContext(
+            val_results=ValResults(
+                scores=[0.9] * len(gt), gt=gt, est=est,
+                classes=list(CLASSES),
+            ),
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+            dataset=dataset,
+        )
+
+    def test_two_sources_split_and_scored(self):
+        from mermaid_classifier_tpu.metrics.per_source import (
+            compute_per_source,
+        )
+
+        # Source 1: perfect. Source 2: all wrong.
+        acro, alg = "ba-acro::gf-br", "ba-algae::"
+        ctx = self._ctx([
+            ("1", [acro] * 4, [acro] * 4),
+            ("2", [alg] * 4, [acro] * 4),
+        ])
+        out = compute_per_source(ctx)
+        df = out.tables()[0].payload.set_index("source_id")
+        assert df.loc["1", "accuracy"] == 1.0
+        assert df.loc["2", "accuracy"] == 0.0
+        assert out.scalars["per_source/min_accuracy"] == 0.0
+        assert out.scalars["per_source/max_accuracy"] == 1.0
+        assert out.scalars["per_source/n_sources"] == 2.0
+        # Source 2's errors cross the top level (algae -> acro).
+        assert df.loc["2", "cross_branch_error_rate"] == 1.0
+        assert df.loc["1", "cross_branch_error_rate"] == 0.0
+
+    def test_sorted_by_annotation_count_desc(self):
+        from mermaid_classifier_tpu.metrics.per_source import (
+            compute_per_source,
+        )
+
+        acro = "ba-acro::gf-br"
+        ctx = self._ctx([
+            ("small", [acro] * 2, [acro] * 2),
+            ("big", [acro] * 6, [acro] * 6),
+            ("mid", [acro] * 4, [acro] * 4),
+        ])
+        df = compute_per_source(ctx).tables()[0].payload
+        assert list(df["source_id"]) == ["big", "mid", "small"]
+        assert list(df["num_val_annotations"]) == [6, 4, 2]
+
+    def test_missing_source_map_skips_gracefully(self):
+        from mermaid_classifier_tpu.metrics.per_source import (
+            compute_per_source,
+        )
+
+        ctx = self._ctx([("1", ["ba-algae::"] * 3, ["ba-algae::"] * 3)])
+        ctx.dataset.feature_path_to_source = None
+        out = compute_per_source(ctx)
+        assert out.scalars == {}
+        assert out.tables() == []
