@@ -639,3 +639,32 @@ class TestPerSourceBehaviors:
         out = compute_per_source(ctx)
         assert out.scalars == {}
         assert out.tables() == []
+
+
+class TestCoordinatorInvalidContext:
+    """The coordinator never raises on an invalid context and logs
+    nothing (reference analog: test_metrics_coordinator.py:
+    does_not_raise_on_invalid_context / no_metrics_logged)."""
+
+    def test_invalid_context_skips_without_raising(self, tmp_path):
+        from mermaid_classifier_tpu.data.results import ValResults
+        from mermaid_classifier_tpu.metrics import (
+            MetricsContext,
+            MetricsCoordinator,
+        )
+        from mermaid_classifier_tpu.tracking.local_tracker import LocalTracker
+
+        # Out-of-range est index -> validation failure.
+        ctx = MetricsContext(
+            val_results=ValResults(
+                scores=[0.9, 0.9], gt=[0, 1], est=[0, 99],
+                classes=list(CLASSES),
+            ),
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+        )
+        tracker = LocalTracker(tmp_path / "t")
+        with tracker.start_run("invalid") as run:
+            MetricsCoordinator(ctx, run).compute_and_log_all()  # no raise
+        assert run.latest_metrics() == {}
+        assert run.list_artifacts() == []
