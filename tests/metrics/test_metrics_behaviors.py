@@ -654,11 +654,13 @@ class TestCoordinatorInvalidContext:
         )
         from mermaid_classifier_tpu.tracking.local_tracker import LocalTracker
 
-        # Out-of-range est index -> validation failure.
+        # A class the taxonomy library cannot resolve -> context
+        # validation failure (ValResults itself index-validates eagerly,
+        # so the invalid input has to be semantic, not structural).
         ctx = MetricsContext(
             val_results=ValResults(
-                scores=[0.9, 0.9], gt=[0, 1], est=[0, 99],
-                classes=list(CLASSES),
+                scores=[0.9, 0.9], gt=[0, 1], est=[0, 1],
+                classes=["ba-unknown::", "ba-algae::"],
             ),
             ba_library=make_ba_library(),
             gf_library=make_gf_library(),
