@@ -178,9 +178,19 @@ def main(argv=None) -> int:
         base_schedule = schedule
         if "+split" in schedule:
             base_schedule, _, tail = schedule.rpartition("+split")
-            split = int(tail)
+            try:
+                split = int(tail)
+            except ValueError:
+                raise ValueError(
+                    f"bad schedule {schedule!r}: '+split' must end the"
+                    " schedule with a block count, e.g. 'folded+split8'"
+                    " (it does not compose with other mods)."
+                ) from None
             if base_schedule != "folded":
-                raise ValueError("+splitN composes with 'folded' only")
+                raise ValueError(
+                    f"bad schedule {schedule!r}: '+splitN' composes with"
+                    " the plain 'folded' base only (no other mods)."
+                )
         fwd, weights = build_forward(base_schedule, model, variables, config)
         t0 = time.perf_counter()
         pps, runs = time_trunk(

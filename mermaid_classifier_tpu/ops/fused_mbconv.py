@@ -649,13 +649,34 @@ def _stem_im2col(x, w, b, dtype):
     return jax.nn.silu(_conv1x1(z, wmat, b, dtype)).astype(dtype)
 
 
+def _run_block(x, blk, dtype, *, fused, interpret, dw_taps_kernels,
+               dw_pallas_kernels, padding_mode):
+    """One MBConv block under the schedule options (shared by the full
+    forward and the prefix/suffix seam — a single copy of the dispatch)."""
+    meta: BlockMeta = blk["meta"]
+    if fused and fusable(meta):
+        # Stride-1 odd-kernel SAME padding is symmetric in BOTH modes
+        # (total = k-1 splits evenly), so the fused kernel's baked-in
+        # (p, p) taps are correct regardless of config.padding.
+        return fused_mbconv(x, blk, interpret=interpret)
+    return _block_xla(
+        x, blk, dtype, dw_taps_kernels=dw_taps_kernels,
+        dw_pallas_kernels=dw_pallas_kernels, interpret=interpret,
+        padding_mode=padding_mode,
+    )
+
+
 def apply_folded_prefix(
     folded: dict,
     config: EfficientNetConfig,
     x: jnp.ndarray,
     n_blocks: int,
     *,
-    padding_mode: str | None = None,
+    fused: bool = False,
+    interpret: bool = False,
+    dw_taps_kernels: tuple = (),
+    dw_pallas_kernels: tuple = (),
+    stem_im2col: bool = False,
 ) -> jnp.ndarray:
     """Stem + the first ``n_blocks`` MBConv blocks of the folded trunk.
 
@@ -663,23 +684,35 @@ def apply_folded_prefix(
     boundary — the seam the two-phase extraction schedule uses (scan the
     big-map shallow stages per chunk, run the small-map deep stages
     whole-batch). ``apply_folded_suffix(apply_folded_prefix(x, k), k)``
-    equals ``apply_folded(x)`` exactly (tests/ops/test_fused_mbconv.py).
+    equals ``apply_folded(x)`` exactly (tests/ops/test_fused_mbconv.py);
+    ``apply_folded`` itself IS that composition at k=0, so there is one
+    copy of the stem/block/head code.
     """
     from mermaid_classifier_tpu.models.efficientnet import conv_padding
 
-    mode = padding_mode or config.padding
+    mode = config.padding
     dtype = jnp.dtype(config.compute_dtype)
     x = x.astype(dtype)
     w, b = folded["stem"]
-    x = jax.lax.conv_general_dilated(
-        x, jnp.asarray(w).astype(dtype),
-        window_strides=(2, 2),
-        padding=conv_padding(3, 2, x.shape[1], x.shape[2], mode),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    x = jax.nn.silu(x + b.astype(dtype)).astype(dtype)
+    if (
+        stem_im2col and config.stages and x.shape[1] % 2 == 0
+        and mode == "symmetric"  # the im2col slices bake p=(1,1)
+    ):
+        x = _stem_im2col(x, w, b, dtype)
+    else:
+        x = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w).astype(dtype),
+            window_strides=(2, 2),
+            padding=conv_padding(3, 2, x.shape[1], x.shape[2], mode),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.silu(x + b.astype(dtype)).astype(dtype)
     for blk in folded["blocks"][:n_blocks]:
-        x = _block_xla(x, blk, dtype, padding_mode=mode)
+        x = _run_block(
+            x, blk, dtype, fused=fused, interpret=interpret,
+            dw_taps_kernels=dw_taps_kernels,
+            dw_pallas_kernels=dw_pallas_kernels, padding_mode=mode,
+        )
     return x
 
 
@@ -689,14 +722,21 @@ def apply_folded_suffix(
     x: jnp.ndarray,
     n_blocks: int,
     *,
-    padding_mode: str | None = None,
+    fused: bool = False,
+    interpret: bool = False,
+    dw_taps_kernels: tuple = (),
+    dw_pallas_kernels: tuple = (),
 ) -> jnp.ndarray:
     """MBConv blocks ``n_blocks:`` + head + pool + projection."""
-    mode = padding_mode or config.padding
+    mode = config.padding
     dtype = jnp.dtype(config.compute_dtype)
     x = x.astype(dtype)
     for blk in folded["blocks"][n_blocks:]:
-        x = _block_xla(x, blk, dtype, padding_mode=mode)
+        x = _run_block(
+            x, blk, dtype, fused=fused, interpret=interpret,
+            dw_taps_kernels=dw_taps_kernels,
+            dw_pallas_kernels=dw_pallas_kernels, padding_mode=mode,
+        )
     w, b = folded["head"]
     x = jax.nn.silu(_conv1x1(x, w[0, 0], b, dtype)).astype(dtype)
     x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -730,41 +770,12 @@ def apply_folded(
     schedule overlaps better — both retained with their numbers so the
     negative result stays reproducible.
     """
-    from mermaid_classifier_tpu.models.efficientnet import conv_padding
-
-    dtype = jnp.dtype(config.compute_dtype)
-    x = x.astype(dtype)
-    w, b = folded["stem"]
-    if (
-        stem_im2col and config.stages and x.shape[1] % 2 == 0
-        and config.padding == "symmetric"  # the im2col slices bake p=(1,1)
-    ):
-        x = _stem_im2col(x, w, b, dtype)
-    else:
-        x = jax.lax.conv_general_dilated(
-            x, jnp.asarray(w).astype(dtype),
-            window_strides=(2, 2),
-            padding=conv_padding(3, 2, x.shape[1], x.shape[2], config.padding),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        x = jax.nn.silu(x + b.astype(dtype)).astype(dtype)
-    for blk in folded["blocks"]:
-        meta: BlockMeta = blk["meta"]
-        if fused and fusable(meta):
-            # Stride-1 odd-kernel SAME padding is symmetric in BOTH modes
-            # (total = k-1 splits evenly), so the fused kernel's baked-in
-            # (p, p) taps are correct regardless of config.padding.
-            x = fused_mbconv(x, blk, interpret=interpret)
-        else:
-            x = _block_xla(
-                x, blk, dtype, dw_taps_kernels=dw_taps_kernels,
-                dw_pallas_kernels=dw_pallas_kernels, interpret=interpret,
-                padding_mode=config.padding,
-            )
-    w, b = folded["head"]
-    x = jax.nn.silu(_conv1x1(x, w[0, 0], b, dtype)).astype(dtype)
-    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-    if folded["proj"] is not None:
-        w, b = folded["proj"]
-        x = x @ w + b
-    return x
+    opts = dict(
+        fused=fused, interpret=interpret,
+        dw_taps_kernels=dw_taps_kernels,
+        dw_pallas_kernels=dw_pallas_kernels,
+    )
+    x = apply_folded_prefix(
+        folded, config, x, 0, stem_im2col=stem_im2col, **opts
+    )
+    return apply_folded_suffix(folded, config, x, 0, **opts)

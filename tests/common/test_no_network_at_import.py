@@ -29,6 +29,9 @@ MODULES = [
 ]
 
 _PROBE = """
+# ssl subclasses socket.socket at import time, so the refusal must hook
+# the CONNECT methods, never replace the class (replacing it false-fails
+# the very first transitive `import ssl` on a standard Python).
 import socket
 
 class _NoNetwork(Exception):
@@ -37,8 +40,10 @@ class _NoNetwork(Exception):
 def _refuse(*a, **k):
     raise _NoNetwork("network touched at import time")
 
-socket.socket = _refuse
+socket.socket.connect = _refuse
+socket.socket.connect_ex = _refuse
 socket.create_connection = _refuse
+socket.getaddrinfo = _refuse
 
 import importlib
 for name in {modules!r}:
