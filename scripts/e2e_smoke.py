@@ -65,6 +65,32 @@ def log(msg: str) -> None:
     print(f"[e2e] {msg}", flush=True)
 
 
+_STAGE_BUDGET: list[tuple[str, float]] = []
+
+
+class stage:
+    """Context manager printing a ``stage-done <name> in Xs`` marker and
+    recording the per-stage budget — on a deadline kill, the last marker in
+    the captured output names the stage that blew up."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        log(f"stage-start {self.name}")
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        elapsed = time.time() - self.t0
+        _STAGE_BUDGET.append((self.name, elapsed))
+        if exc_type is None:
+            log(f"stage-done {self.name} in {elapsed:.1f}s")
+        else:
+            log(f"stage-FAILED {self.name} after {elapsed:.1f}s ({exc_type.__name__})")
+        return False
+
+
 def make_store(env: dict):
     """The smoke's store, resolved the way production resolves it: an
     s3:// root goes through the stdlib-HTTP S3 backend (endpoint +
@@ -229,19 +255,21 @@ def main(argv: list[str] | None = None) -> int:
     grid = max(int(round(args.points_per_image ** 0.5)), 1)
     image_size = (224 if args.production_backbone else 64) * grid
     store = make_store(env)
-    synthesize_source_data(
-        store, workspace, sources, args.images_per_source,
-        args.points_per_image, image_size, args.seed,
-    )
+    with stage("synthesize"):
+        synthesize_source_data(
+            store, workspace, sources, args.images_per_source,
+            args.points_per_image, image_size, args.seed,
+        )
 
     # Stage 1: ETL parquets -> training manifest (the manifest-builder CLI).
-    run_cli(
-        "build_coralnet_manifest.py",
-        ["--annotations-parquet", str(workspace / "etl_annotations.parquet"),
-         "--images-parquet", str(workspace / "etl_images.parquet"),
-         "--output", str(workspace / "manifest.parquet")],
-        workspace, env,
-    )
+    with stage("manifest"):
+        run_cli(
+            "build_coralnet_manifest.py",
+            ["--annotations-parquet", str(workspace / "etl_annotations.parquet"),
+             "--images-parquet", str(workspace / "etl_images.parquet"),
+             "--output", str(workspace / "manifest.parquet")],
+            workspace, env,
+        )
 
     # Stage 2: sharded extraction via the committed launcher run YAML —
     # N local worker processes, store as the coordination plane.
@@ -258,114 +286,121 @@ def main(argv: list[str] | None = None) -> int:
     )
     from mermaid_classifier_tpu.jobs.launcher_config import parse_run_config
 
-    run_config = parse_run_config(CONFIG_DIR / "processing_run.yaml")
-    requests = build_processing_requests(run_config, "e2e-smoke")
-    backend = LocalProcessBackend(log_dir=workspace / "logs")
-    job_ids = []
-    for request in requests:
-        # Entrypoints in the committed YAML are repo-relative; workers may
-        # run from any cwd, so anchor them to this checkout.
-        if not os.path.isabs(request.command[1]):
-            request.command[1] = str(REPO / request.command[1])
-        request.command.extend(backbone_args)
-        request.env.update(env)
-        job_ids.append(backend.submit(request))
-    log(f"launched {len(job_ids)} extraction workers")
-    statuses = wait_for_completion(backend, job_ids, poll_seconds=1.0,
-                                   timeout_seconds=1800)
-    bad = {j: s for j, s in statuses.items() if s.value != "Completed"}
-    if bad:
-        for log_file in sorted((workspace / "logs").glob("*.log")):
-            log(f"--- {log_file.name} ---")
-            print(log_file.read_text()[-2000:])
-        raise SystemExit(f"extraction workers failed: {bad}")
+    with stage("extract"):
+        run_config = parse_run_config(CONFIG_DIR / "processing_run.yaml")
+        requests = build_processing_requests(run_config, "e2e-smoke")
+        backend = LocalProcessBackend(log_dir=workspace / "logs")
+        job_ids = []
+        for request in requests:
+            # Entrypoints in the committed YAML are repo-relative; workers may
+            # run from any cwd, so anchor them to this checkout.
+            if not os.path.isabs(request.command[1]):
+                request.command[1] = str(REPO / request.command[1])
+            request.command.extend(backbone_args)
+            request.env.update(env)
+            job_ids.append(backend.submit(request))
+        log(f"launched {len(job_ids)} extraction workers")
+        statuses = wait_for_completion(backend, job_ids, poll_seconds=1.0,
+                                       timeout_seconds=1800)
+        bad = {j: s for j, s in statuses.items() if s.value != "Completed"}
+        if bad:
+            for log_file in sorted((workspace / "logs").glob("*.log")):
+                log(f"--- {log_file.name} ---")
+                print(log_file.read_text()[-2000:])
+            raise SystemExit(f"extraction workers failed: {bad}")
 
-    n_features = sum(1 for _ in store.list_keys("features"))
-    log(f"feature bucket holds {n_features} objects")
+        n_features = sum(1 for _ in store.list_keys("features"))
+        log(f"feature bucket holds {n_features} objects")
 
     # Stage 3: train from the committed training config (single source of
     # truth). cwd = workspace so manifest.parquet resolves.
-    run_cli(
-        "classifier_train.py",
-        ["--config-dir", str(CONFIG_DIR), "--run-name", "e2e-smoke"],
-        workspace, env,
-    )
+    with stage("train"):
+        run_cli(
+            "classifier_train.py",
+            ["--config-dir", str(CONFIG_DIR), "--run-name", "e2e-smoke"],
+            workspace, env,
+        )
 
     # Locate the run + registered artifact, reload the artifact, predict.
     from mermaid_classifier_tpu.inference.loader import load_predictor
     from mermaid_classifier_tpu.tracking.local_tracker import LocalTracker
 
-    tracker = LocalTracker(workspace / "tracking")
-    runs = tracker.runs("example")
-    if not runs:
-        raise SystemExit("no tracked run found under experiment 'example'")
-    run = runs[-1]
-    metrics = run.latest_metrics()
-    acc = metrics.get("final_val_accuracy") or metrics.get("acc")
-    log(f"run {run.run_id}: {len(metrics)} metrics,"
-        f" {len(run.list_artifacts())} artifacts")
+    with stage("reload"):
+        tracker = LocalTracker(workspace / "tracking")
+        runs = tracker.runs("example")
+        if not runs:
+            raise SystemExit("no tracked run found under experiment 'example'")
+        run = runs[-1]
+        metrics = run.latest_metrics()
+        acc = metrics.get("final_val_accuracy") or metrics.get("acc")
+        log(f"run {run.run_id}: {len(metrics)} metrics,"
+            f" {len(run.list_artifacts())} artifacts")
 
-    registry_root = workspace / "tracking" / "_models"
-    artifact_dirs = (
-        sorted(
-            (d for d in registry_root.glob("*/v*") if d.is_dir()),
-            key=lambda d: (d.parent.name, int(d.name[1:])),
+        registry_root = workspace / "tracking" / "_models"
+        artifact_dirs = (
+            sorted(
+                (d for d in registry_root.glob("*/v*") if d.is_dir()),
+                key=lambda d: (d.parent.name, int(d.name[1:])),
+            )
+            if registry_root.is_dir()
+            else []
         )
-        if registry_root.is_dir()
-        else []
-    )
-    if not artifact_dirs:
-        raise SystemExit(f"no registered model under {registry_root}")
-    predictor = load_predictor(artifact_dirs[-1])
-    import numpy as np
+        if not artifact_dirs:
+            raise SystemExit(f"no registered model under {registry_root}")
+        predictor = load_predictor(artifact_dirs[-1])
+        import numpy as np
 
-    proba = predictor.predict_proba(
-        np.zeros((25, predictor.input_dim), dtype=np.float32)
-    )
-    assert proba.shape == (25, len(predictor.classes))
-    log(f"registered artifact reloads: {artifact_dirs[-1].name},"
-        f" classes={predictor.classes}")
+        proba = predictor.predict_proba(
+            np.zeros((25, predictor.input_dim), dtype=np.float32)
+        )
+        assert proba.shape == (25, len(predictor.classes))
+        log(f"registered artifact reloads: {artifact_dirs[-1].name},"
+            f" classes={predictor.classes}")
 
     # Stage 3b: bulk classification of the extracted features through the
     # serving CLI (the predict_features path a production user runs over a
     # finished feature bucket).
-    feat_keys = [
-        k for k in store.list_keys("features") if k.endswith(".features.npz")
-    ][:4]
-    if not feat_keys:
-        raise SystemExit("no feature files found for bulk prediction")
-    bulk_dir = workspace / "bulk_features"
-    bulk_dir.mkdir(exist_ok=True)
-    local_feats = []
-    for k in feat_keys:
-        local = bulk_dir / k.replace("/", "_")
-        store.download("features", k, local)
-        local_feats.append(str(local))
-    preds_csv = workspace / "bulk_predictions.csv"
-    run_cli(
-        "predict_features.py",
-        ["--classifier", str(artifact_dirs[-1]),
-         "--output", str(preds_csv), "--top-n", "2", *local_feats],
-        workspace, env,
-    )
-    pred_lines = preds_csv.read_text().splitlines()
-    if len(pred_lines) < 2 or not pred_lines[0].startswith("file,row,col"):
-        raise SystemExit("bulk predictions CSV missing or malformed")
-    log(f"bulk predict: {len(pred_lines) - 1} points across"
-        f" {len(local_feats)} feature files")
+    with stage("bulk_predict"):
+        feat_keys = [
+            k for k in store.list_keys("features") if k.endswith(".features.npz")
+        ][:4]
+        if not feat_keys:
+            raise SystemExit("no feature files found for bulk prediction")
+        bulk_dir = workspace / "bulk_features"
+        bulk_dir.mkdir(exist_ok=True)
+        local_feats = []
+        for k in feat_keys:
+            local = bulk_dir / k.replace("/", "_")
+            store.download("features", k, local)
+            local_feats.append(str(local))
+        preds_csv = workspace / "bulk_predictions.csv"
+        run_cli(
+            "predict_features.py",
+            ["--classifier", str(artifact_dirs[-1]),
+             "--output", str(preds_csv), "--top-n", "2", *local_feats],
+            workspace, env,
+        )
+        pred_lines = preds_csv.read_text().splitlines()
+        if len(pred_lines) < 2 or not pred_lines[0].startswith("file,row,col"):
+            raise SystemExit("bulk predictions CSV missing or malformed")
+        log(f"bulk predict: {len(pred_lines) - 1} points across"
+            f" {len(local_feats)} feature files")
 
     # Stage 4: HTML report.
-    report_path = workspace / "report.html"
-    run_cli(
-        "generate_report.py",
-        ["--run-id", run.run_id,
-         "--tracking-root", str(workspace / "tracking"),
-         "--output", str(report_path)],
-        workspace, env,
-    )
-    if not report_path.is_file() or report_path.stat().st_size < 1000:
-        raise SystemExit("report.html missing or implausibly small")
+    with stage("report"):
+        report_path = workspace / "report.html"
+        run_cli(
+            "generate_report.py",
+            ["--run-id", run.run_id,
+             "--tracking-root", str(workspace / "tracking"),
+             "--output", str(report_path)],
+            workspace, env,
+        )
+        if not report_path.is_file() or report_path.stat().st_size < 1000:
+            raise SystemExit("report.html missing or implausibly small")
 
+    budget = " ".join(f"{n}={s:.1f}s" for n, s in _STAGE_BUDGET)
+    log(f"stage budget: {budget}")
     log(f"PASS in {time.time() - t0:.0f}s")
     log(f"  accuracy metrics: { {k: round(v, 3) for k, v in metrics.items() if 'acc' in k} }")
     log(f"  artifact: {artifact_dirs[-1]}")

@@ -1,14 +1,20 @@
 """The full pipeline over the S3 HTTP dialect: the same one-command E2E
 drive, with the object store pointed at the in-process fake S3 endpoint —
 images, annotations, features, and worker coordination all flow through
-signed S3 REST calls instead of the local filesystem."""
+signed S3 REST calls instead of the local filesystem.
 
-import subprocess
+Deadline is machine-scaled (tests/common/e2e_harness.py); on timeout the
+failure names the stage that blew the budget via the smoke's stage-done
+markers."""
+
 import sys
 import unittest
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+from tests.common.e2e_harness import run_e2e  # noqa: E402
 
 
 class TestEndToEndOverS3(unittest.TestCase):
@@ -28,7 +34,7 @@ class TestEndToEndOverS3(unittest.TestCase):
             "AWS_REGION": "us-east-1",
         }
         with tempfile.TemporaryDirectory() as td:
-            proc = subprocess.run(
+            proc = run_e2e(
                 [
                     sys.executable,
                     str(REPO / "scripts" / "e2e_smoke.py"),
@@ -37,7 +43,7 @@ class TestEndToEndOverS3(unittest.TestCase):
                     "--object-store-root", "s3://",
                     "--object-store-endpoint", endpoint,
                 ],
-                capture_output=True, text=True, timeout=560, cwd=REPO,
+                cwd=REPO,
                 env=env,
             )
             if proc.returncode != 0:

@@ -1,13 +1,20 @@
 """The one-command E2E drive must pass from a fresh checkout: synthetic
 images -> manifest -> sharded extraction -> train -> export -> reload ->
-report, all through the committed configs/example/ recipe."""
+report, all through the committed configs/example/ recipe.
 
-import subprocess
+The deadline is machine-scaled (tests/common/e2e_harness.py): a fixed
+wall-clock limit flips red on slower hosts even though nothing is wrong;
+on timeout the failure message carries the smoke's own stage-done markers
+so it names the stage that blew the budget."""
+
 import sys
 import unittest
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from tests.common.e2e_harness import run_e2e  # noqa: E402
 
 
 class TestE2ESmoke(unittest.TestCase):
@@ -15,16 +22,13 @@ class TestE2ESmoke(unittest.TestCase):
         import tempfile
 
         with tempfile.TemporaryDirectory() as td:
-            proc = subprocess.run(
+            proc = run_e2e(
                 [
                     sys.executable,
                     str(REPO / "scripts" / "e2e_smoke.py"),
                     "--workdir", td,
                     "--images-per-source", "3",
                 ],
-                capture_output=True,
-                text=True,
-                timeout=560,
                 cwd=REPO,
             )
             if proc.returncode != 0:
@@ -34,6 +38,7 @@ class TestE2ESmoke(unittest.TestCase):
                     f"--- stderr ---\n{proc.stderr[-4000:]}"
                 )
             self.assertIn("PASS", proc.stdout)
+            self.assertIn("stage budget:", proc.stdout)
             workspace = Path(td)
             self.assertTrue((workspace / "report.html").is_file())
             registry = workspace / "tracking" / "_models" / "mermaid-mlp-example"
