@@ -25,10 +25,20 @@ class Predictor:
     """The loaded serving head: batches of feature vectors in, calibrated
     per-class probabilities out."""
 
-    def __init__(self, head_fn: Any, classes: list[str], input_dim: int) -> None:
+    def __init__(
+        self,
+        head_fn: Any,
+        classes: list[str],
+        input_dim: int,
+        head_params: "HeadParams | None" = None,
+    ) -> None:
         self._head_fn = head_fn
         self.classes = classes
         self.input_dim = input_dim
+        # The already-gate-validated parameters, exposed so alternative
+        # execution engines (e.g. parallel.sharded_serve) can re-wrap the
+        # SAME params without re-reading the npz through loader internals.
+        self.head_params = head_params
 
     @property
     def classes_(self) -> list[str]:
@@ -128,4 +138,4 @@ def load_predictor(
             f" classes."
         )
 
-    return Predictor(head_fn, list(classes), input_dim)
+    return Predictor(head_fn, list(classes), input_dim, head_params=params)

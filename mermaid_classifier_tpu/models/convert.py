@@ -188,11 +188,53 @@ def flat_arrays_to_variables(flat: Mapping[str, np.ndarray]) -> dict:
     return out
 
 
-def save_backbone_npz(path: str, variables: dict) -> None:
-    """Write backbone variables as a pickle-free npz bundle."""
+def backbone_sidecar_path(npz_path: str) -> str:
+    """The config sidecar written next to a backbone npz bundle:
+    ``weights.npz`` -> ``weights.config.json``."""
+    base = npz_path[:-4] if npz_path.endswith(".npz") else npz_path
+    return base + ".config.json"
+
+
+def save_backbone_npz(
+    path: str, variables: dict, config: "EfficientNetConfig | None" = None
+) -> None:
+    """Write backbone variables as a pickle-free npz bundle.
+
+    When ``config`` is given, its ``to_dict()`` is written as a sidecar
+    JSON next to the npz. The padding/bn_eps lineage decision made at
+    conversion time (tf_same for lukemelas/pyspacer checkpoints — the
+    <1e-4 MAE fidelity contract depends on it) MUST travel with the
+    weights: loaders pick the sidecar up by default, so a later
+    extraction/annotation run cannot silently fall back to the symmetric
+    default graph.
+    """
     np.savez(path, **variables_to_flat_arrays(variables))
+    if config is not None:
+        import json
+
+        with open(backbone_sidecar_path(str(path)), "w") as f:
+            json.dump(config.to_dict(), f, indent=1)
 
 
 def load_backbone_npz(path: str) -> dict:
     with np.load(path, allow_pickle=False) as archive:
         return flat_arrays_to_variables({k: archive[k] for k in archive.files})
+
+
+def load_backbone_bundle(path: str) -> tuple[dict, "EfficientNetConfig | None"]:
+    """Load an npz weight bundle plus its config sidecar, if present.
+
+    Returns ``(variables, config)`` with ``config=None`` when no sidecar
+    exists (pre-sidecar bundles keep working; callers fall back to their
+    own config resolution)."""
+    import os
+
+    variables = load_backbone_npz(path)
+    sidecar = backbone_sidecar_path(str(path))
+    config = None
+    if os.path.isfile(sidecar):
+        import json
+
+        with open(sidecar) as f:
+            config = EfficientNetConfig.from_dict(json.load(f))
+    return variables, config

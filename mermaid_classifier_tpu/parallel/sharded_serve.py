@@ -73,19 +73,15 @@ def load_sharded_predictor(artifact: "str | Path", mesh: Mesh):
     multiple and the pad rows are dropped before returning, so callers
     (e.g. the bulk feature classifier) see identical shapes either way.
     """
-    from pathlib import Path
-
     from mermaid_classifier_tpu.inference.loader import (
         Predictor,
-        _load_head_params,
         load_predictor,
     )
 
     base = load_predictor(artifact)
-    # load_predictor's single-argument form only accepts a directory, so
-    # reaching here guarantees the dir layout (dir-only is the contract).
-    params = _load_head_params(Path(artifact) / "model.npz")
-    run = make_sharded_head_fn(mesh, params)
+    # Reuse the gate-validated params the loader already parsed — one npz
+    # read, no coupling to loader internals.
+    run = make_sharded_head_fn(mesh, base.head_params)
     n_devices = mesh.devices.size
 
     def head_fn(features: np.ndarray) -> np.ndarray:

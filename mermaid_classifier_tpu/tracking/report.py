@@ -130,8 +130,12 @@ def _render_history_chart(name: str, history: list[dict]) -> str:
     stepped = [h for h in finite if h.get("step") is not None]
     if stepped:
         pts = sorted((h["step"], float(h["value"])) for h in stepped)
+        x_label = "step"
     else:
+        # Positional fallback: x is just the log-entry index, NOT a
+        # training step — label it as such.
         pts = [(i, float(h["value"])) for i, h in enumerate(finite)]
+        x_label = "entry"
     if len(pts) < 2:
         return ""
     w_px, h_px, pad_l, pad_r, pad_t, pad_b = 560, 140, 58, 16, 12, 22
@@ -163,7 +167,7 @@ def _render_history_chart(name: str, history: list[dict]) -> str:
     )
     hovers = "".join(
         f'<circle cx="{sx(x):.1f}" cy="{sy(y):.1f}" r="7"'
-        f' fill="transparent"><title>step {x}: {y:.6g}</title></circle>'
+        f' fill="transparent"><title>{x_label} {x}: {y:.6g}</title></circle>'
         for x, y in pts
     )
     lx, ly = sx(pts[-1][0]), sy(pts[-1][1])
@@ -179,9 +183,9 @@ def _render_history_chart(name: str, history: list[dict]) -> str:
         f'<text x="{lx + ldx:.1f}" y="{ly + 4:.1f}" text-anchor="{anchor}"'
         f' font-size="11" fill="#1a202c">{pts[-1][1]:.5g}</text>'
         f'<text x="{pad_l}" y="{h_px - 6}" font-size="10" fill="#718096">'
-        f"step {x0}</text>"
+        f"{x_label} {x0}</text>"
         f'<text x="{w_px - pad_r}" y="{h_px - 6}" text-anchor="end"'
-        f' font-size="10" fill="#718096">step {x1}</text>'
+        f' font-size="10" fill="#718096">{x_label} {x1}</text>'
         f"{hovers}</svg>"
     )
 

@@ -51,11 +51,16 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     weights = None
-    if args.backbone_weights:
-        from mermaid_classifier_tpu.models.convert import load_backbone_npz
-
-        weights = load_backbone_npz(args.backbone_weights)
     config = None
+    if args.backbone_weights:
+        from mermaid_classifier_tpu.models.convert import load_backbone_bundle
+
+        # Sidecar (written at conversion time) carries the padding/bn_eps
+        # lineage decision; --backbone-padding stays as an override.
+        weights, config = load_backbone_bundle(args.backbone_weights)
+        if config is not None:
+            logger.info("backbone sidecar config: padding=%s bn_eps=%g",
+                        config.padding, config.bn_eps)
     if args.backbone_padding is not None:
         import dataclasses
 
@@ -64,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         config = dataclasses.replace(
-            EfficientNetConfig(), padding=args.backbone_padding
+            config or EfficientNetConfig(), padding=args.backbone_padding
         )
     extractor = build_extractor(weights, config=config)
 

@@ -92,7 +92,7 @@ def _normalize_source_ids(values) -> list[str]:
     return out
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     group = parser.add_mutually_exclusive_group(required=True)
     group.add_argument("--source-ids", default=None)
@@ -150,7 +150,82 @@ def main(argv: list[str] | None = None) -> int:
         help="backbone schedule (default: the BN-folded fast path, single"
         " device or sharded; docs/perf_roofline.md §3.2)",
     )
-    args = parser.parse_args(argv)
+    return parser
+
+
+def resolve_backbone(args):
+    """Weights + effective EfficientNetConfig from the CLI flags.
+
+    Resolution order: explicit --backbone-config-json / --backbone-variant
+    win outright; otherwise the weight bundle's .config.json sidecar (the
+    padding/bn_eps lineage decision recorded at conversion time by
+    diff_backbone --save-npz) is the default; --compute-dtype and
+    --backbone-padding override individual fields of whichever base won.
+    Returns ``(weights | None, config | None)`` — (None, None) means the
+    seeded-random default backbone.
+    """
+    import dataclasses
+
+    weights = None
+    sidecar_config = None
+    if args.backbone_weights:
+        from mermaid_classifier_tpu.models.convert import load_backbone_bundle
+
+        weights, sidecar_config = load_backbone_bundle(args.backbone_weights)
+        if sidecar_config is not None:
+            logger.info(
+                "backbone sidecar config: padding=%s bn_eps=%g",
+                sidecar_config.padding, sidecar_config.bn_eps,
+            )
+
+    config = None
+    if args.backbone_config_json:
+        if args.backbone_variant:
+            raise SystemExit(
+                "--backbone-variant and --backbone-config-json are mutually"
+                " exclusive"
+            )
+        import json
+
+        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
+
+        with open(args.backbone_config_json) as f:
+            config_dict = json.load(f)
+        # An explicit flag wins; otherwise the config file's dtype stands.
+        if args.compute_dtype is not None:
+            config_dict["compute_dtype"] = args.compute_dtype
+        config = EfficientNetConfig.from_dict(config_dict)
+    elif args.backbone_variant:
+        from mermaid_classifier_tpu.models.efficientnet import variant_config
+
+        config = variant_config(
+            args.backbone_variant,
+            compute_dtype=args.compute_dtype or "float32",
+        )
+    elif sidecar_config is not None:
+        config = sidecar_config
+        if args.compute_dtype is not None:
+            config = dataclasses.replace(
+                config, compute_dtype=args.compute_dtype
+            )
+    elif args.compute_dtype is not None and args.compute_dtype != "float32":
+        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
+
+        config = EfficientNetConfig(compute_dtype=args.compute_dtype)
+
+    if args.backbone_padding is not None:
+        from mermaid_classifier_tpu.models.efficientnet import (
+            EfficientNetConfig,
+        )
+
+        config = dataclasses.replace(
+            config or EfficientNetConfig(), padding=args.backbone_padding
+        )
+    return weights, config
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
 
@@ -173,57 +248,13 @@ def main(argv: list[str] | None = None) -> int:
     from mermaid_classifier_tpu.data.store import get_default_store
     from mermaid_classifier_tpu.models.extractor import build_extractor
 
-    weights = None
-    if args.backbone_weights:
-        from mermaid_classifier_tpu.models.convert import load_backbone_npz
-
-        weights = load_backbone_npz(args.backbone_weights)
+    weights, config = resolve_backbone(args)
 
     mesh = None
     if args.mesh_devices:
         from mermaid_classifier_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh_devices)
-
-    config = None
-    if args.backbone_config_json:
-        if args.backbone_variant:
-            parser.error(
-                "--backbone-variant and --backbone-config-json are mutually"
-                " exclusive"
-            )
-        import json
-
-        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
-
-        with open(args.backbone_config_json) as f:
-            config_dict = json.load(f)
-        # An explicit flag wins; otherwise the config file's dtype stands.
-        if args.compute_dtype is not None:
-            config_dict["compute_dtype"] = args.compute_dtype
-        config = EfficientNetConfig.from_dict(config_dict)
-    elif args.backbone_variant:
-        from mermaid_classifier_tpu.models.efficientnet import variant_config
-
-        config = variant_config(
-            args.backbone_variant,
-            compute_dtype=args.compute_dtype or "float32",
-        )
-    elif args.compute_dtype is not None and args.compute_dtype != "float32":
-        from mermaid_classifier_tpu.models.efficientnet import EfficientNetConfig
-
-        config = EfficientNetConfig(compute_dtype=args.compute_dtype)
-
-    if args.backbone_padding is not None:
-        import dataclasses
-
-        from mermaid_classifier_tpu.models.efficientnet import (
-            EfficientNetConfig,
-        )
-
-        config = dataclasses.replace(
-            config or EfficientNetConfig(), padding=args.backbone_padding
-        )
 
     extractor = build_extractor(
         weights, config=config, backbone_batch=args.backbone_batch, mesh=mesh,

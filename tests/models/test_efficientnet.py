@@ -80,6 +80,65 @@ class TestBackbone:
             np.asarray(model.apply(restored, x)),
         )
 
+    def test_npz_config_sidecar_roundtrip(self, tmp_path):
+        """The padding/bn_eps lineage decision travels WITH the weights:
+        save_backbone_npz(config=...) writes a sidecar and
+        load_backbone_bundle returns the exact config — the guard against
+        converted tf_same weights silently running the symmetric graph."""
+        import dataclasses
+
+        from mermaid_classifier_tpu.models.convert import load_backbone_bundle
+
+        config = dataclasses.replace(TINY, padding="tf_same", bn_eps=1e-3)
+        variables = init_backbone_params(jax.random.PRNGKey(0), config)
+        path = str(tmp_path / "backbone.npz")
+        save_backbone_npz(path, jax.device_get(variables), config)
+        assert (tmp_path / "backbone.config.json").is_file()
+        restored, restored_config = load_backbone_bundle(path)
+        assert restored_config == config
+        assert restored_config.padding == "tf_same"
+        # Pre-sidecar bundles still load, with config=None.
+        save_backbone_npz(str(tmp_path / "bare.npz"), jax.device_get(variables))
+        _, none_config = load_backbone_bundle(str(tmp_path / "bare.npz"))
+        assert none_config is None
+
+    def test_bucket_cli_resolves_sidecar_config(self, tmp_path):
+        """build_feature_bucket's backbone resolution defaults to the
+        sidecar config; explicit field flags override single fields and an
+        explicit --backbone-config-json overrides the whole geometry."""
+        import dataclasses
+
+        import scripts.build_feature_bucket as cli
+
+        config = dataclasses.replace(TINY, padding="tf_same")
+        variables = init_backbone_params(jax.random.PRNGKey(0), config)
+        path = str(tmp_path / "backbone.npz")
+        save_backbone_npz(path, jax.device_get(variables), config)
+
+        base = ["--source-ids", "1", "--source-bucket", "a",
+                "--target-bucket", "b", "--backbone-weights", path]
+        parser = cli.build_parser()
+
+        weights, resolved = cli.resolve_backbone(parser.parse_args(base))
+        assert weights is not None
+        assert resolved == config  # sidecar IS the default
+
+        _, overridden = cli.resolve_backbone(
+            parser.parse_args(base + ["--backbone-padding", "symmetric"])
+        )
+        assert overridden.padding == "symmetric"  # flag overrides field
+        assert overridden.stem_channels == config.stem_channels
+
+        import json
+
+        other = dataclasses.replace(TINY, feature_dim=TINY.head_channels)
+        cfg_json = tmp_path / "other.json"
+        cfg_json.write_text(json.dumps(other.to_dict()))
+        _, explicit = cli.resolve_backbone(
+            parser.parse_args(base + ["--backbone-config-json", str(cfg_json)])
+        )
+        assert explicit == other  # explicit geometry wins over sidecar
+
 
 class TestTorchConversionParity:
     """Converted torch weights must reproduce torch outputs within the
@@ -266,10 +325,16 @@ def test_variant_presets_cover_b0_through_b7_and_match_cli():
         64, 2560, 600,
     )
 
+    # CLI/preset sync: the --backbone-variant choices must be exactly the
+    # VARIANT_COEFFS presets — inspect the real parser, not source text,
+    # so benign reformats can't trip the guard.
     import scripts.build_feature_bucket as cli
 
-    src = open(cli.__file__).read()
-    assert '("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")' in src
+    parser = cli.build_parser()
+    (variant_action,) = [
+        a for a in parser._actions if "--backbone-variant" in a.option_strings
+    ]
+    assert sorted(variant_action.choices) == sorted(VARIANT_COEFFS)
 
 
 @pytest.mark.parametrize("variant", ["b4", "b5", "b6", "b7"])
