@@ -132,6 +132,17 @@ def main(argv=None) -> int:
                         help="per-layer max|delta| gate")
     parser.add_argument("--dump-remap", default=None,
                         help="write the applied old->new key table as CSV")
+    parser.add_argument("--save-npz", default=None,
+                        help="on ALL GREEN, persist the converted weights as"
+                        " a pickle-free npz PLUS the .config.json sidecar"
+                        " recording the padding/bn_eps lineage decision —"
+                        " build_feature_bucket/annotate_image pick the"
+                        " sidecar up by default")
+    parser.add_argument("--record", default=None,
+                        help="write the fidelity record JSON here — the"
+                        " release-blocking proof serve/release.py requires"
+                        " before shipping backbone weights"
+                        " (docs/release_fidelity_runbook.md)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -274,6 +285,52 @@ def main(argv=None) -> int:
           f" (gate {args.feature_tol:.0e}) -> {'ok' if feature_ok else 'FAIL'}")
     if not feature_ok:
         n_fail += 1
+
+    all_green = n_fail == 0
+    if args.save_npz and all_green:
+        from mermaid_classifier_tpu.models.convert import (
+            backbone_sidecar_path,
+            save_backbone_npz,
+        )
+
+        save_backbone_npz(args.save_npz, variables, config)
+        print(f"saved: {args.save_npz} + {backbone_sidecar_path(args.save_npz)}")
+    if args.record:
+        # The fidelity record hashes the file the RELEASE will ship: the
+        # converted npz when one was saved, else the input checkpoint.
+        import hashlib
+        import json
+        from datetime import datetime, timezone
+
+        hashed = args.save_npz if (args.save_npz and all_green) else args.weights
+        sha = None
+        if hashed:
+            h = hashlib.sha256()
+            with open(hashed, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            sha = h.hexdigest()
+        record = {
+            "all_green": all_green,
+            "n_layers_compared": len(rows),
+            "n_layers_failed": n_fail,
+            "feature_mae": feature_mae,
+            "feature_tol": args.feature_tol,
+            "layer_tol": args.layer_tol,
+            "worst_layer_max_abs": worst,
+            "padding": config.padding,
+            "bn_eps": config.bn_eps,
+            "naming_scheme": scheme,
+            "weights_file": hashed,
+            "weights_sha256": sha,
+            "probe_batch": args.probe_batch,
+            "seed": args.seed,
+            "timestamp_utc": datetime.now(timezone.utc).isoformat(),
+            "command": "diff_backbone.py " + " ".join(argv or sys.argv[1:]),
+        }
+        with open(args.record, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"fidelity record -> {args.record} (all_green={all_green})")
 
     if n_fail:
         print(f"\n{n_fail} layer(s) diverge — fix the FIRST failing layer;"

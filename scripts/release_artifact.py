@@ -31,6 +31,17 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--bucket", required=True)
     parser.add_argument("--extra-file", action="append", default=[])
     parser.add_argument("--tracker-root", default=None)
+    parser.add_argument(
+        "--fidelity-record", default=None,
+        help="fidelity record JSON from scripts/diff_backbone.py --record;"
+        " REQUIRED when --extra-file ships backbone weights (.npz) —"
+        " docs/release_fidelity_runbook.md",
+    )
+    parser.add_argument(
+        "--allow-unverified-backbone", action="store_true",
+        help="downgrade the missing-fidelity-record refusal to a loud"
+        " warning (emergencies only)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -49,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
             args.version,
             artifact_dir,
             extra_files=args.extra_file,
+            fidelity_record=args.fidelity_record,
+            allow_unverified_backbone=args.allow_unverified_backbone,
         )
     except (ReleaseError, FileNotFoundError) as exc:
         logger.error("%s", exc)

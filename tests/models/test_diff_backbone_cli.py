@@ -50,3 +50,27 @@ def test_remap_table_dump(tmp_path):
     lines = table.read_text().splitlines()
     assert lines[0] == "source_key,canonical_key"
     assert len(lines) > 10
+
+
+def test_save_npz_persists_weights_and_config_sidecar(tmp_path):
+    """--save-npz writes the converted bundle PLUS the .config.json
+    sidecar recording the padding decision — so a later
+    build_feature_bucket/annotate_image run can't silently fall back to
+    the symmetric default graph (ADVICE round-3 medium)."""
+    import json
+
+    out = tmp_path / "converted.npz"
+    proc = run_cli(tmp_path, "--padding", "tf_same", "--save-npz", str(out))
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-1000:]
+    assert out.is_file()
+    sidecar = tmp_path / "converted.config.json"
+    assert sidecar.is_file()
+    recorded = json.loads(sidecar.read_text())
+    assert recorded["padding"] == "tf_same"
+    assert recorded["stem_channels"] == TINY["stem_channels"]
+
+    from mermaid_classifier_tpu.models.convert import load_backbone_bundle
+
+    variables, config = load_backbone_bundle(str(out))
+    assert config.padding == "tf_same"
+    assert "params" in variables and "batch_stats" in variables

@@ -79,13 +79,97 @@ class TestRelease:
         # A different version is fine.
         release_artifact(store, BUCKET, "v2", artifact_dir)
 
-    def test_extra_files(self, store, artifact_dir, tmp_path):
+    @staticmethod
+    def _fidelity_record(path, weights_file, **overrides):
+        """A runbook-shaped record for `weights_file` (sha matches)."""
+        import hashlib
+        import json
+
+        record = {
+            "all_green": True,
+            "feature_mae": 2.1e-5,
+            "feature_tol": 1e-4,
+            "weights_sha256": hashlib.sha256(
+                weights_file.read_bytes()
+            ).hexdigest(),
+            "padding": "tf_same",
+            **overrides,
+        }
+        path.write_text(json.dumps(record))
+        return path
+
+    def test_backbone_extra_file_requires_fidelity_record(
+        self, store, artifact_dir, tmp_path, caplog
+    ):
+        """Shipping backbone weights without the runbook's fidelity record
+        is refused before any byte is written; a matching record unblocks;
+        allow_unverified_backbone downgrades to a loud warning."""
         extra = tmp_path / "efficientnet_weights.npz"
         extra.write_bytes(b"weights")
+        with pytest.raises(ReleaseError, match="fidelity"):
+            release_artifact(
+                store, BUCKET, "v1", artifact_dir, extra_files=[extra]
+            )
+        assert list(store.list_keys(BUCKET, prefix="classifier/")) == []
+
+        record = self._fidelity_record(tmp_path / "fidelity.json", extra)
         written = release_artifact(
-            store, BUCKET, "v1", artifact_dir, extra_files=[extra]
+            store, BUCKET, "v1", artifact_dir, extra_files=[extra],
+            fidelity_record=record,
         )
         assert "classifier/v1/efficientnet_weights.npz" in written
+
+        # Emergency override publishes WITHOUT a record, but warns loudly.
+        import logging
+
+        with caplog.at_level(
+            logging.WARNING, logger="mermaid_classifier_tpu.serve.release"
+        ):
+            release_artifact(
+                store, BUCKET, "v2", artifact_dir, extra_files=[extra],
+                allow_unverified_backbone=True,
+            )
+        assert any("UNVERIFIED" in r.getMessage() for r in caplog.records)
+
+    def test_fidelity_record_gates(self, store, artifact_dir, tmp_path):
+        """A record for DIFFERENT weights, a failed diff, or an
+        out-of-tolerance MAE are each refused."""
+        extra = tmp_path / "efficientnet_weights.npz"
+        extra.write_bytes(b"weights")
+
+        other = tmp_path / "other.npz"
+        other.write_bytes(b"different weights")
+        mismatched = self._fidelity_record(tmp_path / "r1.json", other)
+        with pytest.raises(ReleaseError, match="sha256 mismatch"):
+            release_artifact(
+                store, BUCKET, "v1", artifact_dir, extra_files=[extra],
+                fidelity_record=mismatched,
+            )
+
+        failed = self._fidelity_record(
+            tmp_path / "r2.json", extra, all_green=False
+        )
+        with pytest.raises(ReleaseError, match="FAILED"):
+            release_artifact(
+                store, BUCKET, "v1", artifact_dir, extra_files=[extra],
+                fidelity_record=failed,
+            )
+
+        out_of_tol = self._fidelity_record(
+            tmp_path / "r3.json", extra, feature_mae=2e-4
+        )
+        with pytest.raises(ReleaseError, match="tolerance"):
+            release_artifact(
+                store, BUCKET, "v1", artifact_dir, extra_files=[extra],
+                fidelity_record=out_of_tol,
+            )
+
+        # The config sidecar alone (no npz) needs no record.
+        sidecar = tmp_path / "backbone.config.json"
+        sidecar.write_text("{}")
+        release_artifact(
+            store, BUCKET, "v1", artifact_dir, extra_files=[sidecar]
+        )
 
     def test_missing_extra_file_refused_before_write(self, store, artifact_dir):
         with pytest.raises(ReleaseError, match="does not exist"):
