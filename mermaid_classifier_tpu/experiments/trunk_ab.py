@@ -36,8 +36,14 @@ def build_forward(schedule: str, model, variables, config):
         raise ValueError(f"unknown schedule base {base!r}")
     mods = mods[0].split("+") if mods and mods[0] else []
     kwargs: dict = {}
+    quantize_w8 = False
     for mod in mods:
-        if mod in ("dwp5", "dwp3"):
+        if mod == "w8":
+            # int8 weights with per-output-channel scales, dequantized at
+            # use (w8a16) — a reduced-precision path behind the cosine
+            # gate like bf16 (ops/fused_mbconv.quantize_folded).
+            quantize_w8 = True
+        elif mod in ("dwp5", "dwp3"):
             # Append (never overwrite) so '+dwp3+dwp5' routes BOTH kernel
             # sizes regardless of mod order.
             kwargs["dw_pallas_kernels"] = kwargs.get(
@@ -52,7 +58,12 @@ def build_forward(schedule: str, model, variables, config):
         else:
             raise ValueError(f"unknown schedule mod {mod!r}")
 
-    folded = jax.device_put(fold_backbone(variables, config))
+    bundle = fold_backbone(variables, config)
+    if quantize_w8:
+        from mermaid_classifier_tpu.ops.fused_mbconv import quantize_folded
+
+        bundle = quantize_folded(bundle)
+    folded = jax.device_put(bundle)
 
     def fwd(weights, patches):
         return apply_folded(weights, config, patches, **kwargs)

@@ -193,6 +193,60 @@ def fold_backbone(variables: Any, config: EfficientNetConfig) -> dict:
     return folded
 
 
+def _quantize_wb(entry):
+    """(w, b) -> (w_int8, scale_f32, b): symmetric per-output-channel
+    int8 over the trailing (output) axis; bias stays float32."""
+    w, b = entry
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    scale = (absmax / 127.0).astype(np.float32)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    w_q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return w_q, scale, np.asarray(b, np.float32)
+
+
+def quantize_folded(folded: dict) -> dict:
+    """int8-WEIGHT variant of a folded bundle (w8a16/w8a32): every conv /
+    SE / projection weight is stored int8 with per-output-channel scales
+    and dequantized at use. A reduced-precision path — it sits behind the
+    0.999-cosine device numerics gate like bf16 (CLAUDE.md invariant).
+
+    Measured context (docs/perf_roofline.md §3.3): the trunk is
+    activation-HBM-bound; per chunk iteration the f32 weights are ~21 MB
+    against ~3-4 GB of activation traffic, so int8 weights attack <1% of
+    the bound. The A/B harness carries the measured verdict."""
+    out: dict[str, Any] = {
+        "stem": _quantize_wb(folded["stem"]),
+        "head": _quantize_wb(folded["head"]),
+        "proj": (
+            _quantize_wb(folded["proj"]) if folded["proj"] is not None
+            else None
+        ),
+    }
+    blocks = []
+    for blk in folded["blocks"]:
+        q: dict[str, Any] = {"meta": blk["meta"]}
+        for name in ("expand", "depthwise", "se_reduce", "se_expand",
+                     "project"):
+            if name in blk:
+                q[name] = _quantize_wb(blk[name])
+        blocks.append(q)
+    out["blocks"] = blocks
+    return out
+
+
+def _wb(entry, dtype):
+    """Unpack a folded weight entry to (w in ``dtype``, b float32) —
+    transparently dequantizing int8 entries (w_q * per-channel scale in
+    f32, then cast once to the compute dtype)."""
+    if len(entry) == 3:
+        w_q, scale, b = entry
+        w = (jnp.asarray(w_q).astype(jnp.float32) * scale).astype(dtype)
+        return w, b
+    w, b = entry
+    return jnp.asarray(w).astype(dtype), b
+
+
 def _block_name(config: EfficientNetConfig, flat_idx: int) -> str:
     i = 0
     for stage_idx, (_, _, repeats, _, _) in enumerate(config.stages):
@@ -436,16 +490,16 @@ def fused_mbconv(
     grid = (n // block_b,)
 
     if meta.has_expand:
-        wexp, bexp = blk["expand"]
+        wexp, bexp = _wb(blk["expand"], jnp.float32)
         wexp = wexp[0, 0]  # (1,1,Cin,Cmid) -> (Cin,Cmid)
     else:
         wexp = np.zeros((cin, cmid), np.float32)
         bexp = np.zeros((cmid,), np.float32)
-    wdw, bdw = blk["depthwise"]
+    wdw, bdw = _wb(blk["depthwise"], jnp.float32)
     wdw = wdw.reshape(k * k, cmid)
-    wse1, bse1 = blk["se_reduce"]
-    wse2, bse2 = blk["se_expand"]
-    wproj, bproj = blk["project"]
+    wse1, bse1 = _wb(blk["se_reduce"], jnp.float32)
+    wse2, bse2 = _wb(blk["se_expand"], jnp.float32)
+    wproj, bproj = _wb(blk["project"], jnp.float32)
     wproj = wproj[0, 0]  # (1,1,Cmid,Cout) -> (Cmid,Cout)
 
     if dw_layout == "flat_padded":
@@ -577,11 +631,11 @@ def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = (),
     meta: BlockMeta = blk["meta"]
     inp = x
     if meta.has_expand:
-        w, b = blk["expand"]
+        w, b = _wb(blk["expand"], jnp.float32)
         z = jax.nn.silu(_conv1x1(x, w[0, 0], b, dtype)).astype(dtype)
     else:
         z = x
-    w_dw, b_dw = blk["depthwise"]
+    w_dw, b_dw = _wb(blk["depthwise"], jnp.float32)
     k = meta.kernel
     pads = conv_padding(k, meta.stride, z.shape[1], z.shape[2], padding_mode)
     if (
@@ -611,12 +665,12 @@ def _block_xla(x, blk, dtype, *, dw_taps_kernels: tuple = (),
     z = jax.nn.silu(z).astype(dtype)
     # Squeeze-excite.
     s = jnp.mean(z.astype(jnp.float32), axis=(1, 2))  # (N, Cmid)
-    w1, b1 = blk["se_reduce"]
-    w2, b2 = blk["se_expand"]
+    w1, b1 = _wb(blk["se_reduce"], jnp.float32)
+    w2, b2 = _wb(blk["se_expand"], jnp.float32)
     r = jax.nn.silu(s @ w1 + b1)
     e = jax.nn.sigmoid(r @ w2 + b2)
     z = (z * e[:, None, None, :].astype(dtype)).astype(dtype)
-    w, b = blk["project"]
+    w, b = _wb(blk["project"], jnp.float32)
     y = _conv1x1(z, w[0, 0], b, dtype).astype(dtype)
     if meta.residual:
         y = y + inp
@@ -693,7 +747,7 @@ def apply_folded_prefix(
     mode = config.padding
     dtype = jnp.dtype(config.compute_dtype)
     x = x.astype(dtype)
-    w, b = folded["stem"]
+    w, b = _wb(folded["stem"], jnp.float32)
     if (
         stem_im2col and config.stages and x.shape[1] % 2 == 0
         and mode == "symmetric"  # the im2col slices bake p=(1,1)
@@ -737,11 +791,11 @@ def apply_folded_suffix(
             dw_taps_kernels=dw_taps_kernels,
             dw_pallas_kernels=dw_pallas_kernels, padding_mode=mode,
         )
-    w, b = folded["head"]
+    w, b = _wb(folded["head"], jnp.float32)
     x = jax.nn.silu(_conv1x1(x, w[0, 0], b, dtype)).astype(dtype)
     x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
     if folded["proj"] is not None:
-        w, b = folded["proj"]
+        w, b = _wb(folded["proj"], jnp.float32)
         x = x @ w + b
     return x
 

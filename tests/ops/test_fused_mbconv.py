@@ -67,6 +67,81 @@ class TestFoldedForward:
             rel = np.abs(ref - got).max() / np.abs(ref).max()
             assert rel < 1e-5, (kw, rel)
 
+    def test_int8_weight_quantization_tracks_folded(self, bundle):
+        """quantize_folded (w8a32) must track the f32 folded path, and the
+        bundle must actually store int8.
+
+        Per-BLOCK comparison on O(1) inputs: a full random-init trunk
+        decays activations to ~1e-7 where cosine is pure noise — the
+        full-trunk verdict belongs to the on-chip gate (trunk_ab +w8 runs
+        the 0.999-cosine device check on the production geometry)."""
+        from mermaid_classifier_tpu.ops.fused_mbconv import (
+            _block_xla,
+            quantize_folded,
+        )
+
+        variables, folded, x = bundle
+        quantized = quantize_folded(folded)
+        # Weights really are int8 + f32 per-channel scales.
+        w_q, scale, b = quantized["stem"]
+        assert w_q.dtype == np.int8
+        assert scale.dtype == np.float32 and b.dtype == np.float32
+        assert all(len(blk["project"]) == 3 for blk in quantized["blocks"])
+
+        rng = np.random.default_rng(3)
+        dtype = jnp.float32
+        for blk, q_blk in zip(folded["blocks"], quantized["blocks"]):
+            meta = blk["meta"]
+            z = jnp.asarray(
+                rng.standard_normal(
+                    (2, meta.h, meta.w, meta.in_channels)
+                ).astype(np.float32)
+            )
+            ref = np.asarray(_block_xla(z, blk, dtype))
+            got = np.asarray(_block_xla(z, q_blk, dtype))
+            denom = float(np.abs(ref).max())
+            rel = float(np.abs(ref - got).max()) / max(denom, 1e-12)
+            # int8 per-channel weights: ~0.4% max relative error per
+            # block is the expected quantization step noise.
+            assert rel < 0.02, (meta, rel)
+
+        # A shallow trunk (healthy activation magnitudes) passes the same
+        # 0.999-cosine bar the device gate applies.
+        from dataclasses import replace
+
+        shallow = replace(
+            CONFIG, stages=CONFIG.stages[:3], feature_dim=64, patch_size=32
+        )
+        s_vars = init_backbone_params(1, shallow)
+        s_folded = fold_backbone(s_vars, shallow)
+        s_quant = quantize_folded(s_folded)
+        xs = jnp.asarray(
+            rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+        )
+        ref = np.asarray(apply_folded(s_folded, shallow, xs))
+        got = np.asarray(apply_folded(s_quant, shallow, xs))
+        num = np.sum(ref * got, axis=1)
+        den = np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
+        worst = float(np.min(num / np.maximum(den, 1e-12)))
+        assert worst >= 0.999, worst
+
+    def test_dequant_is_exact_for_representable_weights(self):
+        """Weights that are exact int8 multiples of the scale round-trip
+        bit-exactly through _quantize_wb + _wb."""
+        from mermaid_classifier_tpu.ops.fused_mbconv import _quantize_wb, _wb
+
+        # Each output channel's absmax is exactly 127 * step, so the
+        # per-channel scale is the step and every entry is an exact int8
+        # multiple of it.
+        step = 0.03125
+        w = np.vstack(
+            [np.full(127, -127.0, np.float32), np.arange(127, dtype=np.float32)]
+        ) * step
+        b = np.zeros(127, np.float32)
+        w_q, scale, _ = _quantize_wb((w, b))
+        restored, _ = _wb((w_q, scale, b), jnp.float32)
+        np.testing.assert_allclose(np.asarray(restored), w, rtol=1e-6)
+
     def test_block_metas_cover_all_blocks(self):
         metas = block_metas(CONFIG)
         assert len(metas) == sum(s[2] for s in CONFIG.stages)
