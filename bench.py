@@ -153,7 +153,21 @@ def run_device_loop(args, fwd, weights, config) -> float:
     return runs
 
 
-def run_bucket(args, config) -> dict:
+def make_extractor(args, config):
+    """ONE extractor instance shared by the bucket and annotate legs — its
+    compiled trunk program is the expensive thing; both legs must time
+    dispatches of the same executable, not recompile it."""
+    from mermaid_classifier_tpu.models.extractor import FeatureExtractor
+    from mermaid_classifier_tpu.models.efficientnet import init_backbone_params
+
+    return FeatureExtractor(
+        init_backbone_params(0, config), config,
+        backbone_batch=args.backbone_batch,
+        backbone_impl=args.backbone,
+    )
+
+
+def run_bucket(args, config, extractor) -> dict:
     """End-to-end: JPEGs in a store -> decode-ahead pipeline -> features
     written back. Returns {'patches_per_sec', 'images', 'points'}."""
     import io
@@ -165,8 +179,6 @@ def run_bucket(args, config) -> dict:
 
     from mermaid_classifier_tpu.data.feature_bucket import FeatureBucketBuilder
     from mermaid_classifier_tpu.data.store import LocalFSObjectStore
-    from mermaid_classifier_tpu.models.extractor import FeatureExtractor
-    from mermaid_classifier_tpu.models.efficientnet import init_backbone_params
 
     rng = np.random.default_rng(1)
     n_images = args.bucket_images
@@ -192,11 +204,6 @@ def run_bucket(args, config) -> dict:
             "imgs", "s1/annotations.csv", ("\n".join(ann_lines) + "\n").encode()
         )
 
-        extractor = FeatureExtractor(
-            init_backbone_params(0, config), config,
-            backbone_batch=args.backbone_batch,
-            backbone_impl=args.backbone,
-        )
         # Warm the compiled programs on one image so the timed run measures
         # the pipeline, not XLA compilation.
         warm = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
@@ -206,10 +213,15 @@ def run_bucket(args, config) -> dict:
 
         # Repeats write to distinct target buckets: the builder's
         # bucket-as-truth resume would otherwise skip every image on the
-        # second pass and "measure" a no-op.
+        # second pass and "measure" a no-op. Run 0 is a DISCARDED warmup —
+        # it reliably runs ~20-30% slow (pool spin-up, allocator/page-cache
+        # warmth; docs/perf_roofline.md §4) and polluted the median in
+        # earlier rounds; the reported median is over the post-warmup runs,
+        # with the warmup value kept in the JSON so nothing is hidden.
         runs = []
+        warmup_pps = None
         total_points = 0
-        for r in range(args.repeats):
+        for r in range(args.repeats + 1):
             builder = FeatureBucketBuilder(
                 store, "imgs", f"feats{r}", extractor,
             )
@@ -221,12 +233,18 @@ def run_bucket(args, config) -> dict:
                 raise RuntimeError(
                     f"bucket bench had failures: {result.describe()}"
                 )
-            runs.append(total_points / elapsed)
-            log(f"bucket[{r}]: {n_images} images / {total_points} points in"
-                f" {elapsed:.3f}s -> {runs[-1]:,.0f} patch-features/s"
+            pps = total_points / elapsed
+            tag = "warmup, discarded" if r == 0 else f"{r - 1}"
+            log(f"bucket[{tag}]: {n_images} images / {total_points} points"
+                f" in {elapsed:.3f}s -> {pps:,.0f} patch-features/s"
                 " end-to-end")
+            if r == 0:
+                warmup_pps = pps
+            else:
+                runs.append(pps)
         return {
             "runs_pps": runs,
+            "warmup_pps": warmup_pps,
             "images": n_images,
             "points": total_points,
         }
@@ -365,6 +383,145 @@ def run_stage_budget(args, config, device_pps: float) -> dict:
     return budget
 
 
+def modeled_roofline(config, effective_dtype: str, device_pps: float,
+                     hbm_gbps: float, traffic_factor: float) -> dict:
+    """The HBM-bandwidth roofline as a NUMBER in the artifact, not prose
+    (docs/perf_roofline.md §3): walk the trunk geometry, sum every
+    materialized activation tensor per patch (stem out, per-block expand /
+    depthwise / project outs, head out), multiply by the touch factor
+    (folded schedule: write + next-conv read = 2 per tensor; SE scales and
+    residual adds re-touch a minority — §3's 2-4x band's floor), and
+    divide by the chip's HBM bandwidth. ``fraction`` = modeled_bound /
+    achieved: ~1.0 means the schedule is ON its memory roofline; the
+    remaining gap is the cross-layer-fusion headroom §3 describes."""
+    bytes_per_el = 2 if effective_dtype == "bfloat16" else 4
+    ps = config.patch_size
+    spatial = ps // 2  # stem stride 2
+    elements = spatial * spatial * config.stem_channels  # stem out
+    in_ch = config.stem_channels
+    for expand, out_ch, repeats, stride, _kernel in config.stages:
+        for block in range(repeats):
+            s = stride if block == 0 else 1
+            mid = in_ch * expand
+            if expand != 1:
+                elements += spatial * spatial * mid       # expand out
+            out_spatial = (spatial + s - 1) // s
+            elements += out_spatial * out_spatial * mid   # depthwise out
+            elements += out_spatial * out_spatial * out_ch  # project out
+            spatial, in_ch = out_spatial, out_ch
+    elements += spatial * spatial * config.head_channels  # head out
+    materialized_bytes = elements * bytes_per_el
+    traffic_bytes = materialized_bytes * traffic_factor
+    modeled_us = traffic_bytes / (hbm_gbps * 1e9) * 1e6
+    achieved_us = 1e6 / device_pps
+    return {
+        "materialized_mb_per_patch": round(materialized_bytes / 1e6, 2),
+        "traffic_factor": traffic_factor,
+        "hbm_gbps_assumed": hbm_gbps,
+        "modeled_hbm_bound_us_per_patch": round(modeled_us, 1),
+        "achieved_us_per_patch": round(achieved_us, 1),
+        "roofline_fraction": round(modeled_us / achieved_us, 3),
+    }
+
+
+def run_annotate_latency(args, config, extractor) -> dict:
+    """BASELINE config #1, the single-image serve shape: one JPEG, 25
+    annotated points -> decode -> on-device gather+backbone -> calibrated
+    head -> probabilities on host, end-to-end wall-clock per image
+    (reference shape: annotation.py:226-261 classifies one image's points
+    in one predict_proba call). Median of --repeats x 5 runs, plus a CPU
+    cross-check that the SAME image/points served entirely on the CPU
+    backend reproduce the chip's answers (feature cosine + proba diff)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from mermaid_classifier_tpu.inference.head import HeadParams, make_head_fn
+
+    rng = np.random.default_rng(5)
+    size, n_points = args.image_size, 25
+    sizes = (config.feature_dim, 500, 300, 100, 80)
+    weights = [
+        rng.standard_normal((i, o)).astype(np.float32) / np.sqrt(i)
+        for i, o in zip(sizes[:-1], sizes[1:])
+    ]
+    # Spread the logits so the calibrated head produces non-degenerate
+    # probabilities (a flat head would hit the uniform fallback and make
+    # the CPU proba cross-check vacuously zero).
+    weights[-1] *= 4.0
+    params = HeadParams(
+        weights,
+        [np.zeros(o, np.float32) for o in sizes[1:]],
+        -np.ones(sizes[-1], np.float32),
+        np.zeros(sizes[-1], np.float32),
+    )
+    head_fn = make_head_fn(params)
+
+    image = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="JPEG", quality=90)
+    jpeg = buf.getvalue()
+    rowcols = rng.integers(0, size, size=(n_points, 2)).astype(np.int32)
+
+    def annotate() -> np.ndarray:
+        decoded = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+        features = extractor.extract_features(decoded, rowcols)
+        return head_fn(np.asarray(features, np.float32))
+
+    proba_chip = annotate()  # warm (the trunk program is already compiled)
+    times = []
+    for _ in range(args.repeats * 5):
+        t0 = time.perf_counter()
+        annotate()
+        times.append((time.perf_counter() - t0) * 1e3)
+    latency_ms = float(np.median(times))
+    log(f"annotate (1 image, {n_points} points): median {latency_ms:.1f} ms"
+        f" end-to-end ({min(times):.1f}-{max(times):.1f} over {len(times)})")
+
+    # CPU cross-check: the shipped-artifact serve path must answer the
+    # same regardless of backend (the CPU-serve-of-TPU-artifact contract).
+    import jax
+
+    import dataclasses
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from mermaid_classifier_tpu.models.extractor import FeatureExtractor
+
+        # f32 flax on CPU; backbone_batch=25 avoids padding the 25-point
+        # batch (a CPU B0 forward is expensive enough without pad rows).
+        cpu_extractor = FeatureExtractor(
+            extractor.variables,
+            dataclasses.replace(config, compute_dtype="float32"),
+            backbone_batch=n_points, backbone_impl="flax",
+        )
+        decoded = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+        feats_cpu = np.asarray(
+            cpu_extractor.extract_features(decoded, rowcols), np.float32
+        )
+        proba_cpu = head_fn(feats_cpu)
+    feats_chip = np.asarray(
+        extractor.extract_features(
+            np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB")), rowcols
+        ),
+        np.float32,
+    )
+    num = np.sum(feats_chip * feats_cpu, axis=1)
+    den = np.linalg.norm(feats_chip, axis=1) * np.linalg.norm(feats_cpu, axis=1)
+    cosine = float(np.min(num / np.maximum(den, 1e-12)))
+    proba_diff = float(np.max(np.abs(proba_chip - proba_cpu)))
+    log(f"annotate CPU parity: min feature cosine {cosine:.6f},"
+        f" max |proba diff| {proba_diff:.2e}")
+    return {
+        "latency_ms": round(latency_ms, 1),
+        "points": n_points,
+        "runs": len(times),
+        "cpu_parity_min_cosine": round(cosine, 6),
+        "cpu_parity_max_proba_diff": proba_diff,
+    }
+
+
 def run_head_training(args) -> dict:
     """Device-resident head training throughput: production arch
     (500,300,100) over 4096-dim features, one upload + index-gathered
@@ -457,10 +614,16 @@ def run_serve(args) -> dict:
     return {"rows_per_sec": rows_per_sec, "batch": batch}
 
 
-def run_quality_parity() -> dict | None:
+def run_quality_parity(init: str) -> dict | None:
     """End-to-end quality vs sklearn in a CPU-pinned subprocess (a
     numerics differential, not a throughput number — it must not pay
-    tunnel round trips, and the bench process itself owns the TPU)."""
+    tunnel round trips, and the bench process itself owns the TPU).
+
+    ``init='sklearn'`` replicates sklearn's exact init stream so the delta
+    measures the PIPELINE alone (the confound-free headline);
+    ``init='reference'`` keeps the production init, so its delta includes
+    the init draw difference (documented confound,
+    docs/round3_response.md)."""
     import json as json_mod
     import subprocess
     import sys
@@ -469,20 +632,21 @@ def run_quality_parity() -> dict | None:
     script = Path(__file__).resolve().parent / "scripts" / "quality_parity_bench.py"
     try:
         proc = subprocess.run(
-            [sys.executable, str(script), "--ci-scale"],
+            [sys.executable, str(script), "--ci-scale", "--init", init],
             capture_output=True, text=True, timeout=900,
         )
         if proc.returncode != 0:
-            log(f"quality parity leg failed (rc={proc.returncode}):"
-                f" {proc.stderr[-500:]}")
+            log(f"quality parity leg ({init} init) failed"
+                f" (rc={proc.returncode}): {proc.stderr[-500:]}")
             return None
         result = json_mod.loads(proc.stdout.strip().splitlines()[-1])
-        log(f"quality parity: repo acc {result['repo_accuracy']}"
-            f" vs sklearn {result['sklearn_accuracy']}"
+        log(f"quality parity ({init} init): repo acc"
+            f" {result['repo_accuracy']} vs sklearn"
+            f" {result['sklearn_accuracy']}"
             f" (delta {result['accuracy_delta']})")
         return result
     except Exception as exc:  # never let the quality leg kill the bench
-        log(f"quality parity leg errored: {exc}")
+        log(f"quality parity leg ({init} init) errored: {exc}")
         return None
 
 
@@ -499,6 +663,15 @@ def main() -> None:
                         " reports the median plus the full run list")
     parser.add_argument("--probe-reps", type=int, default=5,
                         help="repetitions inside the per-stage budget probe")
+    parser.add_argument("--hbm-gbps", type=float, default=820.0,
+                        help="v5e HBM bandwidth for the roofline model")
+    parser.add_argument("--traffic-factor", type=float, default=2.0,
+                        help="HBM touches per materialized activation byte."
+                        " The folded schedule fuses BN/SiLU into the convs,"
+                        " so each tensor is written once and read once by"
+                        " the next conv (=2); SE scales and residual adds"
+                        " touch a minority of tensors again"
+                        " (docs/perf_roofline.md §3's 2-4x band's floor)")
     parser.add_argument("--pcie-gbps", type=float, default=8.0,
                         help="assumed host<->device bandwidth on a real TPU"
                         " VM for the projected_vm_pps model")
@@ -516,6 +689,9 @@ def main() -> None:
     parser.add_argument("--bucket-points", type=int, default=256)
     parser.add_argument("--no-bucket", action="store_true",
                         help="device loop only")
+    parser.add_argument("--no-annotate", action="store_true",
+                        help="skip the single-image 25-point annotate"
+                        " latency leg (BASELINE config #1)")
     parser.add_argument("--no-train", action="store_true",
                         help="skip the head-training metric")
     parser.add_argument("--no-quality", action="store_true",
@@ -540,7 +716,19 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    # Honor JAX_PLATFORMS even under plugins that ignore the env var (the
+    # axon TPU plugin does; CLAUDE.md) — pin via config before device use,
+    # so a CPU-pinned bench smoke really runs on CPU.
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backends already initialized; leave as-is
+
     import numpy as np
 
     from mermaid_classifier_tpu.models.efficientnet import (
@@ -611,8 +799,13 @@ def main() -> None:
     device_pps = float(np.median(device_runs))
 
     bucket = None
-    if not args.no_bucket:
-        bucket = run_bucket(args, config)
+    annotate = None
+    if not args.no_bucket or not args.no_annotate:
+        extractor = make_extractor(args, config)
+        if not args.no_bucket:
+            bucket = run_bucket(args, config, extractor)
+        if not args.no_annotate:
+            annotate = run_annotate_latency(args, config, extractor)
 
     payload = {
         "metric": "patch_features_per_sec",
@@ -632,8 +825,20 @@ def main() -> None:
         bucket_pps = float(np.median(bucket["runs_pps"]))
         payload["bucket_patches_per_sec"] = round(bucket_pps, 1)
         payload["bucket_runs_pps"] = [round(r, 1) for r in bucket["runs_pps"]]
+        payload["bucket_warmup_pps_discarded"] = round(bucket["warmup_pps"], 1)
         payload["bucket_images"] = bucket["images"]
         payload["bucket_vs_device"] = round(bucket_pps / device_pps, 3)
+    roofline = modeled_roofline(
+        config, effective_dtype, device_pps,
+        hbm_gbps=args.hbm_gbps, traffic_factor=args.traffic_factor,
+    )
+    payload["roofline"] = roofline
+    payload["roofline_fraction"] = roofline["roofline_fraction"]
+    log(f"roofline: {roofline['materialized_mb_per_patch']} MB/patch"
+        f" materialized x{roofline['traffic_factor']} ->"
+        f" modeled bound {roofline['modeled_hbm_bound_us_per_patch']}"
+        f" µs/patch vs achieved {roofline['achieved_us_per_patch']}"
+        f" (fraction {roofline['roofline_fraction']})")
     if not args.no_stage_budget:
         budget = run_stage_budget(args, config, device_pps)
         payload["stage_budget"] = budget
@@ -649,6 +854,9 @@ def main() -> None:
                 payload["bucket_patches_per_sec"]
                 / budget["tunnel_model_pps"], 3
             )
+    if annotate is not None:
+        payload["annotate_latency_ms"] = annotate["latency_ms"]
+        payload["annotate"] = annotate
     if not args.no_train:
         head = run_head_training(args)
         # samples/s is the steady-state epoch rate; the one-time feature
@@ -661,16 +869,27 @@ def main() -> None:
         payload["serve_rows_per_sec"] = round(serve["rows_per_sec"], 1)
         payload["serve_batch"] = serve["batch"]
     if not args.no_quality:
-        quality = run_quality_parity()
-        if quality is not None:
+        quality_keys = (
+            "repo_accuracy", "repo_balanced_accuracy",
+            "repo_log_loss", "sklearn_accuracy",
+            "sklearn_balanced_accuracy", "sklearn_log_loss",
+            "accuracy_delta", "balanced_accuracy_delta",
+        )
+        # HEADLINE = matched-init: sklearn's exact init stream on the repo
+        # side, so the delta is the pipeline alone. The production-init
+        # delta is reported beside it WITH its documented init-draw
+        # confound (the two runs differ only in the initial weight draw).
+        quality_sklearn = run_quality_parity("sklearn")
+        quality_reference = run_quality_parity("reference")
+        if quality_sklearn is not None:
             payload["quality"] = {
-                k: quality[k]
-                for k in (
-                    "repo_accuracy", "repo_balanced_accuracy",
-                    "repo_log_loss", "sklearn_accuracy",
-                    "sklearn_balanced_accuracy", "sklearn_log_loss",
-                    "accuracy_delta", "balanced_accuracy_delta",
-                )
+                **{k: quality_sklearn[k] for k in quality_keys},
+                "init": "sklearn (matched-init; pipeline-only delta)",
+            }
+        if quality_reference is not None:
+            payload["quality_reference_init"] = {
+                **{k: quality_reference[k] for k in quality_keys},
+                "init": "reference (delta includes the init-draw confound)",
             }
     print(json.dumps(payload))
 
