@@ -336,12 +336,25 @@ class MermaidTrainer:
                         x, _ = split.load_all()
                         parts.append(x)
                         pos += len(x)
-                clf.set_resident_features(np.vstack(parts))
+                stacked = np.vstack(parts)
+                logger.info(
+                    "uploading resident feature buffer: %d rows x %d"
+                    " (%.2f GB) to device…",
+                    stacked.shape[0], stacked.shape[1],
+                    stacked.nbytes / 1e9,
+                )
+                t_up = time.time()
+                clf.set_resident_features(stacked)
+                logger.info(
+                    "resident buffer staged in %.1fs (transfer may complete"
+                    " asynchronously under the first training step)",
+                    time.time() - t_up,
+                )
                 # Kept so a best-snapshot restored from a CHECKPOINT (which
                 # never carries the data buffer) can be re-attached before
                 # the resident calibration/eval passes below.
                 self._resident_buffer = clf._resident_X
-                del parts
+                del parts, stacked
 
             for epoch in range(start_epoch, nbr_epochs):
                 if self.device_resident:
@@ -370,8 +383,10 @@ class MermaidTrainer:
                 val_acc, val_loss = self._calc_acc_and_log_loss_batched(
                     clf, labels.val, classes_list
                 )
-                logger.debug(
-                    "Epoch %d, val_acc: %s, val_loss: %s", epoch, val_acc, val_loss
+                logger.info(
+                    "Epoch %d: ref_acc=%.4f val_acc=%.4f val_loss=%.4f"
+                    " (%.1fs elapsed)",
+                    epoch, ref_accs[-1], val_acc, val_loss, time.time() - t0,
                 )
 
                 if self.early_stopping_patience is not None:

@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
+    # A hung run must be diagnosable: SIGUSR1 dumps every thread's Python
+    # stack to stderr without killing the process (long TPU drives stall
+    # silently when a transfer or remote compile wedges).
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    faulthandler.register(signal.SIGUSR1, all_threads=True, chain=False)
     # Honor JAX_PLATFORMS even under plugins that ignore the env var (the
     # axon TPU plugin does) — pin via config before any device use.
     import os

@@ -1,0 +1,392 @@
+#!/usr/bin/env python
+"""The composed production-scale training drive: the C2 recipe, end to end,
+wall-clock measured.
+
+The reference's quality story culminates in a committed full-scale run —
+457,497-row balanced subsample, 40 epochs + patience 3, ~35 minutes
+wall-clock, acc 0.812 / bal 0.774 (reference:
+docs/research/balancing-experiments.md:49-133). This drive composes the
+SAME recipe through this framework's production CLI at the same scale:
+
+  1. synthesize a C2-shaped corpus: ~620k points x 4096-dim features over
+     80 BAGF classes with Zipf imbalance + a genuinely-rare tail, written
+     as the production feature bucket (s{source}/features/i{id}.features.npz)
+     plus ETL parquets and an 80-class taxonomy fixture;
+  2. build the manifest with scripts/build_coralnet_manifest.py;
+  3. run scripts/classifier_train.py on a generated config dir carrying the
+     C2 recipe verbatim: balanced subsample at full-data budget with
+     min_per_class=200 (realized ~446k rows), effective-number weights
+     (cap 5000), (500,300,100) @ 1e-4, 40 epochs + patience 3,
+     device-resident epochs — dataset ETL -> subsample -> trainer ->
+     calibration -> 1e-6-gated export -> 9-group metrics -> registry,
+     all inside the timed stage;
+  4. reload the registered artifact and collect the run's metrics.
+
+Feature model: 80 unit-norm class centers in a 32-d latent space,
+per-point latent noise sigma=0.27 (calibrated so the classifier lands in
+the reference's ~0.81-accuracy regime), projected to 4096-d through a
+fixed random matrix — classification difficulty is real, features are
+production-shaped, and nothing is copied from anywhere.
+
+Output: ONE JSON line with per-stage seconds and
+``train_full_recipe_minutes`` (the classifier_train.py wall-clock — the
+number to put beside the reference's ~35 min).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+LATENT_DIM = 32
+SIGMA = 0.27  # calibrated: ~0.81 val accuracy at production scale
+N_ROOTS = 8
+GF_IDS = ["gf-0", "gf-1", "gf-2", "gf-3"]
+
+
+def log(msg: str) -> None:
+    print(f"[full-recipe] {msg}", flush=True)
+
+
+def build_taxonomy(n_classes: int, out_dir: Path) -> list[str]:
+    """80 leaf BAs under 8 roots + 4 growth forms; class k maps CoralNet
+    provider id (2000+k) to leaf k's BAGF combo (every 5th class GF-less,
+    so the GF-relevant metric slices are non-trivial)."""
+    ba_records = [
+        {"id": f"ba-r{i}", "name": f"Root {i}", "parent": None}
+        for i in range(N_ROOTS)
+    ]
+    leaves = []
+    per_root = (n_classes + N_ROOTS - 1) // N_ROOTS
+    for k in range(n_classes):
+        root = k // per_root
+        ba_id = f"ba-r{root}-c{k % per_root}"
+        leaves.append(ba_id)
+        ba_records.append(
+            {"id": ba_id, "name": f"Class {k}", "parent": f"ba-r{root}"}
+        )
+    gf_names = {g: f"form {g[-1]}" for g in GF_IDS}
+    mapping_records = []
+    for k, ba_id in enumerate(leaves):
+        gf_id = None if k % 5 == 0 else GF_IDS[k % len(GF_IDS)]
+        mapping_records.append(
+            {
+                "provider_id": str(2000 + k),
+                "provider_label": f"CN class {k}",
+                "benthic_attribute_id": ba_id,
+                "benthic_attribute_name": f"Class {k}",
+                "growth_form_id": gf_id,
+                "growth_form_name": gf_names[gf_id] if gf_id else None,
+            }
+        )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "benthic_attributes.json").write_text(json.dumps(ba_records))
+    (out_dir / "growth_forms.json").write_text(json.dumps(gf_names))
+    (out_dir / "label_mappings.json").write_text(json.dumps(mapping_records))
+    return [str(2000 + k) for k in range(n_classes)]
+
+
+def zipf_class_probs(n_classes: int) -> np.ndarray:
+    """Zipf body + a genuinely rare tail (last 12 classes x0.05), the shape
+    where balanced(min_per_class=200) at full-data budget realizes ~72% of
+    the pool — mirroring the reference's 457,497-of-1.77M C2 subsample."""
+    p = 1.0 / np.arange(1, n_classes + 1) ** 0.55
+    n_rare = min(12, max(n_classes // 7, 1))
+    p[-n_rare:] *= 0.05
+    return p / p.sum()
+
+
+def synthesize_corpus(
+    workspace: Path,
+    pool_rows: int,
+    n_classes: int,
+    dim: int,
+    points_per_image: int,
+    n_sources: int,
+    seed: int,
+) -> dict:
+    """Feature bucket + ETL parquets, streamed image by image (O(image)
+    memory however big the pool is)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mermaid_classifier_tpu.data.features_io import write_feature_file
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_classes, LATENT_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    projection = rng.normal(size=(LATENT_DIM, dim)).astype(np.float32)
+    projection /= np.sqrt(LATENT_DIM)
+
+    probs = zipf_class_probs(n_classes)
+    labels = rng.choice(n_classes, size=pool_rows, p=probs)
+
+    grid = max(int(round(points_per_image**0.5)), 1)
+    cell = 100
+    rowcols = np.asarray(
+        [
+            (gr * cell + cell // 2, gc * cell + cell // 2)
+            for gr in range(grid)
+            for gc in range(grid)
+        ],
+        dtype=np.int32,
+    )[:points_per_image]
+
+    bucket_dir = workspace / "store" / "features"
+    n_images = (pool_rows + points_per_image - 1) // points_per_image
+    sources = [str(101 + s) for s in range(n_sources)]
+    ann_rows: dict[str, list] = {
+        "source_id": [], "image_id": [], "row": [], "col": [],
+        "coralnet_id": [],
+    }
+    img_rows: dict[str, list] = {
+        "source_id": [], "image_id": [], "header_status": [], "s3_key": [],
+    }
+    t_write = 0.0
+    for img_idx in range(n_images):
+        source = sources[img_idx % n_sources]
+        image_id = f"{source}{img_idx:06d}"
+        lo = img_idx * points_per_image
+        y = labels[lo: lo + points_per_image]
+        n_pts = len(y)
+        latent = centers[y] + SIGMA * rng.standard_normal(
+            (n_pts, LATENT_DIM)
+        )
+        features = (latent.astype(np.float32) @ projection).astype(np.float32)
+        t0 = time.time()
+        write_feature_file(
+            bucket_dir / f"s{source}" / "features"
+            / f"i{image_id}.features.npz",
+            rowcols[:n_pts],
+            features,
+        )
+        t_write += time.time() - t0
+        img_rows["source_id"].append(source)
+        img_rows["image_id"].append(image_id)
+        img_rows["header_status"].append("ok")
+        img_rows["s3_key"].append(f"s{source}/images/i{image_id}.jpg")
+        ann_rows["source_id"].extend([source] * n_pts)
+        ann_rows["image_id"].extend([image_id] * n_pts)
+        ann_rows["row"].extend(int(r) for r, _ in rowcols[:n_pts])
+        ann_rows["col"].extend(int(c) for _, c in rowcols[:n_pts])
+        ann_rows["coralnet_id"].extend(str(2000 + int(k)) for k in y)
+        if (img_idx + 1) % 1000 == 0:
+            log(f"  synthesized {img_idx + 1}/{n_images} images")
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(ann_rows)),
+        workspace / "etl_annotations.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(img_rows)),
+        workspace / "etl_images.parquet",
+    )
+    class_counts = np.bincount(labels, minlength=n_classes)
+    return {
+        "pool_rows": int(pool_rows),
+        "images": int(n_images),
+        "sources": n_sources,
+        "largest_class": int(class_counts.max()),
+        "smallest_class": int(class_counts.min()),
+        "feature_write_seconds": round(t_write, 1),
+        "bucket_gb": round(pool_rows * dim * 4 / 1e9, 2),
+    }
+
+
+def write_config_dir(
+    config_dir: Path, pool_rows: int, epochs: int, patience: int
+) -> None:
+    """The C2 recipe verbatim (reference:
+    docs/research/balancing-experiments.md:133 'Practical training recipe'):
+    balanced subsample at FULL-data budget with min_per_class=200,
+    effective-number weights cap 5000, 40 epochs + patience 3 on val loss,
+    plus this framework's device-resident epochs."""
+    config_dir.mkdir(parents=True, exist_ok=True)
+    config = {
+        "dataset": {
+            "coralnet_manifest_uri": "manifest.parquet",
+            "include_mermaid": False,
+            "ref_val_ratios": [0.1, 0.1],
+            "subsample": {
+                "strategy": "balanced",
+                "total_annotations": int(pool_rows),
+                "min_per_class": 200,
+            },
+            "weighting": {"enabled": True, "weight_ratio_cap": 5000},
+        },
+        "training": {
+            "epochs": int(epochs),
+            "early_stopping_patience": int(patience),
+            "device_resident": True,
+        },
+        "tracking": {
+            "experiment_name": "full-recipe",
+            "model_name": "mermaid-mlp-c2",
+        },
+    }
+    import yaml
+
+    (config_dir / "training_config.yaml").write_text(yaml.safe_dump(config))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--workdir", default=None,
+                        help="workspace (default: temp dir, deleted on exit)")
+    parser.add_argument("--pool-rows", type=int, default=620_000,
+                        help="annotation pool size; the C2 default realizes"
+                        " a ~446k balanced subsample")
+    parser.add_argument("--classes", type=int, default=80)
+    parser.add_argument("--dim", type=int, default=4096)
+    parser.add_argument("--points-per-image", type=int, default=100)
+    parser.add_argument("--sources", type=int, default=20)
+    parser.add_argument("--epochs", type=int, default=40)
+    parser.add_argument("--patience", type=int, default=3)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output-json", default=None,
+                        help="also write the result JSON to this path")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin the training subprocess to the CPU backend"
+                        " (tests; the measured drive runs on the chip)")
+    args = parser.parse_args(argv)
+
+    if args.workdir:
+        workspace = Path(args.workdir)
+        workspace.mkdir(parents=True, exist_ok=True)
+        cleanup = None
+    else:
+        cleanup = tempfile.TemporaryDirectory(prefix="full_recipe_")
+        workspace = Path(cleanup.name)
+    log(f"workspace: {workspace}")
+
+    stages: dict[str, float] = {}
+    t_total = time.time()
+
+    # --- stage: synthesize ---------------------------------------------------
+    t0 = time.time()
+    taxonomy_dir = workspace / "taxonomy"
+    build_taxonomy(args.classes, taxonomy_dir)
+    corpus = synthesize_corpus(
+        workspace, args.pool_rows, args.classes, args.dim,
+        args.points_per_image, args.sources, args.seed,
+    )
+    write_config_dir(
+        workspace / "config", args.pool_rows, args.epochs, args.patience
+    )
+    stages["synthesize"] = time.time() - t0
+    log(f"synthesize: {stages['synthesize']:.1f}s {corpus}")
+
+    env = {
+        **os.environ,
+        "OBJECT_STORE_ROOT": str(workspace / "store"),
+        "MERMAID_TAXONOMY_FIXTURE_DIR": str(taxonomy_dir),
+        "TAXONOMY_FIXTURE_DIR": str(taxonomy_dir),
+        "TRACKING_DIR": str(workspace / "tracking"),
+        "FEATURE_CACHE_DIR": str(workspace / "feature_cache"),
+        "CORALNET_TRAIN_DATA_BUCKET": "features",
+        "MERMAID_TRAIN_DATA_BUCKET": "features",
+    }
+    if args.cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+
+    # --- stage: manifest -----------------------------------------------------
+    t0 = time.time()
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "build_coralnet_manifest.py"),
+            "--annotations-parquet", str(workspace / "etl_annotations.parquet"),
+            "--images-parquet", str(workspace / "etl_images.parquet"),
+            "--output", str(workspace / "manifest.parquet"),
+        ],
+        cwd=workspace, env=env, check=True,
+    )
+    stages["manifest"] = time.time() - t0
+    log(f"manifest: {stages['manifest']:.1f}s")
+
+    # --- stage: train (the timed C2 leg) ------------------------------------
+    t0 = time.time()
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "classifier_train.py"),
+            "--config-dir", str(workspace / "config"),
+            "--run-name", "c2-full-recipe",
+        ],
+        cwd=workspace, env=env, check=True,
+    )
+    stages["train"] = time.time() - t0
+    log(f"train: {stages['train']:.1f}s")
+
+    # --- stage: verify -------------------------------------------------------
+    t0 = time.time()
+    from mermaid_classifier_tpu.inference.loader import load_predictor
+    from mermaid_classifier_tpu.tracking.local_tracker import LocalTracker
+
+    tracker = LocalTracker(workspace / "tracking")
+    runs = tracker.runs("full-recipe")
+    if not runs:
+        raise SystemExit("no tracked run under experiment 'full-recipe'")
+    run = runs[-1]
+    metrics = run.latest_metrics()
+    params = run.params()
+    registry = workspace / "tracking" / "_models" / "mermaid-mlp-c2" / "v1"
+    predictor = load_predictor(registry)
+    proba = predictor.predict_proba(
+        np.zeros((25, predictor.input_dim), dtype=np.float32)
+    )
+    assert proba.shape == (25, len(predictor.classes))
+    stages["verify"] = time.time() - t0
+
+    total_s = time.time() - t_total
+    result = {
+        "train_full_recipe_minutes": round(stages["train"] / 60.0, 2),
+        "total_minutes": round(total_s / 60.0, 2),
+        "stage_seconds": {k: round(v, 1) for k, v in stages.items()},
+        "recipe": {
+            "pool_rows": args.pool_rows,
+            "classes": args.classes,
+            "dim": args.dim,
+            "subsample": f"balanced(total={args.pool_rows}, min_per_class=200)",
+            "weighting": "effective_number(cap=5000)",
+            "epochs": args.epochs,
+            "patience": args.patience,
+            "device_resident": True,
+        },
+        "subsample_realized": metrics.get("subsample/realized_total"),
+        "final_epoch": metrics.get("early_stop/final_epoch"),
+        "best_val_epoch": metrics.get("early_stop/best_val_epoch"),
+        "accuracy": metrics.get("accuracy"),
+        "balanced_accuracy": metrics.get("balanced_accuracy"),
+        "log_loss": metrics.get("log_loss"),
+        "export_parity_max_abs_diff": metrics.get("export_parity_max_abs_diff"),
+        "n_metrics_logged": len(metrics),
+        "reference_minutes": 35.0,
+        "reference_note": (
+            "reference C2 confirm: 457,497-row subsample, stop at epoch 17,"
+            " ~35 min (docs/research/balancing-experiments.md:84,133)"
+        ),
+    }
+    if cleanup is not None:
+        cleanup.cleanup()
+    line = json.dumps(result)
+    if args.output_json:
+        Path(args.output_json).write_text(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
