@@ -650,6 +650,48 @@ def run_quality_parity(init: str) -> dict | None:
         return None
 
 
+def run_full_recipe(args) -> dict | None:
+    """The composed production-scale C2 drive (scripts/full_recipe_drive.py)
+    as a bench leg: ~450k x 4096 realized subsample, 80 classes, the full
+    dataset ETL -> subsample -> trainer -> calibration -> gated export ->
+    9-group metrics pipeline, wall-clock measured on this chip. The number
+    to put beside the reference's committed ~35-minute C2 confirm run
+    (reference: docs/research/balancing-experiments.md:84,133)."""
+    import json as json_mod
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent / "scripts" / "full_recipe_drive.py"
+    out_json = Path(tempfile.mkdtemp(prefix="bench_recipe_")) / "result.json"
+    cmd = [
+        sys.executable, str(script),
+        "--pool-rows", str(args.recipe_pool_rows),
+        "--output-json", str(out_json),
+    ]
+    log(f"full recipe: launching the C2-scale drive"
+        f" (pool {args.recipe_pool_rows:,} rows)…")
+    try:
+        proc = subprocess.run(
+            cmd, timeout=args.recipe_timeout,
+            stdout=subprocess.DEVNULL, stderr=None,  # stage logs stream
+            env={**os.environ},
+        )
+        if proc.returncode != 0 or not out_json.is_file():
+            log(f"full recipe leg failed (rc={proc.returncode})")
+            return None
+        result = json_mod.loads(out_json.read_text())
+        log(f"full recipe: train {result['train_full_recipe_minutes']} min"
+            f" (reference ~35), acc {result.get('accuracy')}"
+            f" bal {result.get('balanced_accuracy')}")
+        return result
+    except Exception as exc:  # never let this leg kill the bench
+        log(f"full recipe leg errored: {exc}")
+        return None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--points", type=int, default=2048,
@@ -692,6 +734,15 @@ def main() -> None:
     parser.add_argument("--no-annotate", action="store_true",
                         help="skip the single-image 25-point annotate"
                         " latency leg (BASELINE config #1)")
+    parser.add_argument("--no-full-recipe", action="store_true",
+                        help="skip the composed production-scale C2"
+                        " training drive (also BENCH_FULL_RECIPE=0)")
+    parser.add_argument("--recipe-pool-rows", type=int, default=620_000,
+                        help="annotation pool for the C2 drive (the"
+                        " default realizes a ~446k balanced subsample"
+                        " like the reference's 457,497-row run)")
+    parser.add_argument("--recipe-timeout", type=float, default=3000.0,
+                        help="hard cap on the C2 drive subprocess")
     parser.add_argument("--no-train", action="store_true",
                         help="skip the head-training metric")
     parser.add_argument("--no-quality", action="store_true",
@@ -891,6 +942,33 @@ def main() -> None:
                 **{k: quality_reference[k] for k in quality_keys},
                 "init": "reference (delta includes the init-draw confound)",
             }
+
+    run_recipe = not args.no_full_recipe and os.environ.get(
+        "BENCH_FULL_RECIPE", "1"
+    ) != "0"
+    if run_recipe:
+        # The C2 drive runs LAST and the payload is printed BEFORE it: if
+        # the drive (or an external deadline) kills the process mid-leg,
+        # the already-printed line still carries every other result; on
+        # success the final line (with the full_recipe block) supersedes it.
+        print(json.dumps(payload))
+        sys.stdout.flush()
+        recipe = run_full_recipe(args)
+        if recipe is not None:
+            payload["full_recipe"] = {
+                k: recipe[k]
+                for k in (
+                    "train_full_recipe_minutes", "total_minutes",
+                    "stage_seconds", "subsample_realized", "final_epoch",
+                    "best_val_epoch", "accuracy", "balanced_accuracy",
+                    "log_loss", "export_parity_max_abs_diff",
+                    "reference_minutes",
+                )
+                if k in recipe
+            }
+            payload["train_full_recipe_minutes"] = recipe[
+                "train_full_recipe_minutes"
+            ]
     print(json.dumps(payload))
 
 

@@ -563,8 +563,45 @@ class MLPClassifier:
                 NamedSharding(self.mesh, P(self.mesh.axis_names, None)),
             )
         else:
-            self._resident_X = jax.device_put(jnp.asarray(X))
+            self._resident_X = self._chunked_device_put(X)
         return self
+
+    @staticmethod
+    def _chunked_device_put(X: np.ndarray, chunk_bytes: int = 1 << 28):
+        """device_put in ~256 MB slabs into one donated device buffer.
+
+        A single multi-GB transfer is one opaque, unloggable operation —
+        and through the tunneled backend it is also the shape most likely
+        to wedge. Slabs land in a preallocated buffer via donated
+        dynamic_update_slice (in-place on TPU: peak device memory is the
+        buffer + one slab), with a progress log per slab. Identical
+        contents to a one-shot device_put."""
+        import logging
+
+        nbytes = X.nbytes
+        if nbytes <= chunk_bytes:
+            return jax.device_put(jnp.asarray(X))
+        rows_per_chunk = max(1, chunk_bytes // max(X.strides[0], 1))
+        n = X.shape[0]
+        _logger = logging.getLogger(__name__)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def write(buf, slab, row):
+            return jax.lax.dynamic_update_slice(buf, slab, (row, 0))
+
+        buf = jnp.zeros(X.shape, jnp.float32)
+        for start in range(0, n, rows_per_chunk):
+            slab = jnp.asarray(X[start: start + rows_per_chunk])
+            # Traced row offset: all full slabs share one compiled
+            # program; the ragged tail adds one more.
+            buf = write(buf, slab, jnp.int32(start))
+            _logger.info(
+                "resident upload: %d / %d rows (%.1f / %.1f GB)",
+                min(start + rows_per_chunk, n), n,
+                min((start + rows_per_chunk) * X.strides[0], nbytes) / 1e9,
+                nbytes / 1e9,
+            )
+        return buf
 
     def partial_fit_resident(
         self,

@@ -457,6 +457,19 @@ class TestResidentTraining:
         for wa, wb in zip(streamed.coefs_, resident.coefs_):
             np.testing.assert_array_equal(wa, wb)
 
+    def test_chunked_upload_equals_one_shot(self):
+        """The slab-by-slab resident upload (used for multi-GB buffers so
+        the tunnel never sees one opaque giant transfer) must produce a
+        buffer byte-identical to a single device_put."""
+        import jax
+
+        X, _ = self._data(n=237, dim=16)
+        one_shot = np.asarray(jax.device_put(X))
+        chunked = np.asarray(
+            MLPClassifier._chunked_device_put(X, chunk_bytes=16 * 64)
+        )
+        np.testing.assert_array_equal(one_shot, chunked)
+
     def test_guards(self):
         X, y = self._data(n=20)
         clf = MLPClassifier((8,), random_state=0)
