@@ -58,27 +58,42 @@ def run_e2e(cmd: list[str], *, cwd, env=None) -> subprocess.CompletedProcess:
     Returns the CompletedProcess on exit (pass/fail judged by the caller);
     on deadline, raises AssertionError whose message carries the deadline,
     the speed factor, and the output tail (the last ``[e2e] stage-done``
-    marker identifies the stage that was running)."""
-    deadline = e2e_deadline_seconds()
-    try:
-        return subprocess.run(
-            cmd, capture_output=True, text=True, timeout=deadline,
-            cwd=cwd, env=env,
-        )
-    except subprocess.TimeoutExpired as exc:
-        def _tail(stream) -> str:
-            if stream is None:
-                return "<none>"
-            if isinstance(stream, bytes):
-                stream = stream.decode(errors="replace")
-            return stream[-4000:]
+    marker identifies the stage that was running). Output goes through
+    temp files, not pipes: on POSIX, ``subprocess.run`` discards partial
+    output when the timeout fires, which is exactly when it matters.
+    """
+    import tempfile
 
-        raise AssertionError(
-            f"e2e run exceeded the machine-scaled deadline of {deadline:.0f}s"
-            f" (machine speed factor {machine_speed_factor():.2f}x vs the"
-            f" {PROBE_REF_SECONDS:.1f}s-probe calibration machine). The last"
-            " '[e2e] stage-done' line below names the last COMPLETED stage;"
-            " the stage after it is the one that blew the budget.\n"
-            f"--- stdout tail ---\n{_tail(exc.stdout)}\n"
-            f"--- stderr tail ---\n{_tail(exc.stderr)}"
-        ) from None
+    deadline = e2e_deadline_seconds()
+    with tempfile.TemporaryFile(mode="w+") as out_f, \
+            tempfile.TemporaryFile(mode="w+") as err_f:
+        proc = subprocess.Popen(
+            cmd, stdout=out_f, stderr=err_f, text=True, cwd=cwd, env=env,
+        )
+        try:
+            returncode = proc.wait(timeout=deadline)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+
+            def _tail(f) -> str:
+                f.flush()
+                f.seek(0)
+                return f.read()[-4000:] or "<none>"
+
+            raise AssertionError(
+                f"e2e run exceeded the machine-scaled deadline of"
+                f" {deadline:.0f}s (machine speed factor"
+                f" {machine_speed_factor():.2f}x vs the"
+                f" {PROBE_REF_SECONDS:.1f}s-probe calibration machine). The"
+                " last '[e2e] stage-done' line below names the last"
+                " COMPLETED stage; the stage after it is the one that blew"
+                " the budget.\n"
+                f"--- stdout tail ---\n{_tail(out_f)}\n"
+                f"--- stderr tail ---\n{_tail(err_f)}"
+            ) from None
+        out_f.seek(0)
+        err_f.seek(0)
+        return subprocess.CompletedProcess(
+            cmd, returncode, out_f.read(), err_f.read()
+        )
