@@ -159,6 +159,53 @@ def time_trunk(fwd, weights, config, *, points=1024, chunk=128, iters=6,
     return float(np.median(runs)), runs
 
 
+def gate_cosine(fwd_ref, w_ref, fwd, weights, config, *, chunk=128):
+    """Min per-patch feature cosine of ``fwd`` against the reference
+    schedule on one chunk of random patches — the same device-numerics
+    discipline as bench.py's dtype gate (CLAUDE.md: reduced-precision
+    paths sit behind a 0.999-cosine check ON THE DEVICE, because host
+    emulation does not reproduce MXU rounding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mermaid_classifier_tpu.ops.patch_ops import (
+        channel_scale_bias,
+        extract_patches_xla,
+    )
+
+    ps = config.patch_size
+    half = ps // 2
+    rng = np.random.default_rng(7)
+    image_size = 512
+    padded = np.zeros((image_size + 2 * half, image_size + 2 * half, 3),
+                      np.uint8)
+    padded[half:-half, half:-half] = rng.integers(
+        0, 256, (image_size, image_size, 3), dtype=np.uint8
+    )
+    scale, bias = channel_scale_bias(config.mean_rgb, config.std_rgb)
+    starts = jnp.asarray(
+        rng.integers(0, image_size, (chunk, 2)).astype(np.int32)
+    )
+
+    # Two separate jits (the weight pytrees differ when quantized).
+    ref = np.asarray(jax.jit(
+        lambda w, p, s, sc, b: fwd_ref(w, extract_patches_xla(
+            p, s, ps, sc, b, out_dtype=jnp.dtype(config.compute_dtype)
+        )).astype(jnp.float32)
+    )(w_ref, jnp.asarray(padded), starts, jnp.asarray(scale),
+        jnp.asarray(bias)))
+    cand = np.asarray(jax.jit(
+        lambda w, p, s, sc, b: fwd(w, extract_patches_xla(
+            p, s, ps, sc, b, out_dtype=jnp.dtype(config.compute_dtype)
+        )).astype(jnp.float32)
+    )(weights, jnp.asarray(padded), starts, jnp.asarray(scale),
+        jnp.asarray(bias)))
+    num = np.sum(ref * cand, axis=1)
+    den = np.linalg.norm(ref, axis=1) * np.linalg.norm(cand, axis=1)
+    return float(np.min(num / np.maximum(den, 1e-12)))
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--schedules", nargs="+",
@@ -168,6 +215,10 @@ def main(argv=None) -> int:
     parser.add_argument("--iters", type=int, default=6)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--numerics-gate", action="store_true",
+                        help="also check every non-first schedule's"
+                        " features against the first schedule on-device"
+                        " (min per-patch cosine, 0.999 pass line)")
     args = parser.parse_args(argv)
 
     import jax
@@ -184,6 +235,7 @@ def main(argv=None) -> int:
     variables = init_backbone_params(0, config)
 
     results = []
+    gate_ref = None  # (fwd, weights) of the first schedule
     for schedule in args.schedules:
         split = None
         base_schedule = schedule
@@ -203,6 +255,18 @@ def main(argv=None) -> int:
                     " the plain 'folded' base only (no other mods)."
                 )
         fwd, weights = build_forward(base_schedule, model, variables, config)
+        if args.numerics_gate and split is None:
+            if gate_ref is None:
+                gate_ref = (fwd, weights)
+            else:
+                cos = gate_cosine(
+                    gate_ref[0], gate_ref[1], fwd, weights, config,
+                    chunk=args.chunk,
+                )
+                verdict = "PASS" if cos >= 0.999 else "FAIL"
+                print(f"{schedule:24s} numerics gate vs"
+                      f" {args.schedules[0]}: min cosine {cos:.6f}"
+                      f" [{verdict}]", flush=True)
         t0 = time.perf_counter()
         pps, runs = time_trunk(
             fwd, weights, config, points=args.points, chunk=args.chunk,

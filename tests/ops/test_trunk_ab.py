@@ -30,6 +30,7 @@ def model_and_vars():
 
 @pytest.mark.parametrize("schedule", [
     "flax", "folded", "folded+taps5", "folded+im2col", "folded+dwp5",
+    "folded+w8",
 ])
 def test_schedule_builds_and_runs(schedule, model_and_vars):
     model, variables = model_and_vars
@@ -49,6 +50,22 @@ def test_schedule_builds_and_runs(schedule, model_and_vars):
         out = fwd(weights, x)
     assert out.shape == (2, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_numerics_gate_self_is_one_and_w8_passes(model_and_vars):
+    """The --numerics-gate leg: a schedule gated against itself is exactly
+    cosine 1.0 (same jit, same weights), and the w8 quantized trunk clears
+    the same 0.999 bar the device gate applies (differential: the gate
+    harness itself, not just quantize_folded, is what the on-chip A/B
+    trusts)."""
+    from mermaid_classifier_tpu.experiments.trunk_ab import gate_cosine
+
+    model, variables = model_and_vars
+    f_ref, w_ref = build_forward("folded", model, variables, TINY)
+    assert gate_cosine(f_ref, w_ref, f_ref, w_ref, TINY, chunk=4) >= 1 - 1e-6
+    f_w8, w_w8 = build_forward("folded+w8", model, variables, TINY)
+    cos = gate_cosine(f_ref, w_ref, f_w8, w_w8, TINY, chunk=4)
+    assert cos >= 0.999, cos
 
 
 def test_unknown_schedule_rejected(model_and_vars):
