@@ -78,6 +78,19 @@ class TrainingConfig(BaseModel):
     early_stopping_patience: int | None = None
     checkpoint_dir: str | None = None
     device_resident: bool = False
+    resident_dtype: str = "float32"
+
+    @field_validator("resident_dtype")
+    @classmethod
+    def _validate_resident_dtype(cls, value: str) -> str:
+        # Fail at config load, not after the multi-GB feature load
+        # (same discipline as model_name below).
+        if value not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"resident_dtype must be 'float32' or 'bfloat16', got"
+                f" {value!r}"
+            )
+        return value
 
 
 class TrackingConfig(BaseModel):
@@ -177,6 +190,7 @@ class TrainingRunConfig(BaseModel):
             early_stopping_patience=self.training.early_stopping_patience,
             checkpoint_dir=self.training.checkpoint_dir,
             device_resident=self.training.device_resident,
+            resident_dtype=self.training.resident_dtype,
         )
         tracking_options = TrackingOptions(
             experiment_name=self.tracking.experiment_name,

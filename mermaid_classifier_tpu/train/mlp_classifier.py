@@ -178,6 +178,12 @@ def _make_resident_epoch_fn(
             xb = jnp.take(x_resident, idxb, axis=0)
             if xb_sharding is not None:
                 xb = jax.lax.with_sharding_constraint(xb, xb_sharding)
+            # The buffer may be stored reduced-precision (bfloat16 halves
+            # HBM footprint + upload bytes); upcast AFTER the gather so the
+            # update arithmetic below is bit-identical to the f32 path —
+            # the only delta is the one-time storage rounding of the
+            # features themselves. No-op when the buffer is f32.
+            xb = xb.astype(jnp.float32)
 
             def loss_fn(p):
                 logits = _forward_logits(p["W"], p["b"], xb)
@@ -219,7 +225,7 @@ def _jitted_forward():
 @functools.lru_cache(maxsize=16)
 def _jitted_forward_resident():
     def fwd(params, x_resident, idx):
-        x = jnp.take(x_resident, idx, axis=0)
+        x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
         return jax.nn.softmax(_forward_logits(params["W"], params["b"], x), axis=1)
 
     return jax.jit(fwd)
@@ -535,17 +541,36 @@ class MLPClassifier:
 
     # --- device-resident training --------------------------------------------
 
-    def set_resident_features(self, X: np.ndarray) -> "MLPClassifier":
+    #: storage dtypes the resident buffer supports. bfloat16 halves both
+    #: the host->device upload and the buffer's HBM footprint (doubling
+    #: resident-dataset capacity per chip); compute still runs f32 — rows
+    #: are upcast right after the on-device gather, so only the one-time
+    #: storage rounding of the features differs from the f32 path. Like
+    #: every reduced-precision path in this repo it sits behind a
+    #: 0.999-cosine differential gate (tests/train/test_mlp_classifier.py).
+    RESIDENT_DTYPES = ("float32", "bfloat16")
+
+    def set_resident_features(
+        self, X: np.ndarray, dtype: str = "float32"
+    ) -> "MLPClassifier":
         """Pin the full feature matrix on device ONCE. Subsequent
         ``partial_fit_resident`` calls reference rows by index, cutting an
         epoch's host->device traffic from O(rows x dim) floats to O(rows)
         int32s — the TPU-first shape for multi-epoch training over a fixed
         feature set (the reference re-reads features from disk every epoch,
-        reference: trainer.py:138-145)."""
+        reference: trainer.py:138-145). ``dtype`` picks the STORAGE
+        precision (see RESIDENT_DTYPES)."""
+        if dtype not in self.RESIDENT_DTYPES:
+            raise ValueError(
+                f"resident dtype must be one of {self.RESIDENT_DTYPES},"
+                f" got {dtype!r}"
+            )
+        jdtype = jnp.dtype(dtype)
         X = np.asarray(X, dtype=np.float32)
         if X.ndim != 2:
             raise ValueError(f"X must be 2D, got shape {X.shape}")
         self._resident_n_rows = int(X.shape[0])
+        self._resident_dtype = dtype
         if self.mesh is not None:
             # Row-shard the buffer across the whole mesh: N chips hold N
             # chips' worth of features (the 4096-dim production set at
@@ -560,15 +585,17 @@ class MLPClassifier:
                     [X, np.zeros((pad, X.shape[1]), np.float32)]
                 )
             self._resident_X = jax.device_put(
-                jnp.asarray(X),
+                jnp.asarray(X, dtype=jdtype),
                 NamedSharding(self.mesh, P(self.mesh.axis_names, None)),
             )
         else:
-            self._resident_X = self._chunked_device_put(X)
+            self._resident_X = self._chunked_device_put(X, dtype=jdtype)
         return self
 
     @staticmethod
-    def _chunked_device_put(X: np.ndarray, chunk_bytes: int = 1 << 28):
+    def _chunked_device_put(
+        X: np.ndarray, chunk_bytes: int = 1 << 28, dtype=jnp.float32
+    ):
         """device_put in ~256 MB slabs into one donated device buffer.
 
         A single multi-GB transfer is one opaque, unloggable operation —
@@ -579,10 +606,15 @@ class MLPClassifier:
         contents to a one-shot device_put."""
         import logging
 
-        nbytes = X.nbytes
+        dtype = jnp.dtype(dtype)
+        # Transfer bytes per row AFTER the storage cast (bf16 halves them);
+        # the cast happens host-side per slab, so peak host memory is
+        # X + one reduced-precision slab.
+        row_bytes = int(X.shape[1]) * dtype.itemsize
+        nbytes = X.shape[0] * row_bytes
         if nbytes <= chunk_bytes:
-            return jax.device_put(jnp.asarray(X))
-        rows_per_chunk = max(1, chunk_bytes // max(X.strides[0], 1))
+            return jax.device_put(jnp.asarray(X, dtype=dtype))
+        rows_per_chunk = max(1, chunk_bytes // max(row_bytes, 1))
         n = X.shape[0]
         _logger = logging.getLogger(__name__)
 
@@ -590,10 +622,10 @@ class MLPClassifier:
         def write(buf, slab, row):
             return jax.lax.dynamic_update_slice(buf, slab, (row, 0))
 
-        buf = jnp.zeros(X.shape, jnp.float32)
+        buf = jnp.zeros(X.shape, dtype)
         t0 = time.perf_counter()
         for start in range(0, n, rows_per_chunk):
-            slab = jnp.asarray(X[start: start + rows_per_chunk])
+            slab = jnp.asarray(X[start: start + rows_per_chunk], dtype=dtype)
             # Traced row offset: all full slabs share one compiled
             # program; the ragged tail adds one more.
             buf = write(buf, slab, jnp.int32(start))
@@ -607,11 +639,11 @@ class MLPClassifier:
             done_rows = min(start + rows_per_chunk, n)
             elapsed = time.perf_counter() - t0
             _logger.info(
-                "resident upload: %d / %d rows (%.2f / %.2f GB,"
+                "resident upload: %d / %d rows (%.2f / %.2f GB %s,"
                 " %.0f MB/s)",
                 done_rows, n,
-                done_rows * X.strides[0] / 1e9, nbytes / 1e9,
-                done_rows * X.strides[0] / 1e6 / max(elapsed, 1e-9),
+                done_rows * row_bytes / 1e9, nbytes / 1e9, dtype.name,
+                done_rows * row_bytes / 1e6 / max(elapsed, 1e-9),
             )
         return buf
 

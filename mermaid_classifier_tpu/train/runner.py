@@ -135,6 +135,9 @@ class TrainingRunner:
             device_resident=getattr(
                 self.training_options, "device_resident", False
             ),
+            resident_dtype=getattr(
+                self.training_options, "resident_dtype", "float32"
+            ),
         )
 
     def _make_training_mesh(self):

@@ -79,6 +79,7 @@ class MermaidTrainer:
         checkpoint_dir: str | None = None,
         mesh=None,
         device_resident: bool = False,
+        resident_dtype: str = "float32",
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
             raise ValueError(
@@ -113,6 +114,11 @@ class MermaidTrainer:
         # row-shards across every chip (capacity beyond one HBM) and the
         # gathered mini-batches train data-parallel.
         self.device_resident = bool(device_resident)
+        # Storage precision for the resident buffer: "bfloat16" halves the
+        # upload bytes and HBM footprint (doubling per-chip resident
+        # capacity); compute stays f32 — rows are upcast after the
+        # on-device gather (MLPClassifier.RESIDENT_DTYPES).
+        self.resident_dtype = resident_dtype
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
@@ -344,7 +350,7 @@ class MermaidTrainer:
                     stacked.nbytes / 1e9,
                 )
                 t_up = time.time()
-                clf.set_resident_features(stacked)
+                clf.set_resident_features(stacked, dtype=self.resident_dtype)
                 logger.info(
                     "resident buffer staged in %.1fs (transfer may complete"
                     " asynchronously under the first training step)",

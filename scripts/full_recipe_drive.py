@@ -206,7 +206,8 @@ def synthesize_corpus(
 
 
 def write_config_dir(
-    config_dir: Path, pool_rows: int, epochs: int, patience: int
+    config_dir: Path, pool_rows: int, epochs: int, patience: int,
+    resident_dtype: str = "float32",
 ) -> None:
     """The C2 recipe verbatim (reference:
     docs/research/balancing-experiments.md:133 'Practical training recipe'):
@@ -230,6 +231,7 @@ def write_config_dir(
             "epochs": int(epochs),
             "early_stopping_patience": int(patience),
             "device_resident": True,
+            "resident_dtype": resident_dtype,
         },
         "tracking": {
             "experiment_name": "full-recipe",
@@ -260,6 +262,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--cpu", action="store_true",
                         help="pin the training subprocess to the CPU backend"
                         " (tests; the measured drive runs on the chip)")
+    parser.add_argument("--resident-dtype", default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="storage precision of the device-resident"
+                        " feature buffer; bfloat16 halves the upload and"
+                        " HBM footprint (compute stays f32)")
     args = parser.parse_args(argv)
 
     if args.workdir:
@@ -283,7 +290,8 @@ def main(argv: list[str] | None = None) -> int:
         args.points_per_image, args.sources, args.seed,
     )
     write_config_dir(
-        workspace / "config", args.pool_rows, args.epochs, args.patience
+        workspace / "config", args.pool_rows, args.epochs, args.patience,
+        resident_dtype=args.resident_dtype,
     )
     stages["synthesize"] = time.time() - t0
     log(f"synthesize: {stages['synthesize']:.1f}s {corpus}")
@@ -364,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
             "epochs": args.epochs,
             "patience": args.patience,
             "device_resident": True,
+            "resident_dtype": args.resident_dtype,
         },
         "subsample_realized": metrics.get("subsample/realized_total"),
         "final_epoch": metrics.get("early_stop/final_epoch"),

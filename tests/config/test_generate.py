@@ -98,6 +98,18 @@ class TestWriteConfigDir(unittest.TestCase):
             self.assertEqual(config.training.epochs, 40)
             self.assertEqual(config.dataset.subsample.min_per_class, 200)
 
+    def test_resident_dtype_validated_at_load(self):
+        """A bad resident_dtype fails at config parse, not after the
+        multi-GB feature load."""
+        from mermaid_classifier_tpu.config.run_config import TrainingConfig
+
+        self.assertEqual(
+            TrainingConfig(resident_dtype="bfloat16").resident_dtype,
+            "bfloat16",
+        )
+        with self.assertRaises(ValueError):
+            TrainingConfig(resident_dtype="float16")
+
 
 class TestNoSilentLabelDrops(unittest.TestCase):
     """Every annotated (ba, gf) combo must end at an included label or be

@@ -470,6 +470,67 @@ class TestResidentTraining:
         )
         np.testing.assert_array_equal(one_shot, chunked)
 
+    def test_bf16_buffer_behind_cosine_gate(self):
+        """The bfloat16 resident buffer is a reduced-precision STORAGE
+        path (compute upcasts to f32 after the gather). The house
+        0.999-cosine gate applies to the COMPUTE path: through the SAME
+        trained params, the resident forward over bf16-stored rows must
+        agree with the host-side f32 forward to min cosine >= 0.999.
+        Training from the rounded buffer is a slightly different dataset
+        — trajectories may drift (measured 0.990 cross-model cosine on
+        the chip at 1024-dim) — so cross-model agreement is a QUALITY
+        band, not the numerics gate."""
+        X, y = self._data(n=400)
+        classes = sorted(set(y.tolist()))
+        f32 = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=3)
+        bf16 = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=3)
+        f32.set_resident_features(X)
+        bf16.set_resident_features(X, dtype="bfloat16")
+        assert str(bf16._resident_X.dtype) == "bfloat16"
+        idx = np.arange(len(X))
+        for _ in range(3):
+            f32.partial_fit_resident(idx, y, classes=classes)
+            bf16.partial_fit_resident(idx, y, classes=classes)
+
+        def min_cosine(a, b):
+            num = np.sum(a * b, axis=1)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            return float(np.min(num / np.maximum(den, 1e-12)))
+
+        # THE GATE: same params, bf16-stored rows vs host f32 rows.
+        p_res = bf16.predict_proba_resident(idx[:100])
+        p_host = bf16.predict_proba(X[:100])
+        assert min_cosine(p_host, p_res) >= 0.999
+        # Quality band: the two trained models stay close.
+        p_f32 = f32.predict_proba(X[:100])
+        assert min_cosine(p_f32, p_host) >= 0.98
+        np.testing.assert_allclose(
+            f32.loss_curve_, bf16.loss_curve_, rtol=5e-2
+        )
+
+    def test_chunked_upload_bf16_equals_host_cast(self):
+        """Slab-by-slab bf16 upload == one-shot host cast + device_put."""
+        import jax
+        import jax.numpy as jnp
+
+        X, _ = self._data(n=237, dim=16)
+        one_shot = np.asarray(
+            jax.device_put(jnp.asarray(X, dtype=jnp.bfloat16)).astype(
+                jnp.float32
+            )
+        )
+        chunked = np.asarray(
+            MLPClassifier._chunked_device_put(
+                X, chunk_bytes=16 * 32, dtype=jnp.bfloat16
+            ).astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(one_shot, chunked)
+
+    def test_resident_dtype_rejected(self):
+        X, _ = self._data(n=8)
+        with pytest.raises(ValueError, match="resident dtype"):
+            MLPClassifier((8,)).set_resident_features(X, dtype="float16")
+
     def test_guards(self):
         X, y = self._data(n=20)
         clf = MLPClassifier((8,), random_state=0)

@@ -362,6 +362,23 @@ class TestDeviceResidentTrainer:
             clf_a.calibration_a_, clf_b.calibration_a_
         )
 
+    def test_resident_bf16_close_to_streamed(self, task_labels):
+        """resident_dtype='bfloat16' stores the pinned features half-size;
+        only the storage rounding may move the metrics — accuracies stay
+        within a tight band of the streamed f32 run."""
+        streamed = SmallNetTrainer(batch_size=64, early_stopping_patience=3)
+        _, _, msg_a = streamed(task_labels, nbr_epochs=4, pc_models=[])
+        resident = SmallNetTrainer(
+            batch_size=64, early_stopping_patience=3, device_resident=True,
+            resident_dtype="bfloat16",
+        )
+        clf_b, _, msg_b = resident(task_labels, nbr_epochs=4, pc_models=[])
+        assert str(clf_b.estimator._resident_X.dtype) == "bfloat16"
+        assert msg_a.acc == pytest.approx(msg_b.acc, abs=0.05)
+        np.testing.assert_allclose(
+            msg_a.ref_accs, msg_b.ref_accs, atol=0.05
+        )
+
     def test_cross_mode_resume_is_identical(self, task_labels, tmp_path):
         """A run checkpointed in streamed mode resumes bit-identically in
         resident mode — the checkpoint carries model state, never data."""
