@@ -669,6 +669,7 @@ def run_full_recipe(args) -> dict | None:
     cmd = [
         sys.executable, str(script),
         "--pool-rows", str(args.recipe_pool_rows),
+        "--resident-dtype", args.recipe_resident_dtype,
         "--output-json", str(out_json),
     ]
     log(f"full recipe: launching the C2-scale drive"
@@ -743,6 +744,13 @@ def main() -> None:
                         " like the reference's 457,497-row run)")
     parser.add_argument("--recipe-timeout", type=float, default=3000.0,
                         help="hard cap on the C2 drive subprocess")
+    parser.add_argument("--recipe-resident-dtype", default="bfloat16",
+                        choices=("float32", "bfloat16"),
+                        help="storage dtype of the drive's resident"
+                        " feature buffer; bfloat16 halves the one-time"
+                        " upload (the dominant non-train stage on the"
+                        " tunnel) with quality measured at parity"
+                        " (docs/runs/)")
     parser.add_argument("--no-train", action="store_true",
                         help="skip the head-training metric")
     parser.add_argument("--no-quality", action="store_true",
