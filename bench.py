@@ -481,45 +481,120 @@ def run_annotate_latency(args, config, extractor) -> dict:
 
     # CPU cross-check: the shipped-artifact serve path must answer the
     # same regardless of backend (the CPU-serve-of-TPU-artifact contract).
-    import jax
+    # Runs in a SUBPROCESS with jax pinned to cpu — under the axon plugin
+    # the parent process has no in-process cpu backend at all
+    # (jax.devices("cpu") raises 'Unknown backend cpu'), so the check must
+    # live in its own interpreter, same as the quality leg.
+    import json as json_mod
+    import os
+    import subprocess
+    import tempfile
+    from pathlib import Path
 
-    import dataclasses
-
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        from mermaid_classifier_tpu.models.extractor import FeatureExtractor
-
-        # f32 flax on CPU; backbone_batch=25 avoids padding the 25-point
-        # batch (a CPU B0 forward is expensive enough without pad rows).
-        cpu_extractor = FeatureExtractor(
-            extractor.variables,
-            dataclasses.replace(config, compute_dtype="float32"),
-            backbone_batch=n_points, backbone_impl="flax",
-        )
-        decoded = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
-        feats_cpu = np.asarray(
-            cpu_extractor.extract_features(decoded, rowcols), np.float32
-        )
-        proba_cpu = head_fn(feats_cpu)
     feats_chip = np.asarray(
         extractor.extract_features(
             np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB")), rowcols
         ),
         np.float32,
     )
-    num = np.sum(feats_chip * feats_cpu, axis=1)
-    den = np.linalg.norm(feats_chip, axis=1) * np.linalg.norm(feats_cpu, axis=1)
-    cosine = float(np.min(num / np.maximum(den, 1e-12)))
-    proba_diff = float(np.max(np.abs(proba_chip - proba_cpu)))
-    log(f"annotate CPU parity: min feature cosine {cosine:.6f},"
-        f" max |proba diff| {proba_diff:.2e}")
+    fixture = Path(tempfile.mkdtemp(prefix="bench_annotate_")) / "fixture.npz"
+    np.savez(
+        fixture,
+        jpeg=np.frombuffer(jpeg, dtype=np.uint8),
+        rowcols=rowcols,
+        config_json=np.frombuffer(
+            json_mod.dumps(config.to_dict()).encode(), dtype=np.uint8
+        ),
+        feats_chip=feats_chip,
+        proba_chip=np.asarray(proba_chip, np.float64),
+        cal_a=np.asarray(params.a, np.float32),
+        cal_b=np.asarray(params.b, np.float32),
+        **{f"w{i}": w for i, w in enumerate(params.weights)},
+        **{f"b{i}": b for i, b in enumerate(params.biases)},
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--annotate-cpu-check", str(fixture)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    if proc.returncode != 0:
+        log(f"annotate CPU check subprocess failed:\n{proc.stderr[-2000:]}")
+        cosine, proba_diff = None, None
+    else:
+        check = json_mod.loads(proc.stdout.strip().splitlines()[-1])
+        cosine = round(check["min_feature_cosine"], 6)
+        proba_diff = check["max_proba_diff"]
+        log(f"annotate CPU parity: min feature cosine {cosine:.6f},"
+            f" max |proba diff| {proba_diff:.2e}")
     return {
         "latency_ms": round(latency_ms, 1),
         "points": n_points,
         "runs": len(times),
-        "cpu_parity_min_cosine": round(cosine, 6),
+        "cpu_parity_min_cosine": cosine,
         "cpu_parity_max_proba_diff": proba_diff,
     }
+
+
+def run_annotate_cpu_check(fixture_path: str) -> None:
+    """Subprocess body of the annotate leg's CPU cross-check: pin jax to
+    the cpu backend (config update, NOT JAX_PLATFORMS — the axon plugin
+    ignores the env var), replay the identical image/points through an f32
+    flax extractor + the same calibrated head, and print the agreement
+    with the chip's saved answers as one JSON line."""
+    import json as json_mod
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from mermaid_classifier_tpu.inference.head import HeadParams, make_head_fn
+    from mermaid_classifier_tpu.models.efficientnet import (
+        EfficientNetConfig,
+        init_backbone_params,
+    )
+    from mermaid_classifier_tpu.models.extractor import FeatureExtractor
+
+    data = np.load(fixture_path)
+    config = EfficientNetConfig.from_dict(
+        json_mod.loads(bytes(data["config_json"]).decode())
+    )
+    config = EfficientNetConfig.from_dict(
+        {**config.to_dict(), "compute_dtype": "float32"}
+    )
+    n_layers = sum(1 for k in data.files if k.startswith("w"))
+    params = HeadParams(
+        [data[f"w{i}"] for i in range(n_layers)],
+        [data[f"b{i}"] for i in range(n_layers)],
+        data["cal_a"],
+        data["cal_b"],
+    )
+    head_fn = make_head_fn(params)
+    rowcols = data["rowcols"]
+    # backbone_batch=len(rowcols) avoids padding the point batch (a CPU B0
+    # forward is expensive enough without pad rows).
+    cpu_extractor = FeatureExtractor(
+        init_backbone_params(0, config), config,
+        backbone_batch=len(rowcols), backbone_impl="flax",
+    )
+    decoded = np.asarray(
+        Image.open(io.BytesIO(bytes(data["jpeg"]))).convert("RGB")
+    )
+    feats_cpu = np.asarray(
+        cpu_extractor.extract_features(decoded, rowcols), np.float32
+    )
+    proba_cpu = head_fn(feats_cpu)
+    feats_chip = data["feats_chip"]
+    num = np.sum(feats_chip * feats_cpu, axis=1)
+    den = np.linalg.norm(feats_chip, axis=1) * np.linalg.norm(feats_cpu, axis=1)
+    print(json_mod.dumps({
+        "min_feature_cosine": float(np.min(num / np.maximum(den, 1e-12))),
+        "max_proba_diff": float(np.max(np.abs(data["proba_chip"] - proba_cpu))),
+    }))
 
 
 def run_head_training(args) -> dict:
@@ -773,7 +848,14 @@ def main() -> None:
         " fast path, gated on the same >=0.999 cosine check the reference"
         " applies to its mps/cuda path (build_feature_bucket.py:451-502)",
     )
+    parser.add_argument("--annotate-cpu-check", default=None,
+                        metavar="FIXTURE_NPZ",
+                        help=argparse.SUPPRESS)  # internal subprocess mode
     args = parser.parse_args()
+
+    if args.annotate_cpu_check:
+        run_annotate_cpu_check(args.annotate_cpu_check)
+        return
 
     # Honor JAX_PLATFORMS even under plugins that ignore the env var (the
     # axon TPU plugin does; CLAUDE.md) — pin via config before device use,
