@@ -71,6 +71,11 @@ class TrainingOptions:
     # (rows upcast after the on-device gather) behind the 0.999-cosine
     # differential gate (MLPClassifier.RESIDENT_DTYPES).
     resident_dtype: str = "float32"
+    # Platt-fit backend ("scipy" | "device"). "device" batches all K
+    # one-vs-rest fits into one jitted Newton solve — wins with a warm
+    # compile cache, loses on cold remote compiles
+    # (CalibratedClassifier.BACKENDS; trainer.calibration_backend).
+    calibration_backend: str = "scipy"
 
 
 @dataclasses.dataclass

@@ -79,6 +79,7 @@ class TrainingConfig(BaseModel):
     checkpoint_dir: str | None = None
     device_resident: bool = False
     resident_dtype: str = "float32"
+    calibration_backend: str = "scipy"
 
     @field_validator("resident_dtype")
     @classmethod
@@ -88,6 +89,16 @@ class TrainingConfig(BaseModel):
         if value not in ("float32", "bfloat16"):
             raise ValueError(
                 f"resident_dtype must be 'float32' or 'bfloat16', got"
+                f" {value!r}"
+            )
+        return value
+
+    @field_validator("calibration_backend")
+    @classmethod
+    def _validate_calibration_backend(cls, value: str) -> str:
+        if value not in ("scipy", "device"):
+            raise ValueError(
+                f"calibration_backend must be 'scipy' or 'device', got"
                 f" {value!r}"
             )
         return value
@@ -191,6 +202,7 @@ class TrainingRunConfig(BaseModel):
             checkpoint_dir=self.training.checkpoint_dir,
             device_resident=self.training.device_resident,
             resident_dtype=self.training.resident_dtype,
+            calibration_backend=self.training.calibration_backend,
         )
         tracking_options = TrackingOptions(
             experiment_name=self.tracking.experiment_name,

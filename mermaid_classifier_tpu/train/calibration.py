@@ -106,6 +106,122 @@ def fit_sigmoid_calibration(
     return float(a / scale_constant), float(b)
 
 
+def fit_sigmoid_calibration_batch(
+    predictions: np.ndarray,
+    targets: np.ndarray,
+    sample_weight: np.ndarray | None = None,
+    max_abs_prediction_threshold: float = 30.0,
+    iters: int = 30,
+    backtracks: int = 12,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All K one-vs-rest Platt fits as ONE batched device solve.
+
+    The TPU-native replacement for K sequential scipy L-BFGS fits (the
+    production shape is 80 classes x ~360k rows — ~80 s single-core on
+    the reference's path, milliseconds of device compute here): the same
+    half-binomial objective with Platt's Bayesian targets and the
+    max|F|>=30 rescale trick, minimized per class by damped Newton with
+    backtracking, vectorized over classes. The problem is 2-parameter
+    convex, so Newton lands at machine precision in <10 iterations;
+    differential tests pin the result against ``fit_sigmoid_calibration``
+    (the scipy path) per class.
+
+    ``predictions`` is (N, K) score columns; ``targets`` is (N, K) binary
+    one-vs-rest labels (targets[:, k] = 1 where y == classes[k]).
+    Returns (a, b), each (K,) float64, in the same orientation as the
+    scalar fitter: P(y=1|F) = sigmoid(-(a*F + b)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    F_host = np.asarray(predictions, dtype=np.float32)
+    Y_host = np.asarray(targets, dtype=np.float32)
+    if F_host.ndim != 2 or F_host.shape != Y_host.shape:
+        raise ValueError(
+            f"predictions and targets must share a 2-D shape; got"
+            f" {F_host.shape} vs {Y_host.shape}."
+        )
+    if sample_weight is not None:
+        w_host = np.asarray(sample_weight, dtype=np.float32).ravel()
+        if w_host.shape[0] != F_host.shape[0]:
+            raise ValueError(
+                f"sample_weight length {w_host.shape[0]} != N {F_host.shape[0]}."
+            )
+    else:
+        w_host = np.ones(F_host.shape[0], dtype=np.float32)
+
+    @jax.jit
+    def solve(F, Y, w):
+        # Per-class rescale (invariance trick, scaled back at the end).
+        max_pred = jnp.max(jnp.abs(F), axis=0)
+        scale = jnp.where(
+            max_pred >= max_abs_prediction_threshold, max_pred, 1.0
+        )
+        Fs = F / scale[None, :]
+
+        wcol = w[:, None]
+        prior1 = jnp.sum(wcol * Y, axis=0)
+        prior0 = jnp.sum(w) - prior1
+        # Platt's Bayesian targets.
+        t_pos = (prior1 + 1.0) / (prior1 + 2.0)
+        t_neg = 1.0 / (prior0 + 2.0)
+        T = Y * t_pos[None, :] + (1.0 - Y) * t_neg[None, :]
+
+        def loss_of(AB):
+            raw = -(AB[:, 0][None, :] * Fs + AB[:, 1][None, :])
+            per = jnp.logaddexp(0.0, raw) - T * raw
+            return jnp.sum(wcol * per, axis=0)
+
+        def body(_, state):
+            AB, loss_cur = state
+            raw = -(AB[:, 0][None, :] * Fs + AB[:, 1][None, :])
+            sig = jax.nn.sigmoid(raw)
+            g = wcol * (sig - T)
+            grad = jnp.stack(
+                [-jnp.sum(g * Fs, axis=0), -jnp.sum(g, axis=0)], axis=1
+            )
+            hw = wcol * sig * (1.0 - sig)
+            h_aa = jnp.sum(hw * Fs * Fs, axis=0)
+            h_ab = jnp.sum(hw * Fs, axis=0)
+            h_bb = jnp.sum(hw, axis=0)
+            # Tiny ridge keeps the 2x2 solve finite on degenerate columns
+            # (constant scores); the backtracking accept test below makes
+            # a bad direction a no-op rather than a divergence.
+            ridge = 1e-12 + 1e-7 * jnp.maximum(h_aa, h_bb)
+            det = (h_aa + ridge) * (h_bb + ridge) - h_ab * h_ab
+            da = (grad[:, 0] * (h_bb + ridge) - grad[:, 1] * h_ab) / det
+            db = (grad[:, 1] * (h_aa + ridge) - grad[:, 0] * h_ab) / det
+            delta = jnp.stack([da, db], axis=1)
+
+            def try_step(s, best):
+                best_AB, best_loss = best
+                cand = AB - (0.5 ** s) * delta
+                cand_loss = loss_of(cand)
+                better = cand_loss < best_loss
+                return (
+                    jnp.where(better[:, None], cand, best_AB),
+                    jnp.where(better, cand_loss, best_loss),
+                )
+
+            AB_next, loss_next = jax.lax.fori_loop(
+                0, backtracks, try_step, (AB, loss_cur)
+            )
+            return AB_next, loss_next
+
+        AB0 = jnp.stack(
+            [jnp.zeros_like(prior0), jnp.log((prior0 + 1.0) / (prior1 + 1.0))],
+            axis=1,
+        )
+        AB, _ = jax.lax.fori_loop(0, iters, body, (AB0, loss_of(AB0)))
+        return AB[:, 0] / scale, AB[:, 1]
+
+    a, b = solve(jnp.asarray(F_host), jnp.asarray(Y_host), jnp.asarray(w_host))
+    return (
+        np.asarray(a, dtype=np.float64),
+        np.asarray(b, dtype=np.float64),
+    )
+
+
 # sklearn clips probabilities that overshoot 1.0 by float rounding (up to
 # 1e-5) back to exactly 1.0.
 _OVERSHOOT_EPS = 1e-5
@@ -139,6 +255,13 @@ class CalibratedClassifier:
         self.calibration_a_ = a
         self.calibration_b_ = b
 
+    #: valid values for fit_from_scores(backend=...). "scipy" is the
+    #: sklearn-parity path (per-class L-BFGS, pinned against sklearn's
+    #: _SigmoidCalibration); "device" batches every one-vs-rest fit into
+    #: one jitted Newton solve (fit_sigmoid_calibration_batch),
+    #: differential-tested against the scipy path.
+    BACKENDS = ("scipy", "device")
+
     @classmethod
     def fit_from_scores(
         cls,
@@ -146,14 +269,21 @@ class CalibratedClassifier:
         predictions: np.ndarray,
         y: np.ndarray,
         sample_weight: np.ndarray | None = None,
+        backend: str = "scipy",
     ) -> "CalibratedClassifier":
         """Fit calibrators from precomputed uncalibrated scores.
 
         ``predictions`` is (N, K) for multiclass or (N, 1) (positive-class
         column) for binary — the same contract as sklearn's
         ``_fit_calibrator`` that the reference's batched calibration uses
-        (reference: trainer.py:359-396).
+        (reference: trainer.py:359-396). ``backend`` picks the fitter:
+        see BACKENDS.
         """
+        if backend not in cls.BACKENDS:
+            raise ValueError(
+                f"calibration backend must be one of {cls.BACKENDS},"
+                f" got {backend!r}"
+            )
         predictions = np.asarray(predictions, dtype=np.float64)
         if predictions.ndim != 2:
             raise ValueError(f"predictions must be 2D, got shape {predictions.shape}")
@@ -167,6 +297,11 @@ class CalibratedClassifier:
                     f" got {predictions.shape}."
                 )
             y_bin = (y == classes[1]).astype(np.float64)
+            if backend == "device":
+                a_arr, b_arr = fit_sigmoid_calibration_batch(
+                    predictions, y_bin[:, None], sample_weight
+                )
+                return cls(estimator, a_arr, b_arr)
             a, b = fit_sigmoid_calibration(predictions[:, 0], y_bin, sample_weight)
             return cls(estimator, np.asarray([a]), np.asarray([b]))
         if predictions.shape[1] != n_classes:
@@ -174,9 +309,17 @@ class CalibratedClassifier:
                 f"predictions has {predictions.shape[1]} columns, expected"
                 f" {n_classes} (one per class)."
             )
-        a_list, b_list = [], []
         # One-vs-rest label binarization in classes_ order, matching
         # sklearn's label_binarize + per-column sigmoid fit.
+        if backend == "device":
+            targets = (
+                np.asarray(y)[:, None] == classes[None, :]
+            ).astype(np.float64)
+            a_arr, b_arr = fit_sigmoid_calibration_batch(
+                predictions, targets, sample_weight
+            )
+            return cls(estimator, a_arr, b_arr)
+        a_list, b_list = [], []
         for k in range(n_classes):
             y_bin = (y == classes[k]).astype(np.float64)
             a_k, b_k = fit_sigmoid_calibration(predictions[:, k], y_bin, sample_weight)

@@ -138,6 +138,9 @@ class TrainingRunner:
             resident_dtype=getattr(
                 self.training_options, "resident_dtype", "float32"
             ),
+            calibration_backend=getattr(
+                self.training_options, "calibration_backend", "scipy"
+            ),
         )
 
     def _make_training_mesh(self):

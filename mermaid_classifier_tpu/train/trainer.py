@@ -80,6 +80,7 @@ class MermaidTrainer:
         mesh=None,
         device_resident: bool = False,
         resident_dtype: str = "float32",
+        calibration_backend: str = "scipy",
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
             raise ValueError(
@@ -119,6 +120,13 @@ class MermaidTrainer:
         # capacity); compute stays f32 — rows are upcast after the
         # on-device gather (MLPClassifier.RESIDENT_DTYPES).
         self.resident_dtype = resident_dtype
+        # Platt-fit backend (CalibratedClassifier.BACKENDS): "scipy" is the
+        # sklearn-parity per-class L-BFGS; "device" batches all K fits into
+        # one jitted Newton solve (<=6e-5 relative agreement measured at
+        # 359k x 80). Device wins only with a warm compile cache — the
+        # remote compile service charges minutes for the first solve, so
+        # scipy stays the default for one-shot drives.
+        self.calibration_backend = calibration_backend
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
@@ -615,7 +623,9 @@ class MermaidTrainer:
 
         predictions = np.vstack(all_preds)
         y = np.concatenate(all_y)
-        return CalibratedClassifier.fit_from_scores(clf, predictions, y)
+        return CalibratedClassifier.fit_from_scores(
+            clf, predictions, y, backend=self.calibration_backend
+        )
 
     def serialize(self) -> dict[str, Any]:
         return {

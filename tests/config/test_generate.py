@@ -110,6 +110,16 @@ class TestWriteConfigDir(unittest.TestCase):
         with self.assertRaises(ValueError):
             TrainingConfig(resident_dtype="float16")
 
+    def test_calibration_backend_validated_at_load(self):
+        from mermaid_classifier_tpu.config.run_config import TrainingConfig
+
+        self.assertEqual(
+            TrainingConfig(calibration_backend="device").calibration_backend,
+            "device",
+        )
+        with self.assertRaises(ValueError):
+            TrainingConfig(calibration_backend="torch")
+
 
 class TestNoSilentLabelDrops(unittest.TestCase):
     """Every annotated (ba, gf) combo must end at an included label or be

@@ -166,3 +166,121 @@ class TestCalibratedClassifier:
             CalibratedClassifier.fit_from_scores(
                 est, proba[:, :2], classes[rng.integers(0, 3, 50)]
             )
+
+
+class TestDeviceBatchBackend:
+    """The batched device Newton fitter must land on the scipy answers —
+    same objective, same targets, same rescale trick — across multiclass,
+    binary, weighted, degenerate-column, and large-score shapes (house
+    differential style: the device path is pinned against the proven
+    reference path, which itself is pinned against sklearn)."""
+
+    def _compare(self, est, proba, y, sample_weight=None, atol=2e-4):
+        cpu = CalibratedClassifier.fit_from_scores(
+            est, proba, y, sample_weight=sample_weight
+        )
+        dev = CalibratedClassifier.fit_from_scores(
+            est, proba, y, sample_weight=sample_weight, backend="device"
+        )
+        np.testing.assert_allclose(
+            dev.calibration_a_, cpu.calibration_a_, rtol=2e-3, atol=atol
+        )
+        np.testing.assert_allclose(
+            dev.calibration_b_, cpu.calibration_b_, rtol=2e-3, atol=atol
+        )
+        # What matters downstream: calibrated probabilities agree.
+        np.testing.assert_allclose(
+            dev.calibrate_scores(np.asarray(proba, np.float64)),
+            cpu.calibrate_scores(np.asarray(proba, np.float64)),
+            atol=5e-5,
+        )
+
+    def test_multiclass_matches_scipy(self):
+        rng = np.random.default_rng(10)
+        n, k = 4000, 12
+        classes = np.array([f"c{i}" for i in range(k)])
+        proba = _random_proba(rng, n, k)
+        # Correlate labels with scores so the fits are non-trivial.
+        y = classes[np.argmax(proba + rng.normal(0, 0.2, (n, k)), axis=1)]
+        est = _FrozenProbaEstimator(proba, classes)
+        self._compare(est, proba, y)
+
+    def test_binary_matches_scipy(self):
+        rng = np.random.default_rng(11)
+        n = 1500
+        classes = np.array(["neg", "pos"])
+        proba = _random_proba(rng, n, 2)
+        y = classes[(proba[:, 1] + rng.normal(0, 0.3, n) > 0.5).astype(int)]
+        est = _FrozenProbaEstimator(proba, classes)
+        cpu = CalibratedClassifier.fit_from_scores(est, proba[:, 1:], y)
+        dev = CalibratedClassifier.fit_from_scores(
+            est, proba[:, 1:], y, backend="device"
+        )
+        np.testing.assert_allclose(
+            dev.calibration_a_, cpu.calibration_a_, rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            dev.calibration_b_, cpu.calibration_b_, rtol=2e-3, atol=2e-4
+        )
+
+    def test_sample_weight_matches_scipy(self):
+        rng = np.random.default_rng(12)
+        n, k = 1200, 5
+        classes = np.array([f"c{i}" for i in range(k)])
+        proba = _random_proba(rng, n, k)
+        y = classes[np.argmax(proba + rng.normal(0, 0.2, (n, k)), axis=1)]
+        w = rng.random(n) + 0.1
+        est = _FrozenProbaEstimator(proba, classes)
+        self._compare(est, proba, y, sample_weight=w)
+
+    def test_large_scores_rescale_branch(self):
+        """max|F| >= 30 per-class rescale, exercised through the batch
+        fitter directly (fit_from_scores feeds probabilities, which never
+        trip it)."""
+        from mermaid_classifier_tpu.train.calibration import (
+            fit_sigmoid_calibration_batch,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 900
+        scores = np.column_stack(
+            [rng.normal(0, 50, n), rng.normal(0, 0.5, n)]
+        )
+        targets = np.column_stack(
+            [(scores[:, 0] > 0), (scores[:, 1] > 0.2)]
+        ).astype(float)
+        a_dev, b_dev = fit_sigmoid_calibration_batch(scores, targets)
+        for col in range(2):
+            a_cpu, b_cpu = fit_sigmoid_calibration(
+                scores[:, col], targets[:, col]
+            )
+            assert a_dev[col] == pytest.approx(a_cpu, rel=2e-3, abs=2e-4)
+            assert b_dev[col] == pytest.approx(b_cpu, rel=2e-3, abs=2e-3)
+
+    def test_degenerate_column_is_finite(self):
+        """A class with constant scores (and one with no positives) must
+        produce finite parameters, not NaNs from a singular Hessian."""
+        from mermaid_classifier_tpu.train.calibration import (
+            fit_sigmoid_calibration_batch,
+        )
+
+        n = 400
+        rng = np.random.default_rng(14)
+        scores = np.column_stack(
+            [np.full(n, 0.25), rng.random(n)]
+        )
+        targets = np.column_stack(
+            [rng.integers(0, 2, n), np.zeros(n)]
+        ).astype(float)
+        a, b = fit_sigmoid_calibration_batch(scores, targets)
+        assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+
+    def test_unknown_backend_rejected(self):
+        rng = np.random.default_rng(15)
+        classes = np.array(["a", "b", "c"])
+        proba = _random_proba(rng, 30, 3)
+        est = _FrozenProbaEstimator(proba, classes)
+        with pytest.raises(ValueError, match="backend"):
+            CalibratedClassifier.fit_from_scores(
+                est, proba, classes[rng.integers(0, 3, 30)], backend="torch"
+            )

@@ -379,6 +379,27 @@ class TestDeviceResidentTrainer:
             msg_a.ref_accs, msg_b.ref_accs, atol=0.05
         )
 
+    def test_device_calibration_backend_close_to_scipy(self, task_labels):
+        """calibration_backend='device' routes the Platt fits through the
+        batched Newton solve; end metrics and calibrators stay within the
+        fit-precision band of the scipy run (training itself is identical
+        — same seeds, same weights)."""
+        scipy_run = SmallNetTrainer(batch_size=64)
+        clf_a, _, msg_a = scipy_run(task_labels, nbr_epochs=3, pc_models=[])
+        device_run = SmallNetTrainer(
+            batch_size=64, calibration_backend="device"
+        )
+        clf_b, _, msg_b = device_run(task_labels, nbr_epochs=3, pc_models=[])
+        for wa, wb in zip(clf_a.estimator.coefs_, clf_b.estimator.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+        np.testing.assert_allclose(
+            clf_b.calibration_a_, clf_a.calibration_a_, rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            clf_b.calibration_b_, clf_a.calibration_b_, rtol=2e-3, atol=2e-4
+        )
+        assert msg_a.acc == pytest.approx(msg_b.acc, abs=1e-3)
+
     def test_cross_mode_resume_is_identical(self, task_labels, tmp_path):
         """A run checkpointed in streamed mode resumes bit-identically in
         resident mode — the checkpoint carries model state, never data."""
