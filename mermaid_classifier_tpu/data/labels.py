@@ -167,6 +167,45 @@ class ImageLabels:
             ys.extend(y)
         return np.vstack(xs), ys
 
+    def load_into(
+        self,
+        out: np.ndarray,
+        offset: int = 0,
+        max_workers: int | None = None,
+    ) -> None:
+        """Load every image's aligned point features directly into
+        ``out[offset : offset + label_count]`` in canonical row order
+        (sorted image keys, annotation order — identical to ``load_all`` /
+        ``row_ranges``), optionally reading feature files in parallel.
+
+        The caller owns ``out`` (e.g. ONE preallocated buffer spanning all
+        three splits for the device-resident upload), so peak host memory
+        is the buffer alone — no per-split list + vstack copy — and the
+        thousands of per-image reads overlap in a thread pool (numpy file
+        IO releases the GIL for the byte copies)."""
+        ranges = self.row_ranges()
+        keys = sorted(self.data.keys())
+        total = self.label_count
+        if out.ndim != 2 or out.shape[0] < offset + total:
+            raise ValueError(
+                f"out{out.shape} cannot hold {total} rows at offset {offset}."
+            )
+
+        def one(key: str) -> None:
+            x, _ = self.load_image_data(key)
+            start, n = ranges[key]
+            out[offset + start: offset + start + n] = x
+
+        if max_workers and max_workers > 1 and len(keys) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                # list() drains the iterator so worker exceptions propagate.
+                list(pool.map(one, keys))
+        else:
+            for key in keys:
+                one(key)
+
     def row_ranges(self) -> dict[str, tuple[int, int]]:
         """{key: (offset, count)} into the canonical row layout — sorted
         image keys, each image's rows in annotation order. This is exactly

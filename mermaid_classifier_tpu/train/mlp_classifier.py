@@ -647,6 +647,111 @@ class MLPClassifier:
             )
         return buf
 
+    # --- ahead-of-time program warming ------------------------------------
+
+    def _exec_key(self, tag: str, *geometry: int) -> tuple:
+        """Cache key for an AOT-compiled resident program: every value the
+        compiled executable's input avals depend on."""
+        return (
+            tag,
+            *geometry,
+            int(getattr(self, "_resident_n_rows", 0) or 0),
+            int(self._resident_X.shape[0]),
+            int(self._resident_X.shape[1]),
+            len(self.classes_),
+            str(self._resident_X.dtype),
+        )
+
+    def warm_resident_programs(
+        self,
+        n_rows: int,
+        dim: int,
+        n_classes: int,
+        train_batch_row_counts: Sequence[int] = (),
+        eval_batch_row_counts: Sequence[int] = (),
+        dtype: str = "float32",
+    ) -> dict:
+        """AOT-compile the resident-epoch and resident-forward programs for
+        the given batch geometries, BEFORE the resident buffer (or even the
+        model) exists — compilation needs only shapes, so it can run in a
+        background thread while the multi-GB feature upload streams
+        (the trainer does exactly that; through the remote-compile tunnel
+        the first epoch-scan compile costs minutes that otherwise serialize
+        after the minutes-long upload). ``train_batch_row_counts`` /
+        ``eval_batch_row_counts`` are the ROW counts of the per-call batches
+        (``iter_index_batches`` yields); duplicates are deduped.
+
+        Compiled executables are per-instance and consulted by
+        ``partial_fit_resident`` / ``predict_proba_resident`` before the
+        jit path; a geometry that was never warmed falls back to plain jit
+        (identical program — the warm path only moves WHEN compilation
+        happens). Mesh training keeps the jit path (sharded lowering needs
+        the live mesh context). Returns a stats dict.
+        """
+        t0 = time.perf_counter()
+        stats = {"epoch_programs": 0, "forward_programs": 0, "seconds": 0.0}
+        if self.mesh is not None:
+            stats["skipped"] = "mesh"
+            return stats
+        jdtype = jnp.dtype(dtype)
+        sizes = (int(dim), *self._hidden_sizes(), int(n_classes))
+        w_avals = [
+            jax.ShapeDtypeStruct((i, o), jnp.float32)
+            for i, o in zip(sizes[:-1], sizes[1:])
+        ]
+        b_avals = [jax.ShapeDtypeStruct((o,), jnp.float32) for o in sizes[1:]]
+        params_aval = {"W": w_avals, "b": b_avals}
+        opt = _make_optimizer(
+            float(self.learning_rate_init), float(self.beta_1),
+            float(self.beta_2), float(self.epsilon),
+        )
+        opt_state_aval = jax.eval_shape(opt.init, params_aval)
+        x_aval = jax.ShapeDtypeStruct((int(n_rows), int(dim)), jdtype)
+        execs = self.__dict__.setdefault("_resident_exec", {})
+
+        def key(tag: str, *geometry: int) -> tuple:
+            return (
+                tag, *geometry, int(n_rows), int(n_rows), int(dim),
+                int(n_classes), str(jdtype),
+            )
+
+        for n in sorted({int(n) for n in train_batch_row_counts}):
+            if n <= 0:
+                continue
+            bs = self._resolve_batch_size(n)
+            n_batches = -(-n // bs)
+            k = key("epoch", n_batches, bs)
+            if k in execs:
+                continue
+            fn = _make_resident_epoch_fn(
+                n_batches, sizes, float(self.learning_rate_init),
+                float(self.beta_1), float(self.beta_2), float(self.epsilon),
+                float(self.alpha), None,
+            )
+            execs[k] = fn.lower(
+                params_aval, opt_state_aval, x_aval,
+                jax.ShapeDtypeStruct((n_batches, bs), jnp.int32),
+                jax.ShapeDtypeStruct((n_batches, bs), jnp.int32),
+                jax.ShapeDtypeStruct((n_batches, bs), jnp.float32),
+                jax.ShapeDtypeStruct((n_batches,), jnp.float32),
+            ).compile()
+            stats["epoch_programs"] += 1
+        for n in sorted({int(n) for n in eval_batch_row_counts}):
+            if n <= 0:
+                continue
+            k = key("fwd", n)
+            if k in execs:
+                continue
+            execs[k] = _jitted_forward_resident().lower(
+                params_aval, x_aval, jax.ShapeDtypeStruct((n,), jnp.int32),
+            ).compile()
+            stats["forward_programs"] += 1
+        stats["seconds"] = round(time.perf_counter() - t0, 1)
+        return stats
+
+    def _hidden_sizes(self) -> tuple[int, ...]:
+        return tuple(int(h) for h in self.hidden_layer_sizes)
+
     def partial_fit_resident(
         self,
         indices: np.ndarray,
@@ -741,16 +846,25 @@ class MLPClassifier:
                 ws = np.concatenate(
                     [ws, np.zeros((n_batches, row_pad), np.float32)], axis=1)
 
-        epoch_fn = _make_resident_epoch_fn(
-            n_batches,
-            self._layer_sizes(),
-            float(self.learning_rate_init),
-            float(self.beta_1),
-            float(self.beta_2),
-            float(self.epsilon),
-            float(self.alpha),
-            self.mesh,
-        )
+        epoch_fn = None
+        if self.mesh is None:
+            # AOT-warmed executable for this geometry, if the trainer
+            # compiled one during the resident upload (warm_resident_programs)
+            # — same program, compilation just already happened.
+            epoch_fn = getattr(self, "_resident_exec", {}).get(
+                self._exec_key("epoch", n_batches, batch_size)
+            )
+        if epoch_fn is None:
+            epoch_fn = _make_resident_epoch_fn(
+                n_batches,
+                self._layer_sizes(),
+                float(self.learning_rate_init),
+                float(self.beta_1),
+                float(self.beta_2),
+                float(self.epsilon),
+                float(self.alpha),
+                self.mesh,
+            )
         self._params, self._opt_state, losses = epoch_fn(
             self._params, self._opt_state, self._resident_X, idxs, ys, ws, ns
         )
@@ -863,9 +977,14 @@ class MLPClassifier:
         idx = np.asarray(indices, dtype=np.int32)
         if idx.ndim != 1:
             raise ValueError(f"indices must be 1-D, got {idx.shape}")
-        probs = _jitted_forward_resident()(
-            self._params, self._resident_X, jnp.asarray(idx)
-        )
+        fwd = None
+        if self.mesh is None:
+            fwd = getattr(self, "_resident_exec", {}).get(
+                self._exec_key("fwd", len(idx))
+            )
+        if fwd is None:
+            fwd = _jitted_forward_resident()
+        probs = fwd(self._params, self._resident_X, jnp.asarray(idx))
         return self._renormalize_probs(np.asarray(probs).astype(np.float64))
 
     def predict_resident(self, indices: np.ndarray) -> np.ndarray:
@@ -916,6 +1035,8 @@ class MLPClassifier:
         # DATA, not model state — never serialized (re-attach with
         # set_resident_features after unpickling to resume resident runs).
         state.pop("_resident_X", None)
+        # AOT-compiled executables are live device programs, not state.
+        state.pop("_resident_exec", None)
         params = state.pop("_params", None)
         opt_state = state.pop("_opt_state", None)
         if params is not None:
@@ -947,9 +1068,10 @@ class MLPClassifier:
         clone = self.__class__.__new__(self.__class__)
         memo[id(self)] = clone
         for k, v in self.__dict__.items():
-            if k in ("_params", "_opt_state", "_resident_X"):
-                # Immutable device buffers — snapshots share them (a deepcopy
-                # of the resident matrix would duplicate GBs of HBM).
+            if k in ("_params", "_opt_state", "_resident_X", "_resident_exec"):
+                # Immutable device buffers / compiled programs — snapshots
+                # share them (a deepcopy of the resident matrix would
+                # duplicate GBs of HBM).
                 clone.__dict__[k] = v
             else:
                 import copy as _copy

@@ -81,6 +81,7 @@ class MermaidTrainer:
         device_resident: bool = False,
         resident_dtype: str = "float32",
         calibration_backend: str = "scipy",
+        resident_load_workers: int = 8,
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
             raise ValueError(
@@ -120,6 +121,10 @@ class MermaidTrainer:
         # capacity); compute stays f32 — rows are upcast after the
         # on-device gather (MLPClassifier.RESIDENT_DTYPES).
         self.resident_dtype = resident_dtype
+        # Thread-pool width for reading the per-image feature files into
+        # the resident buffer (ImageLabels.load_into) — same default as the
+        # extraction pipeline's decode-ahead pool.
+        self.resident_load_workers = resident_load_workers
         # Platt-fit backend (CalibratedClassifier.BACKENDS): "scipy" is the
         # sklearn-parity per-class L-BFGS; "device" batches all K fits into
         # one jitted Newton solve (<=6e-5 relative agreement measured at
@@ -337,25 +342,77 @@ class MermaidTrainer:
                 # span and the per-epoch evals + calibration gather from the
                 # ref/val spans (a resumed run re-uploads here too: the
                 # checkpoint stores model state only, never the data buffer).
-                parts = []
+                #
                 # Offsets hold a STRONG reference to each split object and
                 # match by identity, so a recycled id() can never alias a
                 # stale entry onto a new split.
                 self._resident_split_offsets = {}
+                split_plan: list[tuple[Any, int]] = []
                 pos = 0
                 for split_name in ("train", "ref", "val"):
                     split = getattr(labels, split_name)
                     self._resident_split_offsets[split_name] = (split, pos)
                     if len(split):
-                        x, _ = split.load_all()
-                        parts.append(x)
-                        pos += len(x)
-                stacked = np.vstack(parts)
+                        split_plan.append((split, pos))
+                        pos += split.label_count
+
+                # AOT-compile the epoch/eval programs in the background
+                # while the buffer loads from disk and uploads — through
+                # the remote-compile tunnel the first epoch-scan compile
+                # costs minutes that otherwise serialize after the
+                # minutes-long upload (compilation needs shapes only).
+                warm_thread = None
+                warm_stats: dict[str, Any] = {}
+                dim = self._probe_feature_dim(split_plan[0][0]) if split_plan else 0
+                if getattr(clf, "mesh", None) is None and split_plan:
+                    train_counts = {
+                        len(y) for _, y in labels.train.iter_index_batches(
+                            batch_size=self.batch_size,
+                            random_seed=start_epoch,
+                        )
+                    }
+                    eval_counts = {
+                        len(y)
+                        for split_name in ("ref", "val")
+                        for _, y in getattr(
+                            labels, split_name
+                        ).iter_index_batches(batch_size=self.batch_size)
+                    }
+                    def _warm() -> None:
+                        try:
+                            warm_stats.update(clf.warm_resident_programs(
+                                n_rows=pos,
+                                dim=dim,
+                                n_classes=len(classes_list),
+                                train_batch_row_counts=train_counts,
+                                eval_batch_row_counts=eval_counts,
+                                dtype=self.resident_dtype,
+                            ))
+                        except Exception as exc:  # fall back to jit-on-call
+                            warm_stats["error"] = repr(exc)
+
+                    import threading
+
+                    warm_thread = threading.Thread(
+                        target=_warm, name="resident-warm", daemon=True
+                    )
+                    warm_thread.start()
+
+                # One preallocated buffer spanning all three splits, filled
+                # by parallel per-image reads (no per-split list + vstack
+                # copy: peak host memory is the buffer alone).
+                t_load = time.time()
+                stacked = np.empty((pos, dim), dtype=np.float32)
+                for split, offset in split_plan:
+                    split.load_into(
+                        stacked, offset,
+                        max_workers=self.resident_load_workers,
+                    )
                 logger.info(
-                    "uploading resident feature buffer: %d rows x %d"
-                    " (%.2f GB) to device…",
-                    stacked.shape[0], stacked.shape[1],
-                    stacked.nbytes / 1e9,
+                    "resident feature buffer loaded from disk in %.1fs"
+                    " (%d rows x %d, %.2f GB, %d read workers)",
+                    time.time() - t_load, stacked.shape[0], dim,
+                    stacked.nbytes / 1e9, self.resident_load_workers,
                 )
                 t_up = time.time()
                 clf.set_resident_features(stacked, dtype=self.resident_dtype)
@@ -364,11 +421,18 @@ class MermaidTrainer:
                     " asynchronously under the first training step)",
                     time.time() - t_up,
                 )
+                if warm_thread is not None:
+                    t_join = time.time()
+                    warm_thread.join()
+                    logger.info(
+                        "program warm: %s (+%.1fs beyond the upload)",
+                        warm_stats or "no stats", time.time() - t_join,
+                    )
                 # Kept so a best-snapshot restored from a CHECKPOINT (which
                 # never carries the data buffer) can be re-attached before
                 # the resident calibration/eval passes below.
                 self._resident_buffer = clf._resident_X
-                del parts, stacked
+                del stacked
 
             for epoch in range(start_epoch, nbr_epochs):
                 if self.device_resident:
@@ -546,6 +610,15 @@ class MermaidTrainer:
         self._clear_checkpoint()
 
         return clf_calibrated, val_results, return_message
+
+    @staticmethod
+    def _probe_feature_dim(split: ImageLabels) -> int:
+        """Feature dimensionality from the split's first image (one small
+        file read; the image is read again by load_into — negligible next
+        to the thousands of reads it sizes the buffer for)."""
+        first_key = sorted(split.data.keys())[0]
+        x, _ = split.load_image_data(first_key)
+        return int(x.shape[1])
 
     def _resident_offset(self, labels: ImageLabels) -> int | None:
         """This split's row offset into the combined resident buffer, or

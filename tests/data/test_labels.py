@@ -292,3 +292,39 @@ class TestIndexBatches:
             assert ranges[key] == (offset, len(labels.data[key]))
             offset += len(labels.data[key])
         assert offset == labels.label_count
+
+
+class TestLoadInto:
+    """load_into must fill the caller's buffer with exactly load_all's rows
+    (canonical layout), serial or parallel — it feeds the device-resident
+    upload, where a row landing at the wrong offset silently trains on the
+    wrong features."""
+
+    def test_matches_load_all_serial_and_parallel(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=13,
+                                           pts_per_image=7)
+        want, _ = labels.load_all()
+        n, dim = want.shape
+        for workers in (None, 1, 4):
+            out = np.full((n + 5, dim), np.nan, dtype=np.float32)
+            labels.load_into(out, offset=5, max_workers=workers)
+            np.testing.assert_array_equal(out[5:], want)
+            assert np.isnan(out[:5]).all()  # rows before offset untouched
+
+    def test_rejects_undersized_buffer(self, tmp_path):
+        labels, _ = build_synthetic_labels(tmp_path, n_images=3,
+                                           pts_per_image=4)
+        out = np.empty((labels.label_count - 1, 8), dtype=np.float32)
+        with pytest.raises(ValueError, match="cannot hold"):
+            labels.load_into(out)
+
+    def test_parallel_read_failure_propagates(self, tmp_path):
+        import os
+
+        labels, _ = build_synthetic_labels(tmp_path, n_images=6,
+                                           pts_per_image=4)
+        victim = sorted(labels.data.keys())[3]
+        os.remove(victim)
+        out = np.empty((labels.label_count, 8), dtype=np.float32)
+        with pytest.raises(FileNotFoundError):
+            labels.load_into(out, max_workers=4)

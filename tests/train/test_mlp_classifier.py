@@ -650,3 +650,113 @@ class TestBatchSizeAndPickleCompat:
             np.sort(np.unique(clone.predict(X))),
             np.sort(clone.classes_),
         )
+
+
+class TestWarmResidentPrograms:
+    """AOT program warming (warm_resident_programs) must only move WHEN
+    compilation happens: the warmed executables are consulted first, produce
+    bit-identical training/inference results, and an unwarmed geometry
+    falls back to the jit path."""
+
+    def _data(self, n=437, dim=24, k=5, seed=0):
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((n, dim)).astype(np.float32)
+        y = np.asarray([f"c{i}" for i in rng.integers(0, k, n)])
+        return X, y
+
+    def _train(self, X, y, warm, dtype="float32"):
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        if warm:
+            stats = clf.warm_resident_programs(
+                n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+                train_batch_row_counts=[300, len(X) - 300],
+                eval_batch_row_counts=[len(X)], dtype=dtype,
+            )
+            assert stats["epoch_programs"] == 2
+            assert stats["forward_programs"] == 1
+        clf.set_resident_features(X, dtype=dtype)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx[:300], y[:300], classes=classes)
+        clf.partial_fit_resident(idx[300:], y[300:])
+        return clf, clf.predict_proba_resident(idx)
+
+    def test_warmed_bitwise_identical_to_jit(self):
+        X, y = self._data()
+        cold, p_cold = self._train(X, y, warm=False)
+        warm, p_warm = self._train(X, y, warm=True)
+        assert cold.loss_curve_ == warm.loss_curve_
+        for wa, wb in zip(cold.coefs_, warm.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+        np.testing.assert_array_equal(p_cold, p_warm)
+
+    def test_warmed_executables_are_used(self, monkeypatch):
+        """If the lookup key ever drifts from the call-site geometry the
+        warm path would silently fall back to jit (and recompile at full
+        price) — so pin that the makers are NOT consulted after warming."""
+        import mermaid_classifier_tpu.train.mlp_classifier as mod
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[300, len(X) - 300],
+            eval_batch_row_counts=[len(X)],
+        )
+        clf.set_resident_features(X)
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the jit path")
+
+        monkeypatch.setattr(mod, "_make_resident_epoch_fn", boom)
+        monkeypatch.setattr(mod, "_jitted_forward_resident", boom)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx[:300], y[:300], classes=classes)
+        clf.partial_fit_resident(idx[300:], y[300:])
+        clf.predict_proba_resident(idx)
+
+    def test_unwarmed_geometry_falls_back(self):
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[123],
+        )
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)  # 437 != 123: jit
+        assert len(clf.loss_curve_) == 1
+
+    def test_bfloat16_resident_warm(self):
+        X, y = self._data()
+        cold, p_cold = self._train(X, y, warm=False, dtype="bfloat16")
+        warm, p_warm = self._train(X, y, warm=True, dtype="bfloat16")
+        assert cold.loss_curve_ == warm.loss_curve_
+        np.testing.assert_array_equal(p_cold, p_warm)
+
+    def test_mesh_skips_warming(self):
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0,
+                            mesh=make_mesh(8))
+        stats = clf.warm_resident_programs(
+            n_rows=100, dim=8, n_classes=3, train_batch_row_counts=[100],
+        )
+        assert stats.get("skipped") == "mesh"
+
+    def test_pickle_drops_and_deepcopy_shares_execs(self):
+        import copy
+        import pickle
+
+        X, y = self._data()
+        warm, _ = self._train(X, y, warm=True)
+        assert len(warm._resident_exec) == 3
+        snap = copy.deepcopy(warm)
+        assert snap._resident_exec is warm._resident_exec
+        restored = pickle.loads(pickle.dumps(warm))
+        assert "_resident_exec" not in restored.__dict__
+        # The restored model still predicts (plain jit path).
+        p = restored.predict_proba(X[:8])
+        assert p.shape == (8, len(warm.classes_))
