@@ -235,6 +235,9 @@ class LocalTracker:
                     run._params = run.params()
                     run._tags = {}
                     out.append(run)
+        # Chronological, not directory-name order: run ids are random hex,
+        # and callers rely on runs[-1] being the LATEST run.
+        out.sort(key=lambda r: r._meta.get("start_time", 0.0))
         return out
 
     def get_run(self, run_id: str) -> Run:

@@ -105,6 +105,7 @@ class TrainingRunner:
                     self.dataset.labels, self.training_options.epochs, []
                 )
             self._early_stop_info = trainer._early_stop_info
+            self._resident_timings = getattr(trainer, "resident_timings", None)
 
             logger.info("Train time: %.1f s", return_msg.runtime)
             logger.info("New model's accuracy: %s", self.format_metric(return_msg.acc))
@@ -326,6 +327,7 @@ class TrackingTrainingRunner(TrainingRunner):
                     self._log_weighting_artifacts(run)
                     self._log_subsample_audit(run)
                     self._log_early_stop_info(run)
+                    self._log_resident_timings(run)
                     run.log_dataframe(
                         pd.DataFrame(self.profiled_sections),
                         "profiled_sections.csv",
@@ -511,6 +513,15 @@ class TrackingTrainingRunner(TrainingRunner):
         info = getattr(self, "_early_stop_info", None)
         if info:
             run.log_dict(info, "early_stop_info.json")
+
+    def _log_resident_timings(self, run: Run) -> None:
+        """resident/* metrics: the stage budget of the device-resident
+        upload path (disk load, upload, AOT program warm), so a full-scale
+        drive's wall-clock decomposes inside the tracked run itself."""
+        timings = getattr(self, "_resident_timings", None)
+        if timings:
+            for key, value in timings.items():
+                run.log_metric(f"resident/{key}", float(value))
 
     def _log_extra_annotations(self, run: Run) -> None:
         assert self.dataset is not None

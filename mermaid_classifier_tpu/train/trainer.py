@@ -135,6 +135,10 @@ class MermaidTrainer:
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
+        # Stage budget of the resident upload path (load/upload/warm
+        # seconds), populated per resident __call__; runner logs as
+        # resident/* metrics.
+        self.resident_timings: dict[str, float] | None = None
 
     # -- checkpoint / resume -------------------------------------------------
 
@@ -336,6 +340,7 @@ class MermaidTrainer:
             # its evals from disk — correct, just not resident).
             self._resident_split_offsets = None
             self._resident_buffer = None
+            self.resident_timings = None
             if self.device_resident and nbr_epochs > start_epoch:
                 # ONE combined upload for the whole run: [train | ref | val]
                 # rows in canonical layout — training gathers from the train
@@ -400,34 +405,68 @@ class MermaidTrainer:
 
                 # One preallocated buffer spanning all three splits, filled
                 # by parallel per-image reads (no per-split list + vstack
-                # copy: peak host memory is the buffer alone).
+                # copy: peak host memory is the buffer alone). The explicit
+                # fill(0) pre-touches every page in ONE sequential pass:
+                # interleaving first-touch faults with the per-image read
+                # allocations measured up to ~100x slower on a
+                # memory-weather-bound host (146 s vs 0.6 s + 0.9 s for a
+                # 655 MB fill on the same box window; docs/perf_roofline.md
+                # §4), and the anonymous-page fault rate is the one cost
+                # here that varies with the host, not the code.
                 t_load = time.time()
                 stacked = np.empty((pos, dim), dtype=np.float32)
+                stacked.fill(0.0)
+                pretouch_s = time.time() - t_load
                 for split, offset in split_plan:
                     split.load_into(
                         stacked, offset,
                         max_workers=self.resident_load_workers,
                     )
+                load_s = time.time() - t_load
                 logger.info(
                     "resident feature buffer loaded from disk in %.1fs"
                     " (%d rows x %d, %.2f GB, %d read workers)",
-                    time.time() - t_load, stacked.shape[0], dim,
+                    load_s, stacked.shape[0], dim,
                     stacked.nbytes / 1e9, self.resident_load_workers,
                 )
                 t_up = time.time()
                 clf.set_resident_features(stacked, dtype=self.resident_dtype)
+                upload_s = time.time() - t_up
                 logger.info(
                     "resident buffer staged in %.1fs (transfer may complete"
                     " asynchronously under the first training step)",
-                    time.time() - t_up,
+                    upload_s,
                 )
+                warm_wait_s = 0.0
                 if warm_thread is not None:
                     t_join = time.time()
                     warm_thread.join()
+                    warm_wait_s = time.time() - t_join
                     logger.info(
                         "program warm: %s (+%.1fs beyond the upload)",
-                        warm_stats or "no stats", time.time() - t_join,
+                        warm_stats or "no stats", warm_wait_s,
                     )
+                # Machine-readable stage budget — the runner logs these as
+                # resident/* metrics so a full-scale drive's wall-clock is
+                # self-explaining in the tracked run, not just in logs.
+                self.resident_timings = {
+                    "load_seconds": round(load_s, 1),
+                    # Inside load_seconds: the sequential page pre-touch of
+                    # the buffer — the component that tracks host memory
+                    # weather, not disk or code.
+                    "pretouch_seconds": round(pretouch_s, 1),
+                    "upload_stage_seconds": round(upload_s, 1),
+                    "warm_seconds": float(warm_stats.get("seconds", 0.0)),
+                    "warm_extra_wait_seconds": round(warm_wait_s, 1),
+                    "warm_epoch_programs": float(
+                        warm_stats.get("epoch_programs", 0)
+                    ),
+                    "warm_forward_programs": float(
+                        warm_stats.get("forward_programs", 0)
+                    ),
+                    "rows": float(pos),
+                    "gigabytes_f32": round(stacked.nbytes / 1e9, 2),
+                }
                 # Kept so a best-snapshot restored from a CHECKPOINT (which
                 # never carries the data buffer) can be re-attached before
                 # the resident calibration/eval passes below.

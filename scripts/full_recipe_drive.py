@@ -147,6 +147,16 @@ def synthesize_corpus(
     bucket_dir = workspace / "store" / "features"
     n_images = (pool_rows + points_per_image - 1) // points_per_image
     sources = [str(101 + s) for s in range(n_sources)]
+    # Feature-file writes go through a small pool with bounded in-flight
+    # work: on a host with slow fresh-page allocation ("memory weather",
+    # CLAUDE.md) serial write_feature_file measured ~9 MB/s; overlapping a
+    # handful of writes recovers most of the loss while feature GENERATION
+    # (the deterministic rng stream) stays strictly sequential.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    writer_pool = ThreadPoolExecutor(max_workers=4)
+    in_flight: deque = deque()
     ann_rows: dict[str, list] = {
         "source_id": [], "image_id": [], "row": [], "col": [],
         "coralnet_id": [],
@@ -166,12 +176,15 @@ def synthesize_corpus(
         )
         features = (latent.astype(np.float32) @ projection).astype(np.float32)
         t0 = time.time()
-        write_feature_file(
+        while len(in_flight) >= 8:
+            in_flight.popleft().result()  # propagate write errors, bound RAM
+        in_flight.append(writer_pool.submit(
+            write_feature_file,
             bucket_dir / f"s{source}" / "features"
             / f"i{image_id}.features.npz",
             rowcols[:n_pts],
             features,
-        )
+        ))
         t_write += time.time() - t0
         img_rows["source_id"].append(source)
         img_rows["image_id"].append(image_id)
@@ -184,6 +197,12 @@ def synthesize_corpus(
         ann_rows["coralnet_id"].extend(str(2000 + int(k)) for k in y)
         if (img_idx + 1) % 1000 == 0:
             log(f"  synthesized {img_idx + 1}/{n_images} images")
+
+    t0 = time.time()
+    while in_flight:
+        in_flight.popleft().result()
+    writer_pool.shutdown()
+    t_write += time.time() - t0
 
     pq.write_table(
         pa.Table.from_pandas(pd.DataFrame(ann_rows)),
@@ -247,6 +266,11 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--workdir", default=None,
                         help="workspace (default: temp dir, deleted on exit)")
+    parser.add_argument("--skip-synthesize", action="store_true",
+                        help="reuse the corpus already in --workdir (A/B"
+                        " reruns of the timed train stage without paying"
+                        " the ~10 GB corpus write again); requires a prior"
+                        " run with the same --workdir and shape flags")
     parser.add_argument("--pool-rows", type=int, default=620_000,
                         help="annotation pool size; the C2 default realizes"
                         " a ~446k balanced subsample")
@@ -284,11 +308,19 @@ def main(argv: list[str] | None = None) -> int:
     # --- stage: synthesize ---------------------------------------------------
     t0 = time.time()
     taxonomy_dir = workspace / "taxonomy"
-    build_taxonomy(args.classes, taxonomy_dir)
-    corpus = synthesize_corpus(
-        workspace, args.pool_rows, args.classes, args.dim,
-        args.points_per_image, args.sources, args.seed,
-    )
+    if args.skip_synthesize:
+        if not (workspace / "etl_annotations.parquet").is_file():
+            raise SystemExit(
+                f"--skip-synthesize: no corpus in {workspace} (run once"
+                " without the flag first)"
+            )
+        corpus = {"reused": True}
+    else:
+        build_taxonomy(args.classes, taxonomy_dir)
+        corpus = synthesize_corpus(
+            workspace, args.pool_rows, args.classes, args.dim,
+            args.points_per_image, args.sources, args.seed,
+        )
     write_config_dir(
         workspace / "config", args.pool_rows, args.epochs, args.patience,
         resident_dtype=args.resident_dtype,
@@ -350,7 +382,12 @@ def main(argv: list[str] | None = None) -> int:
     run = runs[-1]
     metrics = run.latest_metrics()
     params = run.params()
-    registry = workspace / "tracking" / "_models" / "mermaid-mlp-c2" / "v1"
+    model_dir = workspace / "tracking" / "_models" / "mermaid-mlp-c2"
+    # Latest registered version (repeat runs in one --workdir bump vN).
+    registry = max(
+        (d for d in model_dir.iterdir() if d.name.lstrip("v").isdigit()),
+        key=lambda d: int(d.name.lstrip("v")),
+    )
     predictor = load_predictor(registry)
     proba = predictor.predict_proba(
         np.zeros((25, predictor.input_dim), dtype=np.float32)
@@ -375,6 +412,14 @@ def main(argv: list[str] | None = None) -> int:
             "resident_dtype": args.resident_dtype,
         },
         "subsample_realized": metrics.get("subsample/realized_total"),
+        # Inside-the-train-stage budget (resident/* metrics logged by the
+        # runner): disk load, device upload, and the AOT program warm that
+        # overlaps it — so the headline minutes decompose without logs.
+        "train_stage_breakdown": {
+            key.split("/", 1)[1]: value
+            for key, value in sorted(metrics.items())
+            if key.startswith("resident/")
+        } or None,
         "final_epoch": metrics.get("early_stop/final_epoch"),
         "best_val_epoch": metrics.get("early_stop/best_val_epoch"),
         "accuracy": metrics.get("accuracy"),

@@ -428,3 +428,22 @@ class TestDeviceResidentTrainer:
         assert msg_a.ref_accs == pytest.approx(msg_b.ref_accs)
         for wa, wb in zip(clf_a.estimator.coefs_, clf_b.estimator.coefs_):
             np.testing.assert_array_equal(wa, wb)
+
+
+def test_resident_timings_recorded(task_labels):
+    """The resident stage budget (disk load / upload / AOT warm) must be
+    machine-readable after the call — the runner logs it as resident/*
+    metrics and the full-recipe drive surfaces it in its JSON."""
+    trainer = SmallNetTrainer(batch_size=64, device_resident=True)
+    trainer(task_labels, nbr_epochs=2, pc_models=[])
+    t = trainer.resident_timings
+    assert t is not None
+    assert t["warm_epoch_programs"] >= 1
+    assert t["warm_forward_programs"] >= 1
+    assert t["load_seconds"] >= 0.0
+    assert t["upload_stage_seconds"] >= 0.0
+    assert t["rows"] == task_labels.label_count
+
+    streamed = SmallNetTrainer(batch_size=64)
+    streamed(task_labels, nbr_epochs=2, pc_models=[])
+    assert streamed.resident_timings is None
