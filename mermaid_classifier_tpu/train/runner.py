@@ -122,7 +122,15 @@ class TrainingRunner:
     def _make_trainer(self, batch_size: int, class_weight) -> MermaidTrainer:
         """Hook so tests can shrink the head architecture."""
         packed_dir = None
-        if settings.use_packed_feature_cache:
+        device_resident = getattr(
+            self.training_options, "device_resident", False
+        )
+        # The packed cache accelerates DISK-streamed epochs (native row
+        # gathers instead of per-image npz reads). A device-resident run
+        # streams nothing from disk after the one-time upload, so packing
+        # would rewrite the whole corpus (train+ref+val, ~7.4 GB at
+        # production scale) for zero benefit — skip it.
+        if settings.use_packed_feature_cache and not device_resident:
             self._packed_cache_dir = tempfile.mkdtemp(prefix="packed_cache_")
             packed_dir = self._packed_cache_dir
         return MermaidTrainer(

@@ -235,3 +235,27 @@ class TestTrackingRunner:
             store, "trk", "sync-exp", run_id, tmp_path / "pulled"
         )
         assert "accuracy" in pulled.latest_metrics()
+
+
+class TestPackedCacheGating:
+    """Device-resident runs must NOT build the packed feature cache: after
+    the one-time upload nothing streams from disk, so packing would rewrite
+    the whole corpus (train+ref+val) for zero benefit."""
+
+    def test_resident_skips_packing_streamed_packs(self):
+        with override_settings(use_packed_feature_cache=True):
+            resident = TrainingRunner(
+                training_options=TrainingOptions(device_resident=True)
+            )._make_trainer(batch_size=100, class_weight=None)
+            assert resident.packed_cache_dir is None
+
+            streamed = TrainingRunner(
+                training_options=TrainingOptions(device_resident=False)
+            )._make_trainer(batch_size=100, class_weight=None)
+            assert streamed.packed_cache_dir is not None
+
+        with override_settings(use_packed_feature_cache=False):
+            trainer = TrainingRunner(
+                training_options=TrainingOptions(device_resident=False)
+            )._make_trainer(batch_size=100, class_weight=None)
+            assert trainer.packed_cache_dir is None
