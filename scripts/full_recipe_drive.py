@@ -425,6 +425,13 @@ def main(argv: list[str] | None = None) -> int:
         "accuracy": metrics.get("accuracy"),
         "balanced_accuracy": metrics.get("balanced_accuracy"),
         "log_loss": metrics.get("log_loss"),
+        # The rest of the reference's C2 metric row (reference values:
+        # f1_macro 0.758, MCC 0.806, cover_R2 0.647 —
+        # docs/research/balancing-experiments.md:52-56).
+        "f1_macro": metrics.get("f1_macro"),
+        "mcc": metrics.get("mcc"),
+        "cover_median_r_squared": metrics.get("cover_median_r_squared"),
+        "per_source_min_accuracy": metrics.get("per_source/min_accuracy"),
         "export_parity_max_abs_diff": metrics.get("export_parity_max_abs_diff"),
         "n_metrics_logged": len(metrics),
         "reference_minutes": 35.0,
