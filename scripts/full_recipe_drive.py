@@ -382,6 +382,17 @@ def main(argv: list[str] | None = None) -> int:
     run = runs[-1]
     metrics = run.latest_metrics()
     params = run.params()
+    sections = None
+    sections_csv = run.run_dir / "artifacts" / "profiled_sections.csv"
+    if sections_csv.is_file():
+        import csv as csv_mod
+
+        with open(sections_csv) as f:
+            sections = [
+                {"name": row["name"], "seconds": round(float(row["seconds"]), 1)}
+                for row in csv_mod.DictReader(f)
+            ]
+
     model_dir = workspace / "tracking" / "_models" / "mermaid-mlp-c2"
     # Latest registered version (repeat runs in one --workdir bump vN).
     registry = max(
@@ -420,6 +431,11 @@ def main(argv: list[str] | None = None) -> int:
             for key, value in sorted(metrics.items())
             if key.startswith("resident/")
         } or None,
+        # The runner's section profile (ETL phases + the training call),
+        # so the train-stage minutes decompose fully: anything not in a
+        # section is subprocess startup (heavy imports — page-fault-bound
+        # under host memory weather).
+        "profiled_sections": sections,
         "final_epoch": metrics.get("early_stop/final_epoch"),
         "best_val_epoch": metrics.get("early_stop/best_val_epoch"),
         "accuracy": metrics.get("accuracy"),
