@@ -405,17 +405,20 @@ class MermaidTrainer:
 
                 # One preallocated buffer spanning all three splits, filled
                 # by parallel per-image reads (no per-split list + vstack
-                # copy: peak host memory is the buffer alone). The explicit
-                # fill(0) pre-touches every page in ONE sequential pass:
-                # interleaving first-touch faults with the per-image read
-                # allocations measured up to ~100x slower on a
-                # memory-weather-bound host (146 s vs 0.6 s + 0.9 s for a
-                # 655 MB fill on the same box window; docs/perf_roofline.md
-                # §4), and the anonymous-page fault rate is the one cost
-                # here that varies with the host, not the code.
+                # copy: peak host memory is the buffer alone). The buffer
+                # is pre-touched in full BEFORE the reads: interleaving
+                # first-touch faults with the per-image read allocations
+                # measured up to ~100x slower on a memory-weather-bound
+                # host (146 s vs 0.6+0.9 s for a 655 MB fill in the same
+                # window). The pre-touch itself runs as THREADED disjoint
+                # row-slabs: first-touch fault latency is wait-bound on
+                # the host granting pages, and concurrent faults pipeline
+                # when the guest already holds the pages; growth past the
+                # guest's high-water mark stays host-rate-limited
+                # (docs/perf_roofline.md §4).
                 t_load = time.time()
                 stacked = np.empty((pos, dim), dtype=np.float32)
-                stacked.fill(0.0)
+                self._pretouch_parallel(stacked, self.resident_load_workers)
                 pretouch_s = time.time() - t_load
                 for split, offset in split_plan:
                     split.load_into(
@@ -649,6 +652,29 @@ class MermaidTrainer:
         self._clear_checkpoint()
 
         return clf_calibrated, val_results, return_message
+
+    @staticmethod
+    def _pretouch_parallel(arr: np.ndarray, workers: int) -> None:
+        """First-touch every page of a fresh buffer, disjoint row-slabs in
+        parallel. Faults against pages the guest already holds pipeline
+        almost perfectly (2 GB in 0.6 s threaded vs 8-46 s serial, same
+        weather windows); growth past the guest's high-water mark is
+        rate-limited by the host granting memory and no thread count
+        beats that (7.4 GB measured ~240 s in a bad window either way).
+        Threaded is never slower than serial, so it is unconditional."""
+        workers = max(int(workers), 1)
+        n = arr.shape[0]
+        if workers == 1 or n < workers:
+            arr.fill(0.0)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        step = -(-n // workers)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(
+                lambda k: arr[k * step: (k + 1) * step].fill(0.0),
+                range(workers),
+            ))
 
     @staticmethod
     def _probe_feature_dim(split: ImageLabels) -> int:
