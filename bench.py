@@ -410,6 +410,13 @@ def run_stage_budget(args, config, device_pps: float) -> dict:
         # <2 means decode/write serialize into the tunnel model above (a
         # production VM has many cores; the VM projection keeps the pool).
         "host_cpus": host_cpus,
+        # 1-minute load average at probe time: on a 1-2 CPU host a load
+        # >> host_cpus means ANOTHER process was competing for the CPU
+        # during this bench, so host-side stages (decode, write) and the
+        # bucket/annotate legs read slow for reasons that are neither the
+        # code nor the link — the same attribution discipline as the
+        # h2d weather spots.
+        "loadavg_1m": round(_os.getloadavg()[0], 2),
     }
     log(f"stage budget/image: rtt {rtt_ms:.1f} decode {decode_ms:.1f}"
         f" h2d {h2d_ms:.1f} compute {compute_ms:.1f} d2h {d2h_ms:.1f}"
@@ -1051,6 +1058,12 @@ def main() -> None:
             payload["h2d_weather_drift"] = round(weather_drift, 2)
             if weather_drift > 1.5:
                 payload["bucket_model_weather_limited"] = True
+            # A competing process on a 1-2 CPU host starves decode/write
+            # and the Python driver loop; attribute that explicitly (the
+            # validation-run failure mode: running the bench beside a
+            # test suite halved the bucket leg).
+            if budget["loadavg_1m"] > budget["host_cpus"] + 0.5:
+                payload["bucket_model_cpu_contended"] = True
     if annotate is not None:
         payload["annotate_latency_ms"] = annotate["latency_ms"]
         if not args.no_stage_budget:

@@ -66,10 +66,12 @@ class TrainingOptions:
     # is row-sharded across every chip's HBM and mini-batches re-shard for
     # data-parallel compute (train/mlp_classifier.set_resident_features).
     device_resident: bool = False
-    # Storage precision of the resident buffer ("float32" | "bfloat16").
-    # bfloat16 halves upload bytes + HBM footprint; compute stays f32
-    # (rows upcast after the on-device gather) behind the 0.999-cosine
-    # differential gate (MLPClassifier.RESIDENT_DTYPES).
+    # Storage precision of the resident buffer
+    # ("float32" | "bfloat16" | "int8"). bfloat16 halves upload bytes +
+    # HBM footprint; int8 (symmetric per-row quantization with f32 scales)
+    # quarters them. Compute stays f32 (rows upcast/dequantized after the
+    # on-device gather) behind the 0.999-cosine differential gate
+    # (MLPClassifier.RESIDENT_DTYPES).
     resident_dtype: str = "float32"
     # Platt-fit backend ("scipy" | "device"). "device" batches all K
     # one-vs-rest fits into one jitted Newton solve — wins with a warm

@@ -86,10 +86,10 @@ class TrainingConfig(BaseModel):
     def _validate_resident_dtype(cls, value: str) -> str:
         # Fail at config load, not after the multi-GB feature load
         # (same discipline as model_name below).
-        if value not in ("float32", "bfloat16"):
+        if value not in ("float32", "bfloat16", "int8"):
             raise ValueError(
-                f"resident_dtype must be 'float32' or 'bfloat16', got"
-                f" {value!r}"
+                f"resident_dtype must be 'float32', 'bfloat16' or 'int8',"
+                f" got {value!r}"
             )
         return value
 

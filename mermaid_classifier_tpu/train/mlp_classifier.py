@@ -150,6 +150,7 @@ def _make_resident_epoch_fn(
     eps: float,
     alpha: float,
     mesh: Any = None,
+    quantized: bool = False,
 ):
     """The scan-over-minibatches epoch against a DEVICE-RESIDENT feature
     matrix: each step gathers its rows by index on device, so an epoch's
@@ -161,7 +162,13 @@ def _make_resident_epoch_fn(
     (the capacity story: the full production feature set outgrows one
     chip's HBM) and each gathered mini-batch is re-sharded by rows so the
     forward/backward run data-parallel; XLA derives the gather and
-    gradient collectives."""
+    gradient collectives.
+
+    With ``quantized=True`` the buffer stores int8 rows and the epoch takes
+    an extra per-row f32 ``scale`` argument (symmetric per-row
+    quantization); rows dequantize right after the gather, so the update
+    arithmetic is bit-identical to training on the host-dequantized
+    features."""
     del layer_sizes
     opt = _make_optimizer(lr, b1, b2, eps)
     xb_sharding = None
@@ -170,20 +177,23 @@ def _make_resident_epoch_fn(
 
         xb_sharding = NamedSharding(mesh, P(mesh.axis_names, None))
 
-    def epoch(params, opt_state, x_resident, idxs, ys, ws, ns):
-        # x_resident: (N, D) f32 on device; idxs: (n_batches, B) i32 rows.
+    def epoch_impl(params, opt_state, x_resident, scale, idxs, ys, ws, ns):
+        # x_resident: (N, D) on device; idxs: (n_batches, B) i32 rows;
+        # scale: (N,) f32 per-row dequant factors (quantized only).
         def step(carry, batch):
             params, opt_state = carry
             idxb, yb, wb, n_real = batch
             xb = jnp.take(x_resident, idxb, axis=0)
             if xb_sharding is not None:
                 xb = jax.lax.with_sharding_constraint(xb, xb_sharding)
-            # The buffer may be stored reduced-precision (bfloat16 halves
-            # HBM footprint + upload bytes); upcast AFTER the gather so the
-            # update arithmetic below is bit-identical to the f32 path —
-            # the only delta is the one-time storage rounding of the
-            # features themselves. No-op when the buffer is f32.
+            # The buffer may be stored reduced-precision (bfloat16/int8
+            # halve/quarter HBM footprint + upload bytes); upcast AFTER the
+            # gather so the update arithmetic below is bit-identical to the
+            # f32 path — the only delta is the one-time storage rounding of
+            # the features themselves. No-op when the buffer is f32.
             xb = xb.astype(jnp.float32)
+            if scale is not None:
+                xb = xb * jnp.take(scale, idxb, axis=0)[:, None]
 
             def loss_fn(p):
                 logits = _forward_logits(p["W"], p["b"], xb)
@@ -205,6 +215,19 @@ def _make_resident_epoch_fn(
         )
         return params, opt_state, losses
 
+    if quantized:
+        def epoch_q(params, opt_state, x_resident, scale, idxs, ys, ws, ns):
+            return epoch_impl(
+                params, opt_state, x_resident, scale, idxs, ys, ws, ns
+            )
+
+        return jax.jit(epoch_q)
+
+    def epoch(params, opt_state, x_resident, idxs, ys, ws, ns):
+        return epoch_impl(
+            params, opt_state, x_resident, None, idxs, ys, ws, ns
+        )
+
     return jax.jit(epoch)
 
 
@@ -223,7 +246,17 @@ def _jitted_forward():
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_forward_resident():
+def _jitted_forward_resident(quantized: bool = False):
+    if quantized:
+        def fwd_q(params, x_resident, scale, idx):
+            x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+            x = x * jnp.take(scale, idx, axis=0)[:, None]
+            return jax.nn.softmax(
+                _forward_logits(params["W"], params["b"], x), axis=1
+            )
+
+        return jax.jit(fwd_q)
+
     def fwd(params, x_resident, idx):
         x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
         return jax.nn.softmax(_forward_logits(params["W"], params["b"], x), axis=1)
@@ -543,12 +576,49 @@ class MLPClassifier:
 
     #: storage dtypes the resident buffer supports. bfloat16 halves both
     #: the host->device upload and the buffer's HBM footprint (doubling
-    #: resident-dataset capacity per chip); compute still runs f32 — rows
-    #: are upcast right after the on-device gather, so only the one-time
-    #: storage rounding of the features differs from the f32 path. Like
-    #: every reduced-precision path in this repo it sits behind a
-    #: 0.999-cosine differential gate (tests/train/test_mlp_classifier.py).
-    RESIDENT_DTYPES = ("float32", "bfloat16")
+    #: resident-dataset capacity per chip); int8 quarters them (symmetric
+    #: per-row quantization with an f32 scale vector, dequantized right
+    #: after the on-device gather). Compute still runs f32 — rows are
+    #: upcast (and dequantized) right after the gather, so only the
+    #: one-time storage rounding of the features differs from the f32
+    #: path. Like every reduced-precision path in this repo these sit
+    #: behind a 0.999-cosine differential gate
+    #: (tests/train/test_mlp_classifier.py).
+    RESIDENT_DTYPES = ("float32", "bfloat16", "int8")
+
+    @staticmethod
+    def _int8_row_scales(X: np.ndarray, slab_rows: int = 65536) -> np.ndarray:
+        """Per-row symmetric quantization scales: ``absmax / 127`` with 1.0
+        for all-zero rows. Computed slab-by-slab with max/min reductions so
+        no full-size |X| temporary is ever allocated (host-memory-weather
+        discipline, CLAUDE.md)."""
+        n = X.shape[0]
+        scale = np.empty(n, dtype=np.float32)
+        for s in range(0, n, slab_rows):
+            rows = X[s: s + slab_rows]
+            absmax = np.maximum(rows.max(axis=1), -rows.min(axis=1))
+            scale[s: s + slab_rows] = absmax / 127.0
+        scale[scale == 0.0] = 1.0
+        return scale
+
+    @staticmethod
+    def _quantize_rows_int8(
+        rows: np.ndarray,
+        inv_scale: np.ndarray,
+        tmp: np.ndarray,
+        out: np.ndarray,
+    ) -> np.ndarray:
+        """round(rows / scale) clipped to [-127, 127], written through
+        preallocated ``tmp`` (f32) and ``out`` (int8) buffers — no fresh
+        multi-hundred-MB temporaries per slab."""
+        k = rows.shape[0]
+        t = tmp[:k]
+        np.multiply(rows, inv_scale[:, None], out=t)
+        np.rint(t, out=t)
+        np.clip(t, -127.0, 127.0, out=t)
+        q = out[:k]
+        q[...] = t  # f32 -> int8 cast into the preallocated buffer
+        return q
 
     def set_resident_features(
         self, X: np.ndarray, dtype: str = "float32"
@@ -571,6 +641,9 @@ class MLPClassifier:
             raise ValueError(f"X must be 2D, got shape {X.shape}")
         self._resident_n_rows = int(X.shape[0])
         self._resident_dtype = dtype
+        scale = (
+            self._int8_row_scales(X) if dtype == "int8" else None
+        )
         if self.mesh is not None:
             # Row-shard the buffer across the whole mesh: N chips hold N
             # chips' worth of features (the 4096-dim production set at
@@ -584,17 +657,50 @@ class MLPClassifier:
                 X = np.concatenate(
                     [X, np.zeros((pad, X.shape[1]), np.float32)]
                 )
-            self._resident_X = jax.device_put(
-                jnp.asarray(X, dtype=jdtype),
-                NamedSharding(self.mesh, P(self.mesh.axis_names, None)),
+                if scale is not None:
+                    scale = np.concatenate(
+                        [scale, np.ones(pad, np.float32)]
+                    )
+            row_sharding = NamedSharding(
+                self.mesh, P(self.mesh.axis_names, None)
             )
+            if scale is not None:
+                slab = max(1, min(65536, X.shape[0]))
+                tmp = np.empty((slab, X.shape[1]), np.float32)
+                q = np.empty(X.shape, np.int8)
+                inv = (1.0 / scale).astype(np.float32)
+                for s in range(0, X.shape[0], slab):
+                    self._quantize_rows_int8(
+                        X[s: s + slab], inv[s: s + slab], tmp, q[s: s + slab]
+                    )
+                self._resident_X = jax.device_put(
+                    jnp.asarray(q), row_sharding
+                )
+                self._resident_scale = jax.device_put(
+                    jnp.asarray(scale),
+                    NamedSharding(self.mesh, P(self.mesh.axis_names)),
+                )
+            else:
+                self._resident_X = jax.device_put(
+                    jnp.asarray(X, dtype=jdtype), row_sharding
+                )
+                self._resident_scale = None
         else:
-            self._resident_X = self._chunked_device_put(X, dtype=jdtype)
+            self._resident_X = self._chunked_device_put(
+                X, dtype=jdtype, row_scale=scale
+            )
+            self._resident_scale = (
+                jax.device_put(jnp.asarray(scale)) if scale is not None
+                else None
+            )
         return self
 
     @staticmethod
     def _chunked_device_put(
-        X: np.ndarray, chunk_bytes: int = 1 << 28, dtype=jnp.float32
+        X: np.ndarray,
+        chunk_bytes: int = 1 << 28,
+        dtype=jnp.float32,
+        row_scale: np.ndarray | None = None,
     ):
         """device_put in ~256 MB slabs into one donated device buffer.
 
@@ -603,20 +709,43 @@ class MLPClassifier:
         to wedge. Slabs land in a preallocated buffer via donated
         dynamic_update_slice (in-place on TPU: peak device memory is the
         buffer + one slab), with a progress log per slab. Identical
-        contents to a one-shot device_put."""
+        contents to a one-shot device_put.
+
+        With ``row_scale`` (int8 storage) each slab is symmetric-quantized
+        host-side through preallocated scratch buffers:
+        ``round(X / scale).clip(-127, 127)``."""
         import logging
 
         dtype = jnp.dtype(dtype)
-        # Transfer bytes per row AFTER the storage cast (bf16 halves them);
-        # the cast happens host-side per slab, so peak host memory is
-        # X + one reduced-precision slab.
+        quantize = row_scale is not None
+        if quantize and dtype != jnp.int8:
+            raise ValueError("row_scale is only valid with int8 storage")
+        # Transfer bytes per row AFTER the storage cast (bf16 halves them,
+        # int8 quarters); the cast happens host-side per slab, so peak host
+        # memory is X + one reduced-precision slab (+ one f32 scratch slab
+        # when quantizing).
         row_bytes = int(X.shape[1]) * dtype.itemsize
         nbytes = X.shape[0] * row_bytes
+        inv_scale = None
+        if quantize:
+            inv_scale = (1.0 / np.asarray(row_scale, np.float32)).astype(
+                np.float32
+            )
         if nbytes <= chunk_bytes:
+            if quantize:
+                tmp = np.empty(X.shape, np.float32)
+                out = np.empty(X.shape, np.int8)
+                return jax.device_put(jnp.asarray(
+                    MLPClassifier._quantize_rows_int8(X, inv_scale, tmp, out)
+                ))
             return jax.device_put(jnp.asarray(X, dtype=dtype))
         rows_per_chunk = max(1, chunk_bytes // max(row_bytes, 1))
         n = X.shape[0]
         _logger = logging.getLogger(__name__)
+        q_tmp = q_out = None
+        if quantize:
+            q_tmp = np.empty((rows_per_chunk, X.shape[1]), np.float32)
+            q_out = np.empty((rows_per_chunk, X.shape[1]), np.int8)
 
         @functools.partial(jax.jit, donate_argnums=0)
         def write(buf, slab, row):
@@ -625,7 +754,16 @@ class MLPClassifier:
         buf = jnp.zeros(X.shape, dtype)
         t0 = time.perf_counter()
         for start in range(0, n, rows_per_chunk):
-            slab = jnp.asarray(X[start: start + rows_per_chunk], dtype=dtype)
+            if quantize:
+                slab = jnp.asarray(MLPClassifier._quantize_rows_int8(
+                    X[start: start + rows_per_chunk],
+                    inv_scale[start: start + rows_per_chunk],
+                    q_tmp, q_out,
+                ))
+            else:
+                slab = jnp.asarray(
+                    X[start: start + rows_per_chunk], dtype=dtype
+                )
             # Traced row offset: all full slabs share one compiled
             # program; the ragged tail adds one more.
             buf = write(buf, slab, jnp.int32(start))
@@ -707,6 +845,8 @@ class MLPClassifier:
         )
         opt_state_aval = jax.eval_shape(opt.init, params_aval)
         x_aval = jax.ShapeDtypeStruct((int(n_rows), int(dim)), jdtype)
+        quantized = jdtype == jnp.int8
+        scale_aval = jax.ShapeDtypeStruct((int(n_rows),), jnp.float32)
         execs = self.__dict__.setdefault("_resident_exec", {})
 
         def key(tag: str, *geometry: int) -> tuple:
@@ -726,15 +866,23 @@ class MLPClassifier:
             fn = _make_resident_epoch_fn(
                 n_batches, sizes, float(self.learning_rate_init),
                 float(self.beta_1), float(self.beta_2), float(self.epsilon),
-                float(self.alpha), None,
+                float(self.alpha), None, quantized,
             )
-            execs[k] = fn.lower(
-                params_aval, opt_state_aval, x_aval,
+            batch_avals = (
                 jax.ShapeDtypeStruct((n_batches, bs), jnp.int32),
                 jax.ShapeDtypeStruct((n_batches, bs), jnp.int32),
                 jax.ShapeDtypeStruct((n_batches, bs), jnp.float32),
                 jax.ShapeDtypeStruct((n_batches,), jnp.float32),
-            ).compile()
+            )
+            if quantized:
+                execs[k] = fn.lower(
+                    params_aval, opt_state_aval, x_aval, scale_aval,
+                    *batch_avals,
+                ).compile()
+            else:
+                execs[k] = fn.lower(
+                    params_aval, opt_state_aval, x_aval, *batch_avals,
+                ).compile()
             stats["epoch_programs"] += 1
         for n in sorted({int(n) for n in eval_batch_row_counts}):
             if n <= 0:
@@ -742,9 +890,15 @@ class MLPClassifier:
             k = key("fwd", n)
             if k in execs:
                 continue
-            execs[k] = _jitted_forward_resident().lower(
-                params_aval, x_aval, jax.ShapeDtypeStruct((n,), jnp.int32),
-            ).compile()
+            idx_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
+            if quantized:
+                execs[k] = _jitted_forward_resident(True).lower(
+                    params_aval, x_aval, scale_aval, idx_aval,
+                ).compile()
+            else:
+                execs[k] = _jitted_forward_resident().lower(
+                    params_aval, x_aval, idx_aval,
+                ).compile()
             stats["forward_programs"] += 1
         stats["seconds"] = round(time.perf_counter() - t0, 1)
         return stats
@@ -846,6 +1000,7 @@ class MLPClassifier:
                 ws = np.concatenate(
                     [ws, np.zeros((n_batches, row_pad), np.float32)], axis=1)
 
+        quantized = getattr(self, "_resident_dtype", "float32") == "int8"
         epoch_fn = None
         if self.mesh is None:
             # AOT-warmed executable for this geometry, if the trainer
@@ -864,10 +1019,18 @@ class MLPClassifier:
                 float(self.epsilon),
                 float(self.alpha),
                 self.mesh,
+                quantized,
             )
-        self._params, self._opt_state, losses = epoch_fn(
-            self._params, self._opt_state, self._resident_X, idxs, ys, ws, ns
-        )
+        if quantized:
+            self._params, self._opt_state, losses = epoch_fn(
+                self._params, self._opt_state, self._resident_X,
+                self._resident_scale, idxs, ys, ws, ns,
+            )
+        else:
+            self._params, self._opt_state, losses = epoch_fn(
+                self._params, self._opt_state, self._resident_X,
+                idxs, ys, ws, ns,
+            )
 
         losses_np = np.asarray(losses, dtype=np.float64)
         avg_loss = float(np.sum(losses_np * ns) / max(n_samples, 1))
@@ -977,14 +1140,21 @@ class MLPClassifier:
         idx = np.asarray(indices, dtype=np.int32)
         if idx.ndim != 1:
             raise ValueError(f"indices must be 1-D, got {idx.shape}")
+        quantized = getattr(self, "_resident_dtype", "float32") == "int8"
         fwd = None
         if self.mesh is None:
             fwd = getattr(self, "_resident_exec", {}).get(
                 self._exec_key("fwd", len(idx))
             )
         if fwd is None:
-            fwd = _jitted_forward_resident()
-        probs = fwd(self._params, self._resident_X, jnp.asarray(idx))
+            fwd = _jitted_forward_resident(quantized)
+        if quantized:
+            probs = fwd(
+                self._params, self._resident_X, self._resident_scale,
+                jnp.asarray(idx),
+            )
+        else:
+            probs = fwd(self._params, self._resident_X, jnp.asarray(idx))
         return self._renormalize_probs(np.asarray(probs).astype(np.float64))
 
     def predict_resident(self, indices: np.ndarray) -> np.ndarray:
@@ -1035,6 +1205,7 @@ class MLPClassifier:
         # DATA, not model state — never serialized (re-attach with
         # set_resident_features after unpickling to resume resident runs).
         state.pop("_resident_X", None)
+        state.pop("_resident_scale", None)
         # AOT-compiled executables are live device programs, not state.
         state.pop("_resident_exec", None)
         params = state.pop("_params", None)
@@ -1068,7 +1239,8 @@ class MLPClassifier:
         clone = self.__class__.__new__(self.__class__)
         memo[id(self)] = clone
         for k, v in self.__dict__.items():
-            if k in ("_params", "_opt_state", "_resident_X", "_resident_exec"):
+            if k in ("_params", "_opt_state", "_resident_X",
+                     "_resident_scale", "_resident_exec"):
                 # Immutable device buffers / compiled programs — snapshots
                 # share them (a deepcopy of the resident matrix would
                 # duplicate GBs of HBM).

@@ -287,10 +287,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="pin the training subprocess to the CPU backend"
                         " (tests; the measured drive runs on the chip)")
     parser.add_argument("--resident-dtype", default="float32",
-                        choices=("float32", "bfloat16"),
+                        choices=("float32", "bfloat16", "int8"),
                         help="storage precision of the device-resident"
                         " feature buffer; bfloat16 halves the upload and"
-                        " HBM footprint (compute stays f32)")
+                        " HBM footprint, int8 (per-row scales) quarters"
+                        " them (compute stays f32)")
     args = parser.parse_args(argv)
 
     if args.workdir:

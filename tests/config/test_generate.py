@@ -107,6 +107,9 @@ class TestWriteConfigDir(unittest.TestCase):
             TrainingConfig(resident_dtype="bfloat16").resident_dtype,
             "bfloat16",
         )
+        self.assertEqual(
+            TrainingConfig(resident_dtype="int8").resident_dtype, "int8"
+        )
         with self.assertRaises(ValueError):
             TrainingConfig(resident_dtype="float16")
 

@@ -8,6 +8,7 @@ hand-written numpy Adam reference for the update-rule semantics.
 
 import pickle
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -603,6 +604,175 @@ class TestResidentMesh:
         )
 
 
+class TestResidentInt8:
+    """int8 resident storage (symmetric per-row quantization, f32 scales,
+    dequant after the on-device gather) quarters upload bytes + HBM
+    footprint. Compute stays f32: training from the int8 buffer must be
+    BIT-IDENTICAL to streamed partial_fit on the host-dequantized
+    features, and the compute path sits behind the house 0.999-cosine
+    gate like every reduced-precision path."""
+
+    def _data(self, n=600, dim=12, k=4, seed=7):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 3, size=(k, dim)).astype(np.float32)
+        y_idx = rng.integers(0, k, n)
+        X = (centers[y_idx] + rng.normal(0, 0.5, size=(n, dim))).astype(
+            np.float32
+        )
+        y = np.asarray([f"c{i}" for i in y_idx])
+        return X, y
+
+    @staticmethod
+    def _dequantized(X):
+        """The exact host-side image of the int8 storage: what the device
+        reconstructs after gather + dequant."""
+        absmax = np.maximum(X.max(axis=1), -X.min(axis=1))
+        scale = (absmax / 127.0).astype(np.float32)
+        scale[scale == 0.0] = 1.0
+        q = np.clip(
+            np.rint(X / scale[:, None]), -127, 127
+        ).astype(np.int8)
+        return q.astype(np.float32) * scale[:, None], q, scale
+
+    def test_int8_bitwise_matches_streamed_on_dequantized(self):
+        X, y = self._data()
+        Xdq, _, _ = self._dequantized(X)
+        classes = sorted(set(y.tolist()))
+        streamed = MLPClassifier((16, 8), learning_rate_init=1e-2,
+                                 random_state=3)
+        resident = MLPClassifier((16, 8), learning_rate_init=1e-2,
+                                 random_state=3)
+        resident.set_resident_features(X, dtype="int8")
+        assert str(resident._resident_X.dtype) == "int8"
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            order = rng.permutation(len(X))
+            for start in range(0, len(X), 256):
+                idx = order[start:start + 256]
+                streamed.partial_fit(Xdq[idx], y[idx], classes=classes)
+                resident.partial_fit_resident(idx, y[idx], classes=classes)
+        assert streamed.loss_curve_ == resident.loss_curve_
+        for wa, wb in zip(streamed.coefs_, resident.coefs_):
+            np.testing.assert_array_equal(wa, wb)
+        np.testing.assert_array_equal(
+            streamed.predict_proba(Xdq[:50]),
+            resident.predict_proba_resident(np.arange(50)),
+        )
+
+    def test_int8_behind_cosine_gate(self):
+        """THE GATE: through the same trained params, the resident forward
+        over int8-stored rows must agree with the host f32 forward to min
+        cosine >= 0.999 (house reduced-precision discipline)."""
+        X, y = self._data(n=400)
+        classes = sorted(set(y.tolist()))
+        f32 = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=3)
+        q8 = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=3)
+        f32.set_resident_features(X)
+        q8.set_resident_features(X, dtype="int8")
+        idx = np.arange(len(X))
+        for _ in range(3):
+            f32.partial_fit_resident(idx, y, classes=classes)
+            q8.partial_fit_resident(idx, y, classes=classes)
+
+        def min_cosine(a, b):
+            num = np.sum(a * b, axis=1)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            return float(np.min(num / np.maximum(den, 1e-12)))
+
+        p_res = q8.predict_proba_resident(idx[:100])
+        p_host = q8.predict_proba(X[:100])
+        assert min_cosine(p_host, p_res) >= 0.999
+        # Quality band: the int8-trained and f32-trained models stay close.
+        p_f32 = f32.predict_proba(X[:100])
+        assert min_cosine(p_f32, p_host) >= 0.98
+        np.testing.assert_allclose(
+            f32.loss_curve_, q8.loss_curve_, rtol=5e-2
+        )
+
+    def test_chunked_upload_int8_equals_reference_quantization(self):
+        """Slab-by-slab int8 upload (preallocated scratch, no fresh
+        temporaries) == the direct quantization formula."""
+        X, _ = self._data(n=237, dim=16)
+        _, q_ref, scale = self._dequantized(X)
+        chunked = np.asarray(
+            MLPClassifier._chunked_device_put(
+                X, chunk_bytes=16 * 32, dtype=jnp.int8, row_scale=scale
+            )
+        )
+        np.testing.assert_array_equal(q_ref, chunked)
+
+    def test_int8_accuracy_band_on_synthetic_task(self):
+        """Quantization is feature noise, not arithmetic drift — trained
+        accuracy must hold the band vs the raw-feature run."""
+        X, y = self._data(n=800)
+        classes = sorted(set(y.tolist()))
+        idx = np.arange(len(X))
+        raw = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=0)
+        q8 = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=0)
+        raw.set_resident_features(X)
+        q8.set_resident_features(X, dtype="int8")
+        for _ in range(5):
+            raw.partial_fit_resident(idx, y, classes=classes)
+            q8.partial_fit_resident(idx, y, classes=classes)
+        acc_raw = float(np.mean(raw.predict_resident(idx) == y))
+        acc_q8 = float(np.mean(q8.predict_resident(idx) == y))
+        assert acc_q8 >= acc_raw - 0.03
+
+    def test_int8_zero_rows_safe(self):
+        X = np.zeros((8, 6), dtype=np.float32)
+        X[0, 0] = 2.0  # one non-degenerate row
+        y = np.asarray(["a", "b"] * 4)
+        clf = MLPClassifier((4,), random_state=0)
+        clf.set_resident_features(X, dtype="int8")
+        scale = np.asarray(clf._resident_scale)
+        assert np.all(np.isfinite(scale)) and np.all(scale > 0)
+        clf.partial_fit_resident(np.arange(8), y, classes=["a", "b"])
+        probs = clf.predict_proba_resident(np.arange(8))
+        assert np.all(np.isfinite(probs))
+
+    def test_int8_mesh_matches_single_device(self):
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        X, y = self._data(n=300, dim=16, k=3, seed=5)
+        classes = sorted(set(y.tolist()))
+        single = MLPClassifier((12,), random_state=2)
+        single.set_resident_features(X, dtype="int8")
+        sharded = MLPClassifier((12,), random_state=2,
+                                mesh=make_mesh(8, model_parallel=1))
+        sharded.set_resident_features(X, dtype="int8")
+        # The sharded buffer pads rows to the device count; padding rows
+        # carry scale 1.0 and are never indexed.
+        rng2 = np.random.default_rng(1)
+        for _ in range(2):
+            order = rng2.permutation(len(X))
+            for s in range(0, len(X), 128):
+                idx = order[s:s + 128]
+                single.partial_fit_resident(idx, y[idx], classes=classes)
+                sharded.partial_fit_resident(idx, y[idx], classes=classes)
+        assert single.loss_curve_ == pytest.approx(
+            sharded.loss_curve_, abs=1e-6
+        )
+        np.testing.assert_allclose(
+            single.predict_proba_resident(np.arange(64)),
+            sharded.predict_proba_resident(np.arange(64)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_pickle_drops_scale_and_deepcopy_shares_it(self):
+        import copy
+        import pickle
+
+        X, y = self._data(n=64)
+        clf = MLPClassifier((8,), random_state=0)
+        clf.set_resident_features(X, dtype="int8")
+        clf.partial_fit_resident(np.arange(64), y, classes=sorted(set(y)))
+        snap = copy.deepcopy(clf)
+        assert snap._resident_scale is clf._resident_scale
+        clone = pickle.loads(pickle.dumps(clf))
+        assert getattr(clone, "_resident_scale", None) is None
+        assert getattr(clone, "_resident_X", None) is None
+
+
 class TestBatchSizeAndPickleCompat:
     """Scenario-parity with the reference battery: auto batch-size rule,
     explicit clipping, and resuming an OLD pickle that predates
@@ -735,6 +905,39 @@ class TestWarmResidentPrograms:
         warm, p_warm = self._train(X, y, warm=True, dtype="bfloat16")
         assert cold.loss_curve_ == warm.loss_curve_
         np.testing.assert_array_equal(p_cold, p_warm)
+
+    def test_int8_resident_warm(self):
+        X, y = self._data()
+        cold, p_cold = self._train(X, y, warm=False, dtype="int8")
+        warm, p_warm = self._train(X, y, warm=True, dtype="int8")
+        assert cold.loss_curve_ == warm.loss_curve_
+        np.testing.assert_array_equal(p_cold, p_warm)
+
+    def test_int8_warmed_executables_are_used(self, monkeypatch):
+        """The int8 programs take an extra scale argument — pin that the
+        warmed executable (not a jit fallback) serves the quantized
+        geometry too, so key or signature drift fails loudly."""
+        import mermaid_classifier_tpu.train.mlp_classifier as mod
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[300, len(X) - 300],
+            eval_batch_row_counts=[len(X)], dtype="int8",
+        )
+        clf.set_resident_features(X, dtype="int8")
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the jit path")
+
+        monkeypatch.setattr(mod, "_make_resident_epoch_fn", boom)
+        monkeypatch.setattr(mod, "_jitted_forward_resident", boom)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx[:300], y[:300], classes=classes)
+        clf.partial_fit_resident(idx[300:], y[300:])
+        clf.predict_proba_resident(idx)
 
     def test_mesh_skips_warming(self):
         from mermaid_classifier_tpu.parallel.mesh import make_mesh

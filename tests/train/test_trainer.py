@@ -379,6 +379,24 @@ class TestDeviceResidentTrainer:
             msg_a.ref_accs, msg_b.ref_accs, atol=0.05
         )
 
+    def test_resident_int8_close_to_streamed(self, task_labels):
+        """resident_dtype='int8' stores the pinned features quarter-size
+        (per-row scales, dequant after the on-device gather); only the
+        storage rounding may move the metrics — accuracies stay within a
+        tight band of the streamed f32 run."""
+        streamed = SmallNetTrainer(batch_size=64, early_stopping_patience=3)
+        _, _, msg_a = streamed(task_labels, nbr_epochs=4, pc_models=[])
+        resident = SmallNetTrainer(
+            batch_size=64, early_stopping_patience=3, device_resident=True,
+            resident_dtype="int8",
+        )
+        clf_b, _, msg_b = resident(task_labels, nbr_epochs=4, pc_models=[])
+        assert str(clf_b.estimator._resident_X.dtype) == "int8"
+        assert msg_a.acc == pytest.approx(msg_b.acc, abs=0.05)
+        np.testing.assert_allclose(
+            msg_a.ref_accs, msg_b.ref_accs, atol=0.05
+        )
+
     def test_device_calibration_backend_close_to_scipy(self, task_labels):
         """calibration_backend='device' routes the Platt fits through the
         batched Newton solve; end metrics and calibrators stay within the
