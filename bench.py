@@ -1149,7 +1149,8 @@ def main() -> None:
                     p.name: m for m, p, _ in records
                 },
                 **{k: best[k] for k in (
-                    "train_full_recipe_minutes", "accuracy",
+                    "train_full_recipe_minutes",
+                    "projected_vm_train_minutes", "accuracy",
                     "balanced_accuracy", "export_parity_max_abs_diff",
                     "reference_minutes",
                 ) if k in best},
@@ -1173,6 +1174,7 @@ def main() -> None:
                 k: recipe[k]
                 for k in (
                     "train_full_recipe_minutes", "total_minutes",
+                    "projected_vm_train_minutes",
                     "stage_seconds", "train_stage_breakdown",
                     "subsample_realized", "final_epoch",
                     "best_val_epoch", "accuracy", "balanced_accuracy",

@@ -15,7 +15,10 @@ is that seam's executable proof:
           coordinator -> global device view (N*K devices) ->
           make_multihost_mesh (DCN dimension on the data axis only) ->
           cross-process psum check -> one ShardedHeadTrainer train step
-          (dp gradient sync across processes, tp inside each process).
+          (dp gradient sync across processes, tp inside each process) ->
+          the production MLPClassifier mesh paths: streamed partial_fit
+          AND device-resident training (row-sharded buffer, f32 + int8
+          storage) differentially checked against a mesh-less run.
 
 Exit 0 only when every worker succeeds. Used by
 tests/parallel/test_multihost.py; run standalone:
@@ -149,8 +152,40 @@ def worker(args) -> int:
     clf_loss = clf.loss_curve_[-1]
     assert np.isfinite(clf_loss), clf_loss
 
+    # Device-resident training across the process boundary — the
+    # production C2 shape (trainer pins the full feature matrix once,
+    # row-SHARDED over every host's devices, and gathers mini-batches by
+    # index): every process device_puts the identical host matrix onto
+    # the global row sharding (JAX extracts each process's local shards),
+    # the gather + dp gradient reduction cross DCN, and the losses must
+    # match a mesh-less single-process run of the same data — the same
+    # differential the single-host tests pin, here across real processes.
+    # int8 storage exercises the quantized buffer + per-row scale vector
+    # over the multihost sharding too.
+    for rdtype in ("float32", "int8"):
+        resident = MLPClassifier((8,), learning_rate_init=1e-3,
+                                 random_state=0, batch_size=2 * n_total,
+                                 mesh=mesh)
+        local = MLPClassifier((8,), learning_rate_init=1e-3,
+                              random_state=0, batch_size=2 * n_total)
+        rng_r = np.random.default_rng(42)  # same stream on every process
+        Xr = rng_r.standard_normal((6 * n_total, 6)).astype(np.float32)
+        yr = np.asarray([f"c{v}" for v in rng_r.integers(0, 3, len(Xr))])
+        resident.set_resident_features(Xr, dtype=rdtype)
+        local.set_resident_features(Xr, dtype=rdtype)
+        idx = np.arange(len(Xr))
+        cls_list = sorted(set(yr.tolist()))
+        resident.partial_fit_resident(idx, yr, classes=cls_list)
+        local.partial_fit_resident(idx, yr, classes=cls_list)
+        r_loss, l_loss = resident.loss_curve_[-1], local.loss_curve_[-1]
+        assert np.isfinite(r_loss), r_loss
+        assert abs(r_loss - l_loss) < 1e-5, (rdtype, r_loss, l_loss)
+        p_mesh = resident.predict_proba_resident(idx[: 2 * n_total])
+        p_local = local.predict_proba_resident(idx[: 2 * n_total])
+        np.testing.assert_allclose(p_mesh, p_local, rtol=1e-5, atol=1e-6)
+
     print(f"{OK_MARKER} process={args.process_id} loss={loss:.4f}"
-          f" clf_loss={clf_loss:.4f}", flush=True)
+          f" clf_loss={clf_loss:.4f} resident=ok(f32,int8)", flush=True)
     return 0
 
 
@@ -230,7 +265,8 @@ def parent(args) -> int:
         return 1
     print(f"{OK_MARKER}: {args.processes} processes x"
           f" {args.local_devices} devices — global mesh, cross-process"
-          " psum, and sharded train step all green")
+          " psum, sharded train step, and resident training (f32 + int8"
+          " row-sharded buffer) all green")
     return 0
 
 

@@ -59,6 +59,26 @@ def log(msg: str) -> None:
     print(f"[full-recipe] {msg}", flush=True)
 
 
+_RESIDENT_ITEMSIZE = {"float32": 4, "bfloat16": 2, "int8": 1}
+
+
+def _project_vm_minutes(train_seconds: float, metrics: dict, args) -> float | None:
+    """Headline minus the environment-only components (weather pre-touch +
+    tunnel-rate upload), plus the same upload at a TPU VM's PCIe rate.
+    Returns None when the resident stage budget was not logged."""
+    pretouch = metrics.get("resident/pretouch_seconds")
+    upload = metrics.get("resident/upload_stage_seconds")
+    rows = metrics.get("subsample/realized_total")
+    if pretouch is None or upload is None or not rows:
+        return None
+    wire_gb = (
+        rows * args.dim * _RESIDENT_ITEMSIZE[args.resident_dtype] / 1e9
+    )
+    vm_upload_s = wire_gb / 8.0  # PCIe/DMA ~8 GB/s (bench --pcie-gbps)
+    projected = train_seconds - pretouch - upload + vm_upload_s
+    return round(projected / 60.0, 2)
+
+
 def build_taxonomy(n_classes: int, out_dir: Path) -> list[str]:
     """80 leaf BAs under 8 roots + 4 growth forms; class k maps CoralNet
     provider id (2000+k) to leaf k's BAGF combo (every 5th class GF-less,
@@ -439,6 +459,16 @@ def main(argv: list[str] | None = None) -> int:
         "profiled_sections": sections,
         "final_epoch": metrics.get("early_stop/final_epoch"),
         "best_val_epoch": metrics.get("early_stop/best_val_epoch"),
+        # VM projection of the headline (same discipline as the bench
+        # bucket leg's projected_vm_pps): the measured train stage minus
+        # the two components that exist only on THIS environment — the
+        # host-memory-weather pre-touch (a healthy host faults multi-GB
+        # in ~1 s/GB) and the tunnel-rate device upload — plus the same
+        # upload at PCIe rate. Every other second (ETL, epochs,
+        # calibration, export, metrics) carries over as measured.
+        "projected_vm_train_minutes": _project_vm_minutes(
+            stages["train"], metrics, args
+        ),
         "accuracy": metrics.get("accuracy"),
         "balanced_accuracy": metrics.get("balanced_accuracy"),
         "log_loss": metrics.get("log_loss"),

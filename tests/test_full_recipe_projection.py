@@ -1,0 +1,64 @@
+"""Unit pins for full_recipe_drive's VM projection of the headline.
+
+The drive itself is a chip-scale run (committed records in docs/runs/);
+what IS unit-testable is the projection formula: measured train stage
+minus the environment-only components (host-memory-weather pre-touch +
+tunnel-rate upload) plus the same upload at PCIe rate — the analog of
+the bench bucket leg's ``projected_vm_pps``.
+"""
+
+import argparse
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_drive():
+    spec = importlib.util.spec_from_file_location(
+        "full_recipe_drive", REPO / "scripts" / "full_recipe_drive.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("full_recipe_drive", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestProjectedVmMinutes:
+    def _args(self, dim=4096, dtype="int8"):
+        return argparse.Namespace(dim=dim, resident_dtype=dtype)
+
+    def test_matches_the_int8_record_formula(self):
+        """The committed int8 record's post-hoc projection and the
+        in-script formula must be the same computation."""
+        drive = _load_drive()
+        metrics = {
+            "resident/pretouch_seconds": 84.7,
+            "resident/upload_stage_seconds": 185.0,
+            "subsample/realized_total": 449099.0,
+        }
+        got = drive._project_vm_minutes(818.2, metrics, self._args())
+        # 818.2 - 84.7 - 185.0 + 449099*4096*1/1e9/8 = 548.73 s -> 9.15
+        assert got == 9.15
+
+    def test_dtype_changes_only_the_wire_term(self):
+        drive = _load_drive()
+        metrics = {
+            "resident/pretouch_seconds": 0.0,
+            "resident/upload_stage_seconds": 0.0,
+            "subsample/realized_total": 100_000.0,
+        }
+        f32 = drive._project_vm_minutes(600.0, metrics, self._args(dtype="float32"))
+        i8 = drive._project_vm_minutes(600.0, metrics, self._args(dtype="int8"))
+        # 100k x 4096: f32 wires 4x the bytes of int8; both add <1 s at
+        # 8 GB/s, so the projections differ by under a second.
+        assert f32 >= i8
+        assert (f32 - i8) * 60.0 < 1.0
+
+    def test_missing_budget_returns_none(self):
+        drive = _load_drive()
+        assert drive._project_vm_minutes(600.0, {}, self._args()) is None
+        assert drive._project_vm_minutes(
+            600.0, {"resident/pretouch_seconds": 1.0}, self._args()
+        ) is None
