@@ -904,6 +904,14 @@ def main() -> None:
         run_annotate_cpu_check(args.annotate_cpu_check)
         return
 
+    # External-load sample BEFORE the bench does anything heavy: the
+    # 1-minute loadavg taken mid-bench reflects the bench's OWN decode
+    # pool / writer threads and would self-flag a clean run. This one can
+    # only be another process.
+    import os as _os_main
+
+    loadavg_at_start = round(_os_main.getloadavg()[0], 2)
+
     # Honor JAX_PLATFORMS even under plugins that ignore the env var (the
     # axon TPU plugin does; CLAUDE.md) — pin via config before device use,
     # so a CPU-pinned bench smoke really runs on CPU.
@@ -1061,8 +1069,11 @@ def main() -> None:
             # A competing process on a 1-2 CPU host starves decode/write
             # and the Python driver loop; attribute that explicitly (the
             # validation-run failure mode: running the bench beside a
-            # test suite halved the bucket leg).
-            if budget["loadavg_1m"] > budget["host_cpus"] + 0.5:
+            # test suite halved the bucket leg). Judged on the loadavg
+            # sampled BEFORE the bench started — the mid-bench sample in
+            # the stage budget includes the bench's own threads.
+            payload["loadavg_at_start"] = loadavg_at_start
+            if loadavg_at_start > budget["host_cpus"] + 0.5:
                 payload["bucket_model_cpu_contended"] = True
     if annotate is not None:
         payload["annotate_latency_ms"] = annotate["latency_ms"]

@@ -110,6 +110,41 @@ class LocalFSObjectStore(ObjectStore):
                 if key.startswith(prefix):
                     yield key
 
+    def download(self, bucket: str, key: str, local_path: str | Path) -> None:
+        """Local-store downloads hardlink instead of copying bytes.
+
+        A local-FS "download" into the feature cache would otherwise
+        rewrite every byte disk-to-disk (measured: 150 s of a C2-scale
+        drive's train stage — and the fresh page-cache pages feed the
+        host-memory-weather pathology, CLAUDE.md). A hardlink is
+        byte-identical, atomic (temp name + rename like every write
+        here), and stays consistent: consumers treat cached feature
+        files as immutable, and a later put_bytes to the same key
+        replaces the STORE's inode, leaving the cached link holding the
+        bytes it downloaded. Cross-filesystem targets fall back to the
+        base byte copy.
+        """
+        src = self._path(bucket, key)
+        if not src.is_file():
+            raise ObjectStoreError(f"object not found: {bucket}/{key}")
+        dst = Path(local_path)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dst.parent / f".{dst.name}.{os.getpid()}.part"
+        try:
+            os.link(src, tmp)
+            # The link ALIASES the store inode; every consumer of a
+            # downloaded file is read-only by convention, and dropping the
+            # write bits turns a future violation (an in-place write that
+            # would silently corrupt the store object) into a loud
+            # EACCES. put_bytes/delete still work: they replace/unlink
+            # the directory entry, never write through the inode.
+            os.chmod(tmp, 0o444)
+            os.replace(tmp, dst)
+        except OSError:
+            if tmp.exists():
+                tmp.unlink()
+            super().download(bucket, key, local_path)
+
     def delete(self, bucket: str, key: str) -> None:
         path = self._path(bucket, key)
         if path.is_file():

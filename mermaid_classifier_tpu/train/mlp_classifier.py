@@ -598,7 +598,13 @@ class MLPClassifier:
             rows = X[s: s + slab_rows]
             absmax = np.maximum(rows.max(axis=1), -rows.min(axis=1))
             scale[s: s + slab_rows] = absmax / 127.0
-        scale[scale == 0.0] = 1.0
+        # Effectively-zero rows take scale 1.0 (they quantize to zeros).
+        # The floor must catch SUBNORMAL scales too, not just exact zero:
+        # the quantizer multiplies by 1/scale, and the reciprocal of a
+        # subnormal f32 overflows to inf (0 * inf = NaN -> undefined
+        # int8 cast). Anything below the smallest normal f32 is noise
+        # relative to real features.
+        scale[scale < np.finfo(np.float32).tiny] = 1.0
         return scale
 
     @staticmethod
@@ -641,9 +647,16 @@ class MLPClassifier:
             raise ValueError(f"X must be 2D, got shape {X.shape}")
         self._resident_n_rows = int(X.shape[0])
         self._resident_dtype = dtype
-        scale = (
-            self._int8_row_scales(X) if dtype == "int8" else None
-        )
+        # Host-side quantization cost is measured separately from the
+        # transfer (the trainer logs it as resident/quantize_seconds):
+        # it is CPU work a real TPU VM pays too, unlike the tunnel-rate
+        # upload — the VM projection must not credit it away.
+        upload_timings: dict[str, float] = {"quantize_seconds": 0.0}
+        scale = None
+        if dtype == "int8":
+            t_q = time.perf_counter()
+            scale = self._int8_row_scales(X)
+            upload_timings["quantize_seconds"] += time.perf_counter() - t_q
         if self.mesh is not None:
             # Row-shard the buffer across the whole mesh: N chips hold N
             # chips' worth of features (the 4096-dim production set at
@@ -665,6 +678,7 @@ class MLPClassifier:
                 self.mesh, P(self.mesh.axis_names, None)
             )
             if scale is not None:
+                t_q = time.perf_counter()
                 slab = max(1, min(65536, X.shape[0]))
                 tmp = np.empty((slab, X.shape[1]), np.float32)
                 q = np.empty(X.shape, np.int8)
@@ -673,6 +687,9 @@ class MLPClassifier:
                     self._quantize_rows_int8(
                         X[s: s + slab], inv[s: s + slab], tmp, q[s: s + slab]
                     )
+                upload_timings["quantize_seconds"] += (
+                    time.perf_counter() - t_q
+                )
                 self._resident_X = jax.device_put(
                     jnp.asarray(q), row_sharding
                 )
@@ -687,12 +704,13 @@ class MLPClassifier:
                 self._resident_scale = None
         else:
             self._resident_X = self._chunked_device_put(
-                X, dtype=jdtype, row_scale=scale
+                X, dtype=jdtype, row_scale=scale, timings=upload_timings
             )
             self._resident_scale = (
                 jax.device_put(jnp.asarray(scale)) if scale is not None
                 else None
             )
+        self._resident_upload_timings = upload_timings
         return self
 
     @staticmethod
@@ -701,6 +719,7 @@ class MLPClassifier:
         chunk_bytes: int = 1 << 28,
         dtype=jnp.float32,
         row_scale: np.ndarray | None = None,
+        timings: dict[str, float] | None = None,
     ):
         """device_put in ~256 MB slabs into one donated device buffer.
 
@@ -733,11 +752,15 @@ class MLPClassifier:
             )
         if nbytes <= chunk_bytes:
             if quantize:
+                t_q = time.perf_counter()
                 tmp = np.empty(X.shape, np.float32)
                 out = np.empty(X.shape, np.int8)
-                return jax.device_put(jnp.asarray(
-                    MLPClassifier._quantize_rows_int8(X, inv_scale, tmp, out)
-                ))
+                q = MLPClassifier._quantize_rows_int8(X, inv_scale, tmp, out)
+                if timings is not None:
+                    timings["quantize_seconds"] = timings.get(
+                        "quantize_seconds", 0.0
+                    ) + (time.perf_counter() - t_q)
+                return jax.device_put(jnp.asarray(q))
             return jax.device_put(jnp.asarray(X, dtype=dtype))
         rows_per_chunk = max(1, chunk_bytes // max(row_bytes, 1))
         n = X.shape[0]
@@ -755,11 +778,17 @@ class MLPClassifier:
         t0 = time.perf_counter()
         for start in range(0, n, rows_per_chunk):
             if quantize:
-                slab = jnp.asarray(MLPClassifier._quantize_rows_int8(
+                t_q = time.perf_counter()
+                q = MLPClassifier._quantize_rows_int8(
                     X[start: start + rows_per_chunk],
                     inv_scale[start: start + rows_per_chunk],
                     q_tmp, q_out,
-                ))
+                )
+                if timings is not None:
+                    timings["quantize_seconds"] = timings.get(
+                        "quantize_seconds", 0.0
+                    ) + (time.perf_counter() - t_q)
+                slab = jnp.asarray(q)
             else:
                 slab = jnp.asarray(
                     X[start: start + rows_per_chunk], dtype=dtype
@@ -896,7 +925,11 @@ class MLPClassifier:
                     params_aval, x_aval, scale_aval, idx_aval,
                 ).compile()
             else:
-                execs[k] = _jitted_forward_resident().lower(
+                # Positional False (not the default-arg spelling): f() and
+                # f(False) are DISTINCT lru_cache entries, and the runtime
+                # fallback calls f(quantized) — two jit wrappers of the
+                # same program would each pay their own remote compiles.
+                execs[k] = _jitted_forward_resident(False).lower(
                     params_aval, x_aval, idx_aval,
                 ).compile()
             stats["forward_programs"] += 1

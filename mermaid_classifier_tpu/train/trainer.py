@@ -340,6 +340,9 @@ class MermaidTrainer:
             # its evals from disk — correct, just not resident).
             self._resident_split_offsets = None
             self._resident_buffer = None
+            self._resident_buffer_scale = None
+            self._resident_buffer_dtype = "float32"
+            self._resident_buffer_n_rows = None
             self.resident_timings = None
             if self.device_resident and nbr_epochs > start_epoch:
                 # ONE combined upload for the whole run: [train | ref | val]
@@ -454,6 +457,14 @@ class MermaidTrainer:
                 # self-explaining in the tracked run, not just in logs.
                 self.resident_timings = {
                     "load_seconds": round(load_s, 1),
+                    # Host-side quantization/cast inside the upload stage
+                    # (int8 only; 0.0 otherwise) — CPU work a real VM pays
+                    # too, so the VM projection adds it back.
+                    "quantize_seconds": round(float(
+                        getattr(clf, "_resident_upload_timings", {}).get(
+                            "quantize_seconds", 0.0
+                        )
+                    ), 1),
                     # Inside load_seconds: the sequential page pre-touch of
                     # the buffer — the component that tracks host memory
                     # weather, not disk or code.
@@ -472,8 +483,15 @@ class MermaidTrainer:
                 }
                 # Kept so a best-snapshot restored from a CHECKPOINT (which
                 # never carries the data buffer) can be re-attached before
-                # the resident calibration/eval passes below.
+                # the resident calibration/eval passes below. The scale
+                # vector travels WITH the buffer: an int8 buffer without
+                # its per-row scales is unreadable.
                 self._resident_buffer = clf._resident_X
+                self._resident_buffer_scale = getattr(
+                    clf, "_resident_scale", None
+                )
+                self._resident_buffer_dtype = clf._resident_dtype
+                self._resident_buffer_n_rows = clf._resident_n_rows
                 del stacked
 
             for epoch in range(start_epoch, nbr_epochs):
@@ -610,7 +628,22 @@ class MermaidTrainer:
             and getattr(self, "_resident_buffer", None) is not None
             and getattr(clf, "_resident_X", None) is None
         ):
+            # Full re-attach: buffer + scale + the metadata the resident
+            # paths read (a checkpoint-restored snapshot keeps
+            # _resident_dtype through pickling but never the buffers; an
+            # int8 buffer re-attached without its scale vector would
+            # crash predict_proba_resident).
             clf._resident_X = self._resident_buffer
+            clf._resident_scale = getattr(
+                self, "_resident_buffer_scale", None
+            )
+            clf._resident_dtype = getattr(
+                self, "_resident_buffer_dtype", "float32"
+            )
+            clf._resident_n_rows = getattr(
+                self, "_resident_buffer_n_rows",
+                int(self._resident_buffer.shape[0]),
+            )
 
         # Calibration: stream ref data in batches — O(N*K) accumulation, not
         # O(N*4096) (reference: trainer.py:261-265).

@@ -75,7 +75,12 @@ def _project_vm_minutes(train_seconds: float, metrics: dict, args) -> float | No
         rows * args.dim * _RESIDENT_ITEMSIZE[args.resident_dtype] / 1e9
     )
     vm_upload_s = wire_gb / 8.0  # PCIe/DMA ~8 GB/s (bench --pcie-gbps)
-    projected = train_seconds - pretouch - upload + vm_upload_s
+    # Host-side quantization (int8) is CPU work a VM pays too — measured
+    # inside the upload stage, credited back here.
+    quantize_s = metrics.get("resident/quantize_seconds", 0.0) or 0.0
+    projected = (
+        train_seconds - pretouch - upload + quantize_s + vm_upload_s
+    )
     return round(projected / 60.0, 2)
 
 

@@ -59,6 +59,43 @@ class TestLocalFSObjectStore:
         assert not store.exists("b", "k")
         store.delete("b", "k")  # idempotent
 
+    def test_download_hardlinks_on_same_fs(self, store, tmp_path):
+        """The local-store download must not rewrite bytes disk-to-disk
+        (150 s of a C2-scale drive before this): same filesystem gets a
+        hardlink, byte-identical and .part-free."""
+        import os
+
+        store.put_bytes("b", "k", b"feature-bytes")
+        local = tmp_path / "cache" / "k.npz"
+        store.download("b", "k", local)
+        assert local.read_bytes() == b"feature-bytes"
+        src = store._path("b", "k")
+        assert os.stat(local).st_ino == os.stat(src).st_ino
+        assert list(local.parent.glob("*.part")) == []
+        # The link aliases the store inode: write bits are dropped so an
+        # in-place write through the cache path fails loudly (EACCES for
+        # any non-root consumer; root bypasses permission bits, so the
+        # assertion is on the mode itself).
+        import stat
+
+        mode = stat.S_IMODE(os.stat(local).st_mode)
+        assert mode & (stat.S_IWUSR | stat.S_IWGRP | stat.S_IWOTH) == 0
+
+    def test_downloaded_copy_survives_store_overwrite(self, store, tmp_path):
+        """put_bytes replaces the STORE inode (temp + os.replace), so a
+        previously downloaded cache file must keep the bytes it
+        downloaded — the cache stays a consistent snapshot."""
+        store.put_bytes("b", "k", b"v1")
+        local = tmp_path / "cache" / "k.bin"
+        store.download("b", "k", local)
+        store.put_bytes("b", "k", b"v2-new")
+        assert store.get_bytes("b", "k") == b"v2-new"
+        assert local.read_bytes() == b"v1"
+
+    def test_download_missing_raises(self, store, tmp_path):
+        with pytest.raises(ObjectStoreError, match="not found"):
+            store.download("b", "nope", tmp_path / "x")
+
 
 class TestDownloadParallel:
     def test_downloads_and_collects_failures(self, store, tmp_path):

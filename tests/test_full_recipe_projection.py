@@ -12,6 +12,8 @@ import importlib.util
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parents[1]
 
 
@@ -55,6 +57,22 @@ class TestProjectedVmMinutes:
         # 8 GB/s, so the projections differ by under a second.
         assert f32 >= i8
         assert (f32 - i8) * 60.0 < 1.0
+
+    def test_quantize_seconds_credited_back(self):
+        """int8's host-side quantization is CPU work a real VM also pays:
+        subtracting the whole upload stage without crediting it back
+        would bias the projection low."""
+        drive = _load_drive()
+        base = {
+            "resident/pretouch_seconds": 10.0,
+            "resident/upload_stage_seconds": 100.0,
+            "subsample/realized_total": 1000.0,
+        }
+        without = drive._project_vm_minutes(600.0, base, self._args())
+        with_q = drive._project_vm_minutes(
+            600.0, {**base, "resident/quantize_seconds": 30.0}, self._args()
+        )
+        assert (with_q - without) * 60.0 == pytest.approx(30.0, abs=0.61)
 
     def test_missing_budget_returns_none(self):
         drive = _load_drive()

@@ -730,6 +730,21 @@ class TestResidentInt8:
         probs = clf.predict_proba_resident(np.arange(8))
         assert np.all(np.isfinite(probs))
 
+    def test_int8_subnormal_rows_safe(self):
+        """A row of ~1e-41 values yields a SUBNORMAL absmax/127 whose f32
+        reciprocal overflows to inf (0 * inf = NaN -> undefined int8
+        cast); the scale floor must treat such rows as zero rows."""
+        X = np.full((4, 6), 1e-41, dtype=np.float32)
+        X[0, 0] = 1.0  # one healthy row
+        scale = MLPClassifier._int8_row_scales(X)
+        assert np.all(np.isfinite(1.0 / scale))
+        clf = MLPClassifier((4,), random_state=0)
+        clf.set_resident_features(X, dtype="int8")
+        q = np.asarray(clf._resident_X)
+        # Subnormal rows quantize to exact zeros, not saturated 127s.
+        assert np.all(q[1:] == 0)
+        assert q[0, 0] == 127
+
     def test_int8_mesh_matches_single_device(self):
         from mermaid_classifier_tpu.parallel.mesh import make_mesh
 

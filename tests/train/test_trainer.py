@@ -274,6 +274,60 @@ class TestCheckpointResume:
         assert len(msg.ref_accs) == 4
         assert resumed._early_stop_info["final_epoch"] == 4
 
+    def test_resume_device_resident_int8_restores_best_snapshot(
+        self, task_labels, tmp_path
+    ):
+        """Regression: a checkpoint-restored best snapshot carries
+        _resident_dtype='int8' through pickling but no buffers; early
+        stopping after resume restores that snapshot, and the resident
+        calibration/eval passes must get the buffer AND its per-row scale
+        re-attached (the scale was forgotten once: AttributeError in
+        predict_proba_resident)."""
+        ckpt = tmp_path / "ckpt"
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_cb(metrics):
+            if metrics["epoch"] == 3:
+                raise Crash()
+
+        # Scripted losses: best at epoch 2, worse after — so the resumed
+        # run early-stops and restores the epoch-2 snapshot, which came
+        # FROM THE CHECKPOINT (written before the crash at epoch 3).
+        interrupted = ScriptedValLossTrainer(
+            [0.5, 0.4, 0.6, 0.7, 0.8],
+            batch_size=64,
+            checkpoint_dir=str(ckpt),
+            early_stopping_patience=2,
+            device_resident=True,
+            resident_dtype="int8",
+            on_epoch_end=crash_cb,
+        )
+        with pytest.raises(Crash):
+            interrupted(task_labels, nbr_epochs=10, pc_models=[])
+
+        resumed = ScriptedValLossTrainer(
+            # epochs 4+: never improving on epoch 2's 0.4, so patience 2
+            # stops the resumed run and restores the epoch-2 snapshot.
+            [0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3],
+            batch_size=64,
+            checkpoint_dir=str(ckpt),
+            early_stopping_patience=2,
+            device_resident=True,
+            resident_dtype="int8",
+        )
+        clf_cal, _, msg = resumed(task_labels, nbr_epochs=10, pc_models=[])
+        info = resumed._early_stop_info
+        assert info["stop_reason"] == "early_stopping"
+        assert info["best_val_epoch"] == 2
+        # The restored snapshot's resident state is fully re-attached.
+        est = clf_cal.estimator
+        assert est._resident_X is not None
+        assert est._resident_scale is not None
+        assert est._resident_dtype == "int8"
+        assert np.isfinite(msg.acc)
+
     def test_refuses_checkpoint_from_different_run(self, task_labels, tmp_path):
         """A checkpoint_dir reused with a different configuration must refuse
         to resume — otherwise stale weights silently continue training."""
