@@ -319,6 +319,18 @@ def main(argv: list[str] | None = None) -> int:
                         " them (compute stays f32)")
     args = parser.parse_args(argv)
 
+    # The parent process never needs the chip: training runs in the
+    # classifier_train subprocess (which owns the TPU), and the parent
+    # only synthesizes (numpy) and verifies the artifact. Pin the parent
+    # to CPU BEFORE any jax import: the verify-stage load_predictor
+    # otherwise initializes the tunneled TPU backend just to probe a
+    # 25-row forward — a first-device-interaction handshake measured at
+    # 5-10 minutes of pure stall (CLAUDE.md) — and serving the
+    # TPU-trained artifact on CPU is itself the cross-platform check.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     if args.workdir:
         workspace = Path(args.workdir)
         workspace.mkdir(parents=True, exist_ok=True)
