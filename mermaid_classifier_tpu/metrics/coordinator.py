@@ -50,7 +50,13 @@ class MetricsCoordinator:
         self.ctx.ba_to_top = build_ba_to_top(classes, self.ctx.ba_library)
         self.ctx.ba_paths = build_ba_paths(classes, self.ctx.ba_library)
 
-        if self.ctx.clf is not None and self.ctx.dataset is not None:
+        # Honor a caller-precomputed matrix (the runner's resident-gather
+        # fast path); stream from disk only when nobody provided one.
+        if (
+            self.ctx.clf is not None
+            and self.ctx.dataset is not None
+            and self.ctx.val_proba is None
+        ):
             self._precompute_probabilities()
 
         for group in runnable_groups(self.ctx):

@@ -245,6 +245,31 @@ def _jitted_forward():
     return jax.jit(fwd)
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_head_apply_resident(quantized: bool = False):
+    """The SHIPPED artifact's head math over device-resident rows: gather
+    (+ dequant) on device, then inference.head.head_apply — the exact
+    program the exported Predictor serves. Lets eval-the-artifact metrics
+    read the val span already sitting in HBM instead of re-reading ~GBs
+    from disk and re-uploading them (measured: ~95 s of a C2-scale
+    drive's train stage)."""
+    from mermaid_classifier_tpu.inference.head import head_apply
+
+    if quantized:
+        def fwd_q(head_params, x_resident, scale, idx):
+            x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+            x = x * jnp.take(scale, idx, axis=0)[:, None]
+            return head_apply(head_params, x)
+
+        return jax.jit(fwd_q)
+
+    def fwd(head_params, x_resident, idx):
+        x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+        return head_apply(head_params, x)
+
+    return jax.jit(fwd)
+
+
 @functools.lru_cache(maxsize=16)
 def _jitted_forward_resident(quantized: bool = False):
     if quantized:
@@ -1193,6 +1218,31 @@ class MLPClassifier:
     def predict_resident(self, indices: np.ndarray) -> np.ndarray:
         probs = self.predict_proba_resident(indices)
         return self.classes_[np.argmax(probs, axis=1)]
+
+    def predict_proba_resident_head(
+        self, head_pytree: dict, indices: np.ndarray
+    ) -> np.ndarray:
+        """Apply a SHIPPED artifact's calibrated-head params (the loaded
+        Predictor's gate-validated ``head_params.as_pytree()``) to rows of
+        the resident buffer — the artifact's own ``head_apply`` program,
+        fed by the on-device gather. Returns float64 like
+        ``Predictor.predict_proba`` (same post-cast, no extra renorm).
+        Requires no fitted state: the params ARE the model."""
+        if getattr(self, "_resident_X", None) is None:
+            raise ValueError("call set_resident_features(X) first.")
+        idx = np.asarray(indices, dtype=np.int32)
+        if idx.ndim != 1:
+            raise ValueError(f"indices must be 1-D, got {idx.shape}")
+        quantized = getattr(self, "_resident_dtype", "float32") == "int8"
+        fwd = _jitted_head_apply_resident(quantized)
+        if quantized:
+            probs = fwd(
+                head_pytree, self._resident_X, self._resident_scale,
+                jnp.asarray(idx),
+            )
+        else:
+            probs = fwd(head_pytree, self._resident_X, jnp.asarray(idx))
+        return np.asarray(probs).astype(np.float64)
 
     # --- sklearn parameter protocol (lightweight) -------------------------
 

@@ -106,6 +106,10 @@ class TrainingRunner:
                 )
             self._early_stop_info = trainer._early_stop_info
             self._resident_timings = getattr(trainer, "resident_timings", None)
+            # Kept for the eval-the-artifact fast path: the trainer knows
+            # the resident split offsets, so metrics can gather the val
+            # span on device instead of re-reading it from disk.
+            self._trainer = trainer
 
             logger.info("Train time: %.1f s", return_msg.runtime)
             logger.info("New model's accuracy: %s", self.format_metric(return_msg.acc))
@@ -363,12 +367,13 @@ class TrackingTrainingRunner(TrainingRunner):
 
                     with tempfile.TemporaryDirectory() as artifact_dir:
                         artifact_path = Path(artifact_dir)
-                        model_npz, manifest, max_diff = export_artifact(
-                            clf_calibrated,
-                            artifact_path,
-                            reference_features=ref_features,
-                            config={"patch_size": 224},
-                        )
+                        with self.section_profiling("Export and parity gate"):
+                            model_npz, manifest, max_diff = export_artifact(
+                                clf_calibrated,
+                                artifact_path,
+                                reference_features=ref_features,
+                                config={"patch_size": 224},
+                            )
                         run.log_metric("export_parity_max_abs_diff", max_diff)
                         model_json = artifact_path / "model.json"
                         predictor = load_predictor(model_npz, model_json)
@@ -381,7 +386,42 @@ class TrackingTrainingRunner(TrainingRunner):
                             dataset=self.dataset,
                             clf=predictor,
                         )
-                        MetricsCoordinator(ctx, run).compute_and_log_all()
+                        # Eval-the-artifact fast path: the val span already
+                        # sits in the resident buffer, and the loaded
+                        # predictor exposes its gate-validated params — one
+                        # on-device gather + the artifact's own head_apply
+                        # replaces re-reading ~GBs of val features from
+                        # disk and re-uploading them (the coordinator's
+                        # disk-streaming precompute remains the fallback
+                        # and the non-resident path).
+                        trainer_ref = getattr(self, "_trainer", None)
+                        head = getattr(predictor, "head_params", None)
+                        if trainer_ref is not None and head is not None:
+                            try:
+                                with self.section_profiling(
+                                    "Artifact val proba (resident)"
+                                ):
+                                    res = trainer_ref.resident_artifact_val_proba(
+                                        clf_calibrated.estimator,
+                                        self.dataset.labels.val,
+                                        head.as_pytree(),
+                                    )
+                                if res is not None:
+                                    ctx.val_proba, ctx.val_gt_labels = res
+                                    logger.info(
+                                        "val probabilities via resident"
+                                        " gather + shipped head params"
+                                        " (%d rows)", len(ctx.val_gt_labels)
+                                    )
+                            except Exception:
+                                logger.warning(
+                                    "resident artifact-eval fast path"
+                                    " failed; falling back to disk"
+                                    " streaming", exc_info=True,
+                                )
+                                ctx.val_proba = ctx.val_gt_labels = None
+                        with self.section_profiling("Metrics vs shipped artifact"):
+                            MetricsCoordinator(ctx, run).compute_and_log_all()
 
                         run.log_metric(
                             "accuracy", self.format_metric(return_msg.acc)

@@ -729,6 +729,31 @@ class MermaidTrainer:
                 return pos
         return None
 
+    def resident_artifact_val_proba(
+        self, clf, labels: ImageLabels, head_pytree: dict
+    ) -> tuple[Any, list] | None:
+        """Eval-the-artifact fast path: when ``labels`` lives in the
+        resident buffer, run the SHIPPED head params over its span in one
+        on-device gather + head_apply dispatch and return
+        (val_proba float64, gt labels in canonical row order) — only the
+        (N, K) probabilities cross back to the host. Returns None when the
+        split is not resident (callers fall back to disk streaming).
+
+        The canonical order here is iter_index_batches' order, which is
+        load_data_in_batches' order by contract — so the matrix aligns
+        with everything else the coordinator derives from the val split.
+        """
+        offset = self._resident_offset(labels)
+        if offset is None:
+            return None
+        n = labels.label_count
+        batch = next(iter(labels.iter_index_batches(batch_size=n)), None)
+        if batch is None:
+            return None
+        idx, gt = batch
+        proba = clf.predict_proba_resident_head(head_pytree, idx + offset)
+        return proba, list(gt)
+
     def _iter_proba_batches(self, clf, labels: ImageLabels):
         """Yield (proba, y) per batch — device-resident gathers when the
         split lives in the resident buffer, disk streaming otherwise.

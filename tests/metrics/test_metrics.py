@@ -346,6 +346,67 @@ class TestCoordinatorEndToEnd:
         assert any(a.startswith("per_source/") for a in artifacts)
         assert any(a.startswith("cover/") for a in artifacts)
 
+    def test_precomputed_val_proba_is_honored(self, tmp_path):
+        """A caller-precomputed probability matrix (the runner's
+        resident-gather fast path) must be used as-is: the coordinator
+        must NOT stream the val set through the classifier again."""
+        from mermaid_classifier_tpu.data.features_io import write_feature_file
+        from mermaid_classifier_tpu.data.labels import ImageLabels
+
+        rng = np.random.default_rng(1)
+        val = ImageLabels()
+        pts, dim = 10, 4
+        path = str(tmp_path / "img.features.npz")
+        rowcols = np.stack([np.arange(pts), np.arange(pts)], 1).astype(np.int32)
+        write_feature_file(
+            path, rowcols, rng.normal(size=(pts, dim)).astype(np.float32)
+        )
+        val.add_image(
+            path,
+            [(int(r), int(c), CLASSES[0]) for r, c in rowcols],
+        )
+
+        class StubLabels:
+            pass
+
+        class StubDataset:
+            pass
+
+        dataset = StubDataset()
+        dataset.labels = StubLabels()
+        dataset.labels.val = val
+        dataset.feature_path_to_source = {path: ("coralnet", "0")}
+
+        gt = [0] * pts
+        val_results = ValResults(
+            scores=[0.9] * pts, gt=gt, est=gt, classes=list(CLASSES)
+        )
+
+        class BoomClf:
+            classes_ = list(CLASSES)
+
+            def predict_proba(self, x):
+                raise AssertionError(
+                    "coordinator re-streamed the val set despite a"
+                    " precomputed matrix"
+                )
+
+        preset = np.full((pts, len(CLASSES)), 1.0 / len(CLASSES))
+        ctx = MetricsContext(
+            val_results=val_results,
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+            dataset=dataset,
+            clf=BoomClf(),
+            val_proba=preset,
+            val_gt_labels=[CLASSES[0]] * pts,
+        )
+        tracker = LocalTracker(tmp_path / "tracking")
+        with tracker.start_run("preset-proba") as run:
+            MetricsCoordinator(ctx, run).compute_and_log_all()
+        metrics = run.latest_metrics()
+        assert "log_loss" in metrics  # proba-dependent group ran off the preset
+
     def test_per_source_misalignment_raises(self, tmp_path):
         """The alignment invariant fires instead of silently mis-grouping."""
         from mermaid_classifier_tpu.data.labels import ImageLabels

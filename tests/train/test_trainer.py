@@ -451,6 +451,82 @@ class TestDeviceResidentTrainer:
             msg_a.ref_accs, msg_b.ref_accs, atol=0.05
         )
 
+    def test_resident_artifact_val_proba_matches_disk_streaming(
+        self, task_labels, tmp_path
+    ):
+        """Eval-the-artifact fast path: gathering the val span from the
+        resident buffer and applying the SHIPPED head params on device
+        must reproduce the loaded Predictor's disk-streamed predict_proba
+        — same rows, same order, same math."""
+        from mermaid_classifier_tpu.inference.export import export_artifact
+        from mermaid_classifier_tpu.inference.loader import load_predictor
+
+        trainer = SmallNetTrainer(batch_size=64, device_resident=True)
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=3, pc_models=[])
+        X_ref, _ = next(
+            iter(task_labels.val.load_data_in_batches(batch_size=5000))
+        )
+        export_artifact(clf_cal, tmp_path, X_ref)
+        predictor = load_predictor(tmp_path)
+
+        res = trainer.resident_artifact_val_proba(
+            clf_cal.estimator, task_labels.val,
+            predictor.head_params.as_pytree(),
+        )
+        assert res is not None
+        proba_res, gt_res = res
+
+        all_proba, all_gt = [], []
+        for x, y in task_labels.val.load_data_in_batches(batch_size=5000):
+            all_proba.append(predictor.predict_proba(x))
+            all_gt.extend(y)
+        proba_disk = np.vstack(all_proba)
+
+        assert gt_res == all_gt
+        np.testing.assert_allclose(proba_res, proba_disk, atol=1e-6)
+
+    def test_resident_artifact_val_proba_int8_band(self, task_labels, tmp_path):
+        """int8 storage feeds the artifact eval storage-rounded rows (the
+        same rows every in-run eval used); agreement with exact-feature
+        serving is a quality band, not bit equality."""
+        from mermaid_classifier_tpu.inference.export import export_artifact
+        from mermaid_classifier_tpu.inference.loader import load_predictor
+
+        trainer = SmallNetTrainer(
+            batch_size=64, device_resident=True, resident_dtype="int8"
+        )
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=3, pc_models=[])
+        X_ref, _ = next(
+            iter(task_labels.val.load_data_in_batches(batch_size=5000))
+        )
+        export_artifact(clf_cal, tmp_path, X_ref)
+        predictor = load_predictor(tmp_path)
+        res = trainer.resident_artifact_val_proba(
+            clf_cal.estimator, task_labels.val,
+            predictor.head_params.as_pytree(),
+        )
+        assert res is not None
+        proba_res, gt_res = res
+        all_proba, all_gt = [], []
+        for x, y in task_labels.val.load_data_in_batches(batch_size=5000):
+            all_proba.append(predictor.predict_proba(x))
+            all_gt.extend(y)
+        proba_disk = np.vstack(all_proba)
+        assert gt_res == all_gt
+        num = np.sum(proba_res * proba_disk, axis=1)
+        den = (
+            np.linalg.norm(proba_res, axis=1)
+            * np.linalg.norm(proba_disk, axis=1)
+        )
+        assert float(np.min(num / np.maximum(den, 1e-12))) >= 0.999
+
+    def test_resident_artifact_val_proba_none_when_streamed(self, task_labels):
+        trainer = SmallNetTrainer(batch_size=64)  # not device-resident
+        clf_cal, _, _ = trainer(task_labels, nbr_epochs=2, pc_models=[])
+        assert trainer.resident_artifact_val_proba(
+            clf_cal.estimator, task_labels.val, {}
+        ) is None
+
     def test_device_calibration_backend_close_to_scipy(self, task_labels):
         """calibration_backend='device' routes the Platt fits through the
         batched Newton solve; end metrics and calibrators stay within the
