@@ -340,10 +340,6 @@ class TrackingTrainingRunner(TrainingRunner):
                     self._log_subsample_audit(run)
                     self._log_early_stop_info(run)
                     self._log_resident_timings(run)
-                    run.log_dataframe(
-                        pd.DataFrame(self.profiled_sections),
-                        "profiled_sections.csv",
-                    )
                     run.log_dict(val_results.to_dict(), "valresult.json")
                     self._log_extra_annotations(run)
 
@@ -439,6 +435,14 @@ class TrackingTrainingRunner(TrainingRunner):
                         registered_version = self.tracker.register_model(
                             model_name, [model_npz, model_json], run=run
                         )
+                    # Logged LAST so the export-gate / artifact-eval /
+                    # metrics sections above are included — a drive's
+                    # train-stage minutes must decompose fully from this
+                    # one artifact.
+                    run.log_dataframe(
+                        pd.DataFrame(self.profiled_sections),
+                        "profiled_sections.csv",
+                    )
                 finally:
                     if getattr(self, "dataset", None) is not None:
                         self.dataset.cleanup()

@@ -176,6 +176,14 @@ class TestTrackingRunner:
             assert expected in artifacts, f"missing {expected} in {artifacts}"
         assert any(a.startswith("confusion_matrix/") for a in artifacts)
 
+        # The stage decomposition is complete: the post-train blocks
+        # (export gate, metrics) are profiled and land in the CSV, which
+        # therefore must be written after them.
+        sections_csv = run.run_dir / "artifacts" / "profiled_sections.csv"
+        section_names = sections_csv.read_text()
+        assert "Export and parity gate" in section_names
+        assert "Metrics vs shipped artifact" in section_names
+
         # The registered artifact itself serves correctly.
         from mermaid_classifier_tpu.inference import load_predictor
 
