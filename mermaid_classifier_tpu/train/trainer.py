@@ -28,8 +28,23 @@ from logging import getLogger
 from typing import Any
 
 import numpy as np
-from sklearn.metrics import accuracy_score
-from sklearn.metrics import log_loss as sklearn_log_loss
+# sklearn.metrics (and the scipy.stats tree it drags in) costs ~2 s of
+# import warm and minutes cold under host-memory weather; this module
+# only needs two small metric functions, at call time — import lazily so
+# every CLI's startup (the drive's unprofiled train-stage seconds) stays
+# lean.
+
+
+def accuracy_score(*args, **kwargs):
+    from sklearn.metrics import accuracy_score as _accuracy_score
+
+    return _accuracy_score(*args, **kwargs)
+
+
+def sklearn_log_loss(*args, **kwargs):
+    from sklearn.metrics import log_loss as _log_loss
+
+    return _log_loss(*args, **kwargs)
 
 from mermaid_classifier_tpu.data.labels import (
     ImageLabels,
