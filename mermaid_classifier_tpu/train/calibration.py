@@ -27,8 +27,25 @@ from math import log
 from typing import Any
 
 import numpy as np
-from scipy.optimize import minimize
-from scipy.special import expit
+
+# scipy resolves at call time: its optimize/linalg/sparse tree costs
+# seconds warm and minutes cold under host-memory weather (CLAUDE.md),
+# and every CLI that merely imports the trainer would otherwise pay it
+# at startup. The math stays scipy's (expit's overflow hardening and
+# L-BFGS-B are pinned by the sklearn differentials) — only WHEN the
+# import happens moves.
+
+
+def expit(x):
+    from scipy.special import expit as _expit
+
+    return _expit(x)
+
+
+def minimize(*args, **kwargs):
+    from scipy.optimize import minimize as _minimize
+
+    return _minimize(*args, **kwargs)
 
 # The sklearn version this module's differential tests were proven against
 # (tests/train/test_calibration.py compares fit_sigmoid_calibration and

@@ -435,15 +435,22 @@ class TrackingTrainingRunner(TrainingRunner):
                         registered_version = self.tracker.register_model(
                             model_name, [model_npz, model_json], run=run
                         )
-                    # Logged LAST so the export-gate / artifact-eval /
-                    # metrics sections above are included — a drive's
-                    # train-stage minutes must decompose fully from this
-                    # one artifact.
-                    run.log_dataframe(
-                        pd.DataFrame(self.profiled_sections),
-                        "profiled_sections.csv",
-                    )
                 finally:
+                    # Logged LAST (so the export-gate / artifact-eval /
+                    # metrics sections are included) and in the finally
+                    # (so a FAILED run still shows where its time went —
+                    # the profiling contract, utils/profiling.py). Never
+                    # mask the original exception.
+                    try:
+                        run.log_dataframe(
+                            pd.DataFrame(self.profiled_sections),
+                            "profiled_sections.csv",
+                        )
+                    except Exception:
+                        logger.warning(
+                            "failed to log profiled_sections.csv",
+                            exc_info=True,
+                        )
                     if getattr(self, "dataset", None) is not None:
                         self.dataset.cleanup()
 

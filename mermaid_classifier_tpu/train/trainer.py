@@ -28,6 +28,19 @@ from logging import getLogger
 from typing import Any
 
 import numpy as np
+
+from mermaid_classifier_tpu.data.labels import (
+    ImageLabels,
+    TrainingTaskLabels,
+    evaluate_classifier,
+)
+from mermaid_classifier_tpu.data.results import TrainClassifierReturnMsg, ValResults
+from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
+
+logger = getLogger(__name__)
+
+
 # sklearn.metrics (and the scipy.stats tree it drags in) costs ~2 s of
 # import warm and minutes cold under host-memory weather; this module
 # only needs two small metric functions, at call time — import lazily so
@@ -45,17 +58,6 @@ def sklearn_log_loss(*args, **kwargs):
     from sklearn.metrics import log_loss as _log_loss
 
     return _log_loss(*args, **kwargs)
-
-from mermaid_classifier_tpu.data.labels import (
-    ImageLabels,
-    TrainingTaskLabels,
-    evaluate_classifier,
-)
-from mermaid_classifier_tpu.data.results import TrainClassifierReturnMsg, ValResults
-from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
-from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
-
-logger = getLogger(__name__)
 
 
 class CheckpointMismatchError(RuntimeError):
