@@ -793,9 +793,18 @@ def run_full_recipe(args) -> dict | None:
     log(f"full recipe: launching the C2-scale drive"
         f" (pool {args.recipe_pool_rows:,} rows)…")
     try:
+        # The drive's stdout carries its [full-recipe] stage markers AND
+        # its final JSON line — route it to OUR stderr so the operator
+        # sees stage progress and a failed run leaves its stage timings
+        # in the transcript, while this bench's stdout stays pure JSON.
+        try:
+            sys.stderr.fileno()
+            drive_stdout = sys.stderr
+        except (AttributeError, OSError, ValueError):
+            drive_stdout = subprocess.DEVNULL
         proc = subprocess.run(
             cmd, timeout=args.recipe_timeout,
-            stdout=subprocess.DEVNULL, stderr=None,  # stage logs stream
+            stdout=drive_stdout, stderr=None,
             env={**os.environ},
         )
         if proc.returncode != 0 or not out_json.is_file():
@@ -866,12 +875,13 @@ def main() -> None:
                         " a healthy window finishes in ~20 min, a bad one"
                         " can triple that; the bench prints the payload"
                         " BEFORE this leg so a kill loses nothing else")
-    parser.add_argument("--recipe-resident-dtype", default="bfloat16",
-                        choices=("float32", "bfloat16"),
+    parser.add_argument("--recipe-resident-dtype", default="int8",
+                        choices=("float32", "bfloat16", "int8"),
                         help="storage dtype of the drive's resident"
-                        " feature buffer; bfloat16 halves the one-time"
-                        " upload (the dominant non-train stage on the"
-                        " tunnel) with quality measured at parity"
+                        " feature buffer; int8 (per-row scales) quarters"
+                        " the one-time upload — the configuration of the"
+                        " best committed records, quality measured at"
+                        " parity across four full-scale runs"
                         " (docs/runs/)")
     parser.add_argument("--no-train", action="store_true",
                         help="skip the head-training metric")

@@ -827,7 +827,12 @@ class MLPClassifier:
             # runs ~10x below wire speed (measured: 1.4 GB in ~9 min
             # unfenced vs ~1 min fenced); fenced slabs transfer alone at
             # full tunnel bandwidth, and the log shows REAL progress.
-            float(buf[min(start, n - 1), 0])
+            # Read a FIXED element: buf is the donated-update RESULT, so
+            # any element read forces the write (and its slab transfer);
+            # a per-slab varying index would bake a distinct constant
+            # into each readback and compile a new program per slab
+            # through the remote-compile service.
+            float(buf[0, 0])
             done_rows = min(start + rows_per_chunk, n)
             elapsed = time.perf_counter() - t0
             _logger.info(
@@ -841,12 +846,32 @@ class MLPClassifier:
 
     # --- ahead-of-time program warming ------------------------------------
 
+    @staticmethod
+    def _exec_key_from(
+        tag: str,
+        geometry: tuple[int, ...],
+        n_rows_logical: int,
+        n_rows_padded: int,
+        dim: int,
+        n_classes: int,
+        dtype_str: str,
+    ) -> tuple:
+        """THE key layout for AOT-compiled resident programs. Single
+        source of truth: _exec_key (runtime lookup) and
+        warm_resident_programs (insertion) both delegate here — two
+        hand-maintained copies would let a future field addition silently
+        orphan every warmed executable (all lookups miss, everything
+        recompiles at call time, nothing fails visibly)."""
+        return (
+            tag, *geometry, int(n_rows_logical), int(n_rows_padded),
+            int(dim), int(n_classes), dtype_str,
+        )
+
     def _exec_key(self, tag: str, *geometry: int) -> tuple:
         """Cache key for an AOT-compiled resident program: every value the
         compiled executable's input avals depend on."""
-        return (
-            tag,
-            *geometry,
+        return self._exec_key_from(
+            tag, geometry,
             int(getattr(self, "_resident_n_rows", 0) or 0),
             int(self._resident_X.shape[0]),
             int(self._resident_X.shape[1]),
@@ -904,9 +929,10 @@ class MLPClassifier:
         execs = self.__dict__.setdefault("_resident_exec", {})
 
         def key(tag: str, *geometry: int) -> tuple:
-            return (
-                tag, *geometry, int(n_rows), int(n_rows), int(dim),
-                int(n_classes), str(jdtype),
+            # Same layout as the runtime lookup, via the shared helper
+            # (single-device: no row padding, so logical == padded).
+            return self._exec_key_from(
+                tag, geometry, n_rows, n_rows, dim, n_classes, str(jdtype)
             )
 
         for n in sorted({int(n) for n in train_batch_row_counts}):

@@ -390,10 +390,20 @@ class MermaidTrainer:
                 warm_stats: dict[str, Any] = {}
                 dim = self._probe_feature_dim(split_plan[0][0]) if split_plan else 0
                 if getattr(clf, "mesh", None) is None and split_plan:
+                    # Union over EVERY epoch's shuffle seed: per-epoch
+                    # reshuffles regroup images, so a corpus with
+                    # heterogeneous points-per-image can realize batch
+                    # geometries in later epochs that epoch 0 never saw —
+                    # each miss would pay a minutes-long remote epoch-scan
+                    # compile mid-training. iter_index_batches is pure
+                    # index arithmetic, so the sweep costs milliseconds
+                    # per epoch.
                     train_counts = {
-                        len(y) for _, y in labels.train.iter_index_batches(
+                        len(y)
+                        for epoch_seed in range(start_epoch, nbr_epochs)
+                        for _, y in labels.train.iter_index_batches(
                             batch_size=self.batch_size,
-                            random_seed=start_epoch,
+                            random_seed=epoch_seed,
                         )
                     }
                     eval_counts = {

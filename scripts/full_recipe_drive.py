@@ -158,7 +158,11 @@ def synthesize_corpus(
     probs = zipf_class_probs(n_classes)
     labels = rng.choice(n_classes, size=pool_rows, p=probs)
 
-    grid = max(int(round(points_per_image**0.5)), 1)
+    # ceil-sqrt grid truncated to EXACTLY points_per_image cells: a
+    # round-sqrt grid undershoots for non-square counts (e.g. 50 -> 7x7
+    # = 49 rowcols vs 50 features) and the feature writer rejects the
+    # mismatch.
+    grid = max(int(np.ceil(points_per_image**0.5)), 1)
     cell = 100
     rowcols = np.asarray(
         [
@@ -168,6 +172,7 @@ def synthesize_corpus(
         ],
         dtype=np.int32,
     )[:points_per_image]
+    assert len(rowcols) == points_per_image
 
     bucket_dir = workspace / "store" / "features"
     n_images = (pool_rows + points_per_image - 1) // points_per_image

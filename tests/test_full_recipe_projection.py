@@ -80,3 +80,29 @@ class TestProjectedVmMinutes:
         assert drive._project_vm_minutes(
             600.0, {"resident/pretouch_seconds": 1.0}, self._args()
         ) is None
+
+
+class TestSynthesizeCorpus:
+    def test_non_square_points_per_image(self, tmp_path):
+        """Regression: a round-sqrt rowcol grid undershot non-square
+        counts (50 -> 7x7 = 49 rowcols vs 50 features) and crashed the
+        feature writer; every image must carry exactly points_per_image
+        aligned rowcols/features/annotations."""
+        import numpy as np
+
+        drive = _load_drive()
+        summary = drive.synthesize_corpus(
+            tmp_path, pool_rows=150, n_classes=4, dim=8,
+            points_per_image=50, n_sources=2, seed=0,
+        )
+        assert summary["images"] == 3
+        import pyarrow.parquet as pq
+
+        ann = pq.read_table(tmp_path / "etl_annotations.parquet")
+        assert ann.num_rows == 150
+        from mermaid_classifier_tpu.data.features_io import read_feature_file
+
+        feature_files = sorted((tmp_path / "store").rglob("*.features.npz"))
+        assert len(feature_files) == 3
+        rowcols, feats = read_feature_file(feature_files[0])
+        assert len(rowcols) == 50 and feats.shape == (50, 8)
