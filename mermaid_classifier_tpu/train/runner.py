@@ -404,10 +404,29 @@ class TrackingTrainingRunner(TrainingRunner):
                                     )
                                 if res is not None:
                                     ctx.val_proba, ctx.val_gt_labels = res
+                                    # The measurement definition is part
+                                    # of the record: reduced-precision
+                                    # buffers feed the artifact eval the
+                                    # STORAGE-ROUNDED rows (the same rows
+                                    # every in-run eval used), not the
+                                    # f32 disk features production
+                                    # serving sees — say so explicitly
+                                    # instead of leaving it implicit in
+                                    # the code path (quality band pinned
+                                    # by the int8/bf16 cosine tests).
+                                    rdtype = getattr(
+                                        trainer_ref, "resident_dtype",
+                                        "float32",
+                                    )
+                                    run.log_param(
+                                        "artifact_eval_inputs",
+                                        f"resident({rdtype})",
+                                    )
                                     logger.info(
                                         "val probabilities via resident"
                                         " gather + shipped head params"
-                                        " (%d rows)", len(ctx.val_gt_labels)
+                                        " (%d rows, %s storage)",
+                                        len(ctx.val_gt_labels), rdtype,
                                     )
                             except Exception:
                                 logger.warning(
