@@ -651,6 +651,31 @@ class MLPClassifier:
         q[...] = t  # f32 -> int8 cast into the preallocated buffer
         return q
 
+    @staticmethod
+    def _quantize_matrix_int8(
+        X: np.ndarray,
+        inv_scale: np.ndarray,
+        timings: dict[str, float] | None = None,
+        slab_rows: int = 65536,
+    ) -> np.ndarray:
+        """Full-matrix int8 quantization through bounded scratch slabs,
+        accumulating the measured CPU cost into ``timings`` — the one
+        implementation behind both the mesh upload and the one-shot
+        chunked path."""
+        t_q = time.perf_counter()
+        out = np.empty(X.shape, np.int8)
+        k = max(1, min(slab_rows, X.shape[0]))
+        tmp = np.empty((k, X.shape[1]), np.float32)
+        for s in range(0, X.shape[0], k):
+            MLPClassifier._quantize_rows_int8(
+                X[s: s + k], inv_scale[s: s + k], tmp, out[s: s + k]
+            )
+        if timings is not None:
+            timings["quantize_seconds"] = timings.get(
+                "quantize_seconds", 0.0
+            ) + (time.perf_counter() - t_q)
+        return out
+
     def set_resident_features(
         self, X: np.ndarray, dtype: str = "float32"
     ) -> "MLPClassifier":
@@ -703,17 +728,8 @@ class MLPClassifier:
                 self.mesh, P(self.mesh.axis_names, None)
             )
             if scale is not None:
-                t_q = time.perf_counter()
-                slab = max(1, min(65536, X.shape[0]))
-                tmp = np.empty((slab, X.shape[1]), np.float32)
-                q = np.empty(X.shape, np.int8)
-                inv = (1.0 / scale).astype(np.float32)
-                for s in range(0, X.shape[0], slab):
-                    self._quantize_rows_int8(
-                        X[s: s + slab], inv[s: s + slab], tmp, q[s: s + slab]
-                    )
-                upload_timings["quantize_seconds"] += (
-                    time.perf_counter() - t_q
+                q = self._quantize_matrix_int8(
+                    X, (1.0 / scale).astype(np.float32), upload_timings
                 )
                 self._resident_X = jax.device_put(
                     jnp.asarray(q), row_sharding
@@ -777,15 +793,11 @@ class MLPClassifier:
             )
         if nbytes <= chunk_bytes:
             if quantize:
-                t_q = time.perf_counter()
-                tmp = np.empty(X.shape, np.float32)
-                out = np.empty(X.shape, np.int8)
-                q = MLPClassifier._quantize_rows_int8(X, inv_scale, tmp, out)
-                if timings is not None:
-                    timings["quantize_seconds"] = timings.get(
-                        "quantize_seconds", 0.0
-                    ) + (time.perf_counter() - t_q)
-                return jax.device_put(jnp.asarray(q))
+                return jax.device_put(jnp.asarray(
+                    MLPClassifier._quantize_matrix_int8(
+                        X, inv_scale, timings
+                    )
+                ))
             return jax.device_put(jnp.asarray(X, dtype=dtype))
         rows_per_chunk = max(1, chunk_bytes // max(row_bytes, 1))
         n = X.shape[0]
