@@ -172,6 +172,7 @@ class ImageLabels:
         out: np.ndarray,
         offset: int = 0,
         max_workers: int | None = None,
+        row_transform=None,
     ) -> None:
         """Load every image's aligned point features directly into
         ``out[offset : offset + label_count]`` in canonical row order
@@ -182,7 +183,16 @@ class ImageLabels:
         three splits for the device-resident upload), so peak host memory
         is the buffer alone — no per-split list + vstack copy — and the
         thousands of per-image reads overlap in a thread pool (numpy file
-        IO releases the GIL for the byte copies)."""
+        IO releases the GIL for the byte copies). ``out`` may carry a
+        reduced storage dtype (bf16): the row assignment casts.
+
+        ``row_transform(x, out_rows, buffer_row)``, when given, writes each
+        image's f32 rows into its (disjoint) ``out`` slice itself —
+        e.g. int8 quantization inline with the parallel reads, so no
+        full-size f32 staging buffer ever exists (the trainer's
+        host-memory-weather lever); ``buffer_row`` is the slice's absolute
+        row index in ``out`` for side outputs indexed by buffer row (the
+        per-row scale vector)."""
         ranges = self.row_ranges()
         keys = sorted(self.data.keys())
         total = self.label_count
@@ -194,7 +204,13 @@ class ImageLabels:
         def one(key: str) -> None:
             x, _ = self.load_image_data(key)
             start, n = ranges[key]
-            out[offset + start: offset + start + n] = x
+            if row_transform is not None:
+                row_transform(
+                    x, out[offset + start: offset + start + n],
+                    offset + start,
+                )
+            else:
+                out[offset + start: offset + start + n] = x
 
         if max_workers and max_workers > 1 and len(keys) > 1:
             from concurrent.futures import ThreadPoolExecutor

@@ -754,6 +754,74 @@ class MLPClassifier:
         self._resident_upload_timings = upload_timings
         return self
 
+    def set_resident_features_storage(
+        self,
+        stored: np.ndarray,
+        scale: np.ndarray | None = None,
+    ) -> "MLPClassifier":
+        """Pin a feature matrix that is ALREADY in its storage dtype —
+        bf16 rows, or int8 rows with their per-row f32 ``scale`` vector
+        (quantized by the caller with the RESIDENT_DTYPES formula, e.g.
+        inline with the parallel disk load so no full-size f32 staging
+        buffer ever exists). Equivalent to ``set_resident_features`` on
+        the f32 originals with the matching dtype — same buffer bits,
+        differential-tested — minus the host-side staging copy."""
+        stored = np.asarray(stored)
+        if stored.ndim != 2:
+            raise ValueError(f"stored must be 2D, got shape {stored.shape}")
+        if stored.dtype == np.int8:
+            dtype = "int8"
+            if scale is None or len(scale) != stored.shape[0]:
+                raise ValueError(
+                    "int8 storage needs a per-row scale vector of"
+                    f" {stored.shape[0]} rows."
+                )
+            scale = np.asarray(scale, dtype=np.float32)
+        elif stored.dtype == jnp.bfloat16:
+            dtype = "bfloat16"
+            if scale is not None:
+                raise ValueError("scale is only valid with int8 storage")
+        else:
+            raise ValueError(
+                f"storage dtype must be int8 or bfloat16, got {stored.dtype}"
+            )
+        self._resident_n_rows = int(stored.shape[0])
+        self._resident_dtype = dtype
+        self._resident_upload_timings = {"quantize_seconds": 0.0}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_devices = self.mesh.devices.size
+            pad = -stored.shape[0] % n_devices
+            if pad:
+                stored = np.concatenate([
+                    stored,
+                    np.zeros((pad, stored.shape[1]), stored.dtype),
+                ])
+                if scale is not None:
+                    scale = np.concatenate([scale, np.ones(pad, np.float32)])
+            row_sharding = NamedSharding(
+                self.mesh, P(self.mesh.axis_names, None)
+            )
+            self._resident_X = jax.device_put(
+                jnp.asarray(stored), row_sharding
+            )
+            self._resident_scale = (
+                jax.device_put(
+                    jnp.asarray(scale),
+                    NamedSharding(self.mesh, P(self.mesh.axis_names)),
+                ) if scale is not None else None
+            )
+        else:
+            self._resident_X = self._chunked_device_put(
+                stored, dtype=stored.dtype
+            )
+            self._resident_scale = (
+                jax.device_put(jnp.asarray(scale)) if scale is not None
+                else None
+            )
+        return self
+
     @staticmethod
     def _chunked_device_put(
         X: np.ndarray,

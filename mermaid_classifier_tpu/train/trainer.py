@@ -447,23 +447,65 @@ class MermaidTrainer:
                 # guest's high-water mark stays host-rate-limited
                 # (docs/perf_roofline.md §4).
                 t_load = time.time()
-                stacked = np.empty((pos, dim), dtype=np.float32)
+                # The staging buffer is allocated in the STORAGE dtype:
+                # bf16 rows cast on assignment, int8 rows quantize inline
+                # with the parallel reads (per image, disjoint slices) —
+                # so the full-size f32 matrix never exists on the host.
+                # At production scale that cuts the first-touch pre-touch
+                # (the weather-bound component) and peak host memory 2-4x,
+                # and folds the quantize pass into the read overlap.
+                # Buffer bits are identical to staging f32 then converting
+                # (differential-tested).
+                rdtype = self.resident_dtype
+                row_transform = None
+                scale_vec = None
+                if rdtype == "int8":
+                    import jax.numpy as _jnp  # noqa: F401  (storage dtypes)
+
+                    stacked = np.empty((pos, dim), dtype=np.int8)
+                    scale_vec = np.empty(pos, dtype=np.float32)
+                    tiny = np.finfo(np.float32).tiny
+
+                    def row_transform(x, out_rows, buffer_row):
+                        # The RESIDENT_DTYPES int8 formula, per image:
+                        # scale = absmax/127 (floored at the smallest
+                        # normal f32), rows = clip(rint(x * 1/scale)).
+                        s = np.maximum(x.max(axis=1), -x.min(axis=1))
+                        s /= 127.0
+                        s[s < tiny] = 1.0
+                        inv = (1.0 / s).astype(np.float32)
+                        t = x * inv[:, None]
+                        np.rint(t, out=t)
+                        np.clip(t, -127.0, 127.0, out=t)
+                        out_rows[...] = t
+                        scale_vec[buffer_row: buffer_row + len(s)] = s
+                elif rdtype == "bfloat16":
+                    import jax.numpy as _jnp
+
+                    stacked = np.empty((pos, dim), dtype=_jnp.bfloat16)
+                else:
+                    stacked = np.empty((pos, dim), dtype=np.float32)
                 self._pretouch_parallel(stacked, self.resident_load_workers)
                 pretouch_s = time.time() - t_load
                 for split, offset in split_plan:
                     split.load_into(
                         stacked, offset,
                         max_workers=self.resident_load_workers,
+                        row_transform=row_transform,
                     )
                 load_s = time.time() - t_load
                 logger.info(
                     "resident feature buffer loaded from disk in %.1fs"
-                    " (%d rows x %d, %.2f GB, %d read workers)",
+                    " (%d rows x %d, %.2f GB %s storage, %d read workers)",
                     load_s, stacked.shape[0], dim,
-                    stacked.nbytes / 1e9, self.resident_load_workers,
+                    stacked.nbytes / 1e9, rdtype,
+                    self.resident_load_workers,
                 )
                 t_up = time.time()
-                clf.set_resident_features(stacked, dtype=self.resident_dtype)
+                if rdtype == "float32":
+                    clf.set_resident_features(stacked, dtype=rdtype)
+                else:
+                    clf.set_resident_features_storage(stacked, scale_vec)
                 upload_s = time.time() - t_up
                 logger.info(
                     "resident buffer staged in %.1fs (transfer may complete"

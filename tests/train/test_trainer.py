@@ -451,6 +451,47 @@ class TestDeviceResidentTrainer:
             msg_a.ref_accs, msg_b.ref_accs, atol=0.05
         )
 
+    def test_storage_dtype_staging_bits_match_f32_path(self, task_labels):
+        """The trainer stages the resident buffer directly in the storage
+        dtype (int8 quantized inline with the parallel reads; bf16 cast
+        on assignment) — the buffer bits and scales must equal staging
+        the f32 matrix first and converting through
+        set_resident_features, for BOTH dtypes."""
+        for rdtype in ("int8", "bfloat16"):
+            trainer = SmallNetTrainer(
+                batch_size=64, device_resident=True, resident_dtype=rdtype
+            )
+            clf_cal, _, _ = trainer(task_labels, nbr_epochs=1, pc_models=[])
+            est = clf_cal.estimator
+
+            # Reference: stage f32 spans in the same [train|ref|val]
+            # canonical layout, then convert via the direct API.
+            dim = est._resident_X.shape[1]
+            spans = [
+                s for s in (
+                    task_labels.train, task_labels.ref, task_labels.val
+                ) if len(s)
+            ]
+            pos = sum(s.label_count for s in spans)
+            f32 = np.empty((pos, dim), np.float32)
+            off = 0
+            for s in spans:
+                s.load_into(f32, off)
+                off += s.label_count
+            ref = MLPClassifier((8,), random_state=0)
+            ref.set_resident_features(f32, dtype=rdtype)
+
+            np.testing.assert_array_equal(
+                np.asarray(est._resident_X).view(np.uint8),
+                np.asarray(ref._resident_X).view(np.uint8),
+                err_msg=rdtype,
+            )
+            if rdtype == "int8":
+                np.testing.assert_array_equal(
+                    np.asarray(est._resident_scale),
+                    np.asarray(ref._resident_scale),
+                )
+
     def test_resident_artifact_val_proba_matches_disk_streaming(
         self, task_labels, tmp_path
     ):
