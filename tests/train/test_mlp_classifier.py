@@ -773,6 +773,47 @@ class TestResidentInt8:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_storage_api_matches_quantize_path_on_mesh(self):
+        """set_resident_features_storage with pre-quantized rows must
+        equal set_resident_features(X, 'int8') — including the mesh
+        branch (row padding, scale padding, sharding)."""
+        from mermaid_classifier_tpu.parallel.mesh import make_mesh
+
+        X, y = self._data(n=300, dim=16, k=3, seed=5)
+        Xdq, q, scale = self._dequantized(X)
+        classes = sorted(set(y.tolist()))
+        via_x = MLPClassifier((12,), random_state=2,
+                              mesh=make_mesh(8, model_parallel=1))
+        via_x.set_resident_features(X, dtype="int8")
+        via_storage = MLPClassifier((12,), random_state=2,
+                                    mesh=make_mesh(8, model_parallel=1))
+        via_storage.set_resident_features_storage(q, scale)
+        np.testing.assert_array_equal(
+            np.asarray(via_x._resident_X), np.asarray(via_storage._resident_X)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(via_x._resident_scale),
+            np.asarray(via_storage._resident_scale),
+        )
+        idx = np.arange(len(X))
+        via_x.partial_fit_resident(idx, y, classes=classes)
+        via_storage.partial_fit_resident(idx, y, classes=classes)
+        assert via_x.loss_curve_ == via_storage.loss_curve_
+
+    def test_storage_api_guards(self):
+        X, _ = self._data(n=8, dim=4)
+        clf = MLPClassifier((4,))
+        with pytest.raises(ValueError, match="scale vector"):
+            clf.set_resident_features_storage(
+                np.zeros((8, 4), np.int8), None
+            )
+        with pytest.raises(ValueError, match="storage dtype"):
+            clf.set_resident_features_storage(X, None)  # f32 not a storage form
+        with pytest.raises(ValueError, match="only valid with int8"):
+            clf.set_resident_features_storage(
+                X.astype(jnp.bfloat16), np.ones(8, np.float32)
+            )
+
     def test_pickle_drops_scale_and_deepcopy_shares_it(self):
         import copy
         import pickle
