@@ -96,6 +96,27 @@ class TestLocalFSObjectStore:
         with pytest.raises(ObjectStoreError, match="not found"):
             store.download("b", "nope", tmp_path / "x")
 
+    def test_download_falls_back_to_copy_across_devices(
+        self, store, tmp_path, monkeypatch
+    ):
+        """A cache dir on a different filesystem cannot hardlink (EXDEV);
+        the download must degrade to the base byte copy, leaving no
+        .part files."""
+        import os
+
+        store.put_bytes("b", "k", b"cross-device-bytes")
+
+        def no_link(src, dst):
+            raise OSError(18, "Invalid cross-device link")  # EXDEV
+
+        monkeypatch.setattr(os, "link", no_link)
+        local = tmp_path / "othermount" / "k.bin"
+        store.download("b", "k", local)
+        assert local.read_bytes() == b"cross-device-bytes"
+        assert list(local.parent.glob("*.part")) == []
+        # The copy is a distinct inode (no aliasing without the link).
+        assert os.stat(local).st_ino != os.stat(store._path("b", "k")).st_ino
+
 
 class TestDownloadParallel:
     def test_downloads_and_collects_failures(self, store, tmp_path):
