@@ -25,8 +25,9 @@ from typing import Any
 import numpy as np
 
 from mermaid_classifier_tpu.data.features_io import (
-    read_feature_file,
+    read_feature_file_mapped,
     select_point_features,
+    select_point_rows,
 )
 
 Annotation = tuple[int, int, str]  # (row, col, label)
@@ -96,7 +97,7 @@ class ImageLabels:
                 self.packed_cache.gather(rows),
                 [label for _, _, label in annotations],
             )
-        rowcols, features = read_feature_file(feature_path)
+        rowcols, features = read_feature_file_mapped(feature_path)
         x = select_point_features(
             rowcols, features, [(r, c) for r, c, _ in annotations]
         )
@@ -181,10 +182,14 @@ class ImageLabels:
 
         The caller owns ``out`` (e.g. ONE preallocated buffer spanning all
         three splits for the device-resident upload), so peak host memory
-        is the buffer alone — no per-split list + vstack copy — and the
-        thousands of per-image reads overlap in a thread pool (numpy file
-        IO releases the GIL for the byte copies). ``out`` may carry a
-        reduced storage dtype (bf16): the row assignment casts.
+        is the buffer alone — no per-split list + vstack copy. Feature
+        files are memory-mapped (read_feature_file_mapped) with a
+        MADV_WILLNEED prefetch, so the bytes move page cache → buffer in
+        ONE gather pass: no zip-member copy, no CRC pass, and — the
+        host-memory-weather discipline (CLAUDE.md) — no per-image fresh
+        allocation; a thread pool overlaps the per-file prefetch IO.
+        ``out`` may carry a reduced storage dtype (bf16): the row
+        assignment casts (through a per-thread reused scratch).
 
         ``row_transform(x, out_rows, buffer_row)``, when given, writes each
         image's f32 rows into its (disjoint) ``out`` slice itself —
@@ -201,16 +206,44 @@ class ImageLabels:
                 f"out{out.shape} cannot hold {total} rows at offset {offset}."
             )
 
+        import threading
+
+        scratch_local = threading.local()
+
         def one(key: str) -> None:
-            x, _ = self.load_image_data(key)
             start, n = ranges[key]
-            if row_transform is not None:
-                row_transform(
-                    x, out[offset + start: offset + start + n],
-                    offset + start,
-                )
+            dest = out[offset + start: offset + start + n]
+            if self.packed_cache is not None:
+                x = self.packed_cache.gather(self.packed_cache.image_rows(key))
             else:
-                out[offset + start: offset + start + n] = x
+                rowcols, features = read_feature_file_mapped(key)
+                rows = select_point_rows(
+                    rowcols, [(r, c) for r, c, _ in self.data[key]]
+                )
+                if rows is None:
+                    x = features
+                elif row_transform is None and dest.dtype == features.dtype:
+                    # Gather straight into the destination rows — the only
+                    # pass the feature bytes make.
+                    np.take(features, rows, axis=0, out=dest)
+                    return
+                else:
+                    scratch = getattr(scratch_local, "buf", None)
+                    if (
+                        scratch is None
+                        or scratch.shape[0] < n
+                        or scratch.shape[1] != features.shape[1]
+                        or scratch.dtype != features.dtype
+                    ):
+                        scratch = np.empty(
+                            (n, features.shape[1]), dtype=features.dtype
+                        )
+                        scratch_local.buf = scratch
+                    x = np.take(features, rows, axis=0, out=scratch[:n])
+            if row_transform is not None:
+                row_transform(x, dest, offset + start)
+            else:
+                dest[:] = x
 
         if max_workers and max_workers > 1 and len(keys) > 1:
             from concurrent.futures import ThreadPoolExecutor

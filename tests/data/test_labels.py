@@ -71,6 +71,68 @@ class TestFeatureIO:
         with pytest.raises(KeyError, match="not present"):
             select_point_features(rowcols, feats, [(1, 1)])
 
+    def test_mapped_reader_matches_eager(self, tmp_path):
+        """read_feature_file_mapped must return exactly read_feature_file's
+        arrays (it feeds the resident fill, where a header-parse slip would
+        silently train on shifted bytes)."""
+        from mermaid_classifier_tpu.data.features_io import (
+            read_feature_file_mapped,
+        )
+
+        rng = np.random.default_rng(3)
+        rowcols = np.stack(
+            [rng.integers(0, 3000, 17), rng.integers(0, 3000, 17)], axis=1
+        ).astype(np.int32)
+        feats = rng.standard_normal((17, 31)).astype(np.float32)
+        path = tmp_path / "m.features.npz"
+        write_feature_file(path, rowcols, feats)
+
+        r_eager, f_eager = read_feature_file(path)
+        r_map, f_map = read_feature_file_mapped(path)
+        np.testing.assert_array_equal(r_map, r_eager)
+        np.testing.assert_array_equal(np.asarray(f_map), f_eager)
+        # The fast path really mapped (no copy) rather than falling back.
+        assert isinstance(f_map, np.memmap)
+
+    def test_mapped_reader_falls_back_on_compressed(self, tmp_path):
+        """A compressed npz (np.savez_compressed) can't be mapped; the
+        reader must fall back to the eager path with identical results."""
+        from mermaid_classifier_tpu.data.features_io import (
+            read_feature_file_mapped,
+        )
+
+        rowcols = np.array([[1, 2], [3, 4]], dtype=np.int32)
+        feats = np.arange(8, dtype=np.float32).reshape(2, 4)
+        path = tmp_path / "c.features.npz"
+        np.savez_compressed(path, rowcols=rowcols, features=feats)
+        r, f = read_feature_file_mapped(path)
+        np.testing.assert_array_equal(r, rowcols)
+        np.testing.assert_array_equal(f, feats)
+        assert not isinstance(f, np.memmap)
+
+    def test_select_point_rows(self):
+        from mermaid_classifier_tpu.data.features_io import select_point_rows
+
+        rowcols = np.array([[10, 20], [30, 40], [50, 60]], dtype=np.int32)
+        # Exact match in stored order → None (no-gather fast path).
+        assert select_point_rows(rowcols, [(10, 20), (30, 40), (50, 60)]) is None
+        # Subset + reorder.
+        np.testing.assert_array_equal(
+            select_point_rows(rowcols, [(50, 60), (10, 20)]), [2, 0]
+        )
+        # Missing point raises (first missing in wanted order).
+        with pytest.raises(KeyError, match=r"point \(1, 1\) not present"):
+            select_point_rows(rowcols, [(30, 40), (1, 1)])
+        # Duplicate stored point resolves to its LAST occurrence (the dict
+        # semantics select_point_features always had).
+        dup = np.array([[5, 5], [7, 7], [5, 5]], dtype=np.int32)
+        np.testing.assert_array_equal(
+            select_point_rows(dup, [(5, 5), (7, 7)]), [2, 1]
+        )
+        # Empty wanted list → empty index array, not None.
+        got = select_point_rows(rowcols, [])
+        assert got is not None and got.shape == (0,)
+
     def test_legacy_json_reader(self, tmp_path):
         import json
 
@@ -310,6 +372,51 @@ class TestLoadInto:
             labels.load_into(out, offset=5, max_workers=workers)
             np.testing.assert_array_equal(out[5:], want)
             assert np.isnan(out[:5]).all()  # rows before offset untouched
+
+    def test_subset_annotations_gather_correct_rows(self, tmp_path):
+        """Annotations that are a reordered strict subset of the file's
+        points (every post-split ImageLabels) must land exactly
+        select_point_features' rows — this drives the direct np.take-into-
+        destination path."""
+        from mermaid_classifier_tpu.data.features_io import write_feature_file
+
+        rng = np.random.default_rng(5)
+        labels = ImageLabels()
+        for i in range(4):
+            n = 9
+            rowcols = np.stack(
+                [np.arange(n) * 3 + 1, np.arange(n) * 5 + 2], axis=1
+            ).astype(np.int32)
+            feats = rng.standard_normal((n, 6)).astype(np.float32)
+            path = str(tmp_path / f"s{i}.features.npz")
+            write_feature_file(path, rowcols, feats)
+            picked = rng.permutation(n)[: n - 3]
+            labels.add_image(
+                path,
+                [(int(rowcols[j, 0]), int(rowcols[j, 1]), "L") for j in picked],
+            )
+        want, _ = labels.load_all()
+        for workers in (None, 4):
+            out = np.empty(want.shape, dtype=np.float32)
+            labels.load_into(out, max_workers=workers)
+            np.testing.assert_array_equal(out, want)
+
+    def test_reduced_storage_dtype_casts(self, tmp_path):
+        """A bf16 destination buffer must hold exactly the f32 rows cast to
+        bf16 (the reduced-precision staging path goes through the per-thread
+        scratch)."""
+        import jax.numpy as jnp
+
+        labels, _ = build_synthetic_labels(tmp_path, n_images=6,
+                                           pts_per_image=5)
+        want, _ = labels.load_all()
+        for workers in (None, 4):
+            out = np.empty(want.shape, dtype=jnp.bfloat16)
+            labels.load_into(out, max_workers=workers)
+            np.testing.assert_array_equal(
+                out.view(np.uint16),
+                want.astype(jnp.bfloat16).view(np.uint16),
+            )
 
     def test_rejects_undersized_buffer(self, tmp_path):
         labels, _ = build_synthetic_labels(tmp_path, n_images=3,
