@@ -174,6 +174,7 @@ class ImageLabels:
         offset: int = 0,
         max_workers: int | None = None,
         row_transform=None,
+        on_rows_filled=None,
     ) -> None:
         """Load every image's aligned point features directly into
         ``out[offset : offset + label_count]`` in canonical row order
@@ -197,7 +198,14 @@ class ImageLabels:
         full-size f32 staging buffer ever exists (the trainer's
         host-memory-weather lever); ``buffer_row`` is the slice's absolute
         row index in ``out`` for side outputs indexed by buffer row (the
-        per-row scale vector)."""
+        per-row scale vector).
+
+        ``on_rows_filled(buffer_row, n)``, when given, is invoked AFTER an
+        image's ``n`` rows are fully written at absolute row
+        ``buffer_row`` — the fill-progress signal that lets a consumer
+        (the pipelined device upload) stream completed row spans while
+        later images are still loading. Called from worker threads; must
+        be thread-safe."""
         ranges = self.row_ranges()
         keys = sorted(self.data.keys())
         total = self.label_count
@@ -226,6 +234,8 @@ class ImageLabels:
                     # Gather straight into the destination rows — the only
                     # pass the feature bytes make.
                     np.take(features, rows, axis=0, out=dest)
+                    if on_rows_filled is not None:
+                        on_rows_filled(offset + start, n)
                     return
                 else:
                     scratch = getattr(scratch_local, "buf", None)
@@ -244,6 +254,8 @@ class ImageLabels:
                 row_transform(x, dest, offset + start)
             else:
                 dest[:] = x
+            if on_rows_filled is not None:
+                on_rows_filled(offset + start, n)
 
         if max_workers and max_workers > 1 and len(keys) > 1:
             from concurrent.futures import ThreadPoolExecutor

@@ -677,7 +677,7 @@ class MLPClassifier:
         return out
 
     def set_resident_features(
-        self, X: np.ndarray, dtype: str = "float32"
+        self, X: np.ndarray, dtype: str = "float32", wait_rows=None
     ) -> "MLPClassifier":
         """Pin the full feature matrix on device ONCE. Subsequent
         ``partial_fit_resident`` calls reference rows by index, cutting an
@@ -703,6 +703,11 @@ class MLPClassifier:
         # upload — the VM projection must not credit it away.
         upload_timings: dict[str, float] = {"quantize_seconds": 0.0}
         scale = None
+        if wait_rows is not None and (dtype == "int8" or self.mesh is not None):
+            # These paths scan the full matrix before slab streaming can
+            # start (row scales / one sharded put) — degrade to wait-all.
+            wait_rows(X.shape[0])
+            wait_rows = None
         if dtype == "int8":
             t_q = time.perf_counter()
             scale = self._int8_row_scales(X)
@@ -745,7 +750,8 @@ class MLPClassifier:
                 self._resident_scale = None
         else:
             self._resident_X = self._chunked_device_put(
-                X, dtype=jdtype, row_scale=scale, timings=upload_timings
+                X, dtype=jdtype, row_scale=scale, timings=upload_timings,
+                wait_rows=wait_rows,
             )
             self._resident_scale = (
                 jax.device_put(jnp.asarray(scale)) if scale is not None
@@ -758,6 +764,7 @@ class MLPClassifier:
         self,
         stored: np.ndarray,
         scale: np.ndarray | None = None,
+        wait_rows=None,
     ) -> "MLPClassifier":
         """Pin a feature matrix that is ALREADY in its storage dtype —
         bf16 rows, or int8 rows with their per-row f32 ``scale`` vector
@@ -765,7 +772,15 @@ class MLPClassifier:
         inline with the parallel disk load so no full-size f32 staging
         buffer ever exists). Equivalent to ``set_resident_features`` on
         the f32 originals with the matching dtype — same buffer bits,
-        differential-tested — minus the host-side staging copy."""
+        differential-tested — minus the host-side staging copy.
+
+        ``wait_rows(n)`` (see ``_chunked_device_put``) lets the caller run
+        this upload CONCURRENTLY with the disk fill that is still writing
+        ``stored``: each slab blocks until its rows are published. The
+        ``scale`` vector is only read after every row is uploaded (the
+        last slab waits for the full matrix), so the caller may fill it
+        in the same pass. The mesh path is a single sharded device_put —
+        it waits for the full matrix up front."""
         stored = np.asarray(stored)
         if stored.ndim != 2:
             raise ValueError(f"stored must be 2D, got shape {stored.shape}")
@@ -789,6 +804,9 @@ class MLPClassifier:
         self._resident_dtype = dtype
         self._resident_upload_timings = {"quantize_seconds": 0.0}
         if self.mesh is not None:
+            if wait_rows is not None:
+                # The sharded put reads the whole matrix at once.
+                wait_rows(stored.shape[0])
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_devices = self.mesh.devices.size
@@ -814,8 +832,10 @@ class MLPClassifier:
             )
         else:
             self._resident_X = self._chunked_device_put(
-                stored, dtype=stored.dtype
+                stored, dtype=stored.dtype, wait_rows=wait_rows
             )
+            # Reached only after the last slab's wait_rows(n_rows): the
+            # fill has published every row, so the scale vector is final.
             self._resident_scale = (
                 jax.device_put(jnp.asarray(scale)) if scale is not None
                 else None
@@ -829,6 +849,7 @@ class MLPClassifier:
         dtype=jnp.float32,
         row_scale: np.ndarray | None = None,
         timings: dict[str, float] | None = None,
+        wait_rows=None,
     ):
         """device_put in ~256 MB slabs into one donated device buffer.
 
@@ -841,7 +862,14 @@ class MLPClassifier:
 
         With ``row_scale`` (int8 storage) each slab is symmetric-quantized
         host-side through preallocated scratch buffers:
-        ``round(X / scale).clip(-127, 127)``."""
+        ``round(X / scale).clip(-127, 127)``.
+
+        ``wait_rows(n)``, when given, blocks until the first ``n`` rows of
+        ``X`` are valid and is called before each slab is read — the
+        pipelined-fill hook: the disk fill publishes progress
+        (ImageLabels.load_into ``on_rows_filled``) while this uploader
+        streams completed slabs behind it, so the two stages overlap
+        instead of serializing."""
         import logging
 
         dtype = jnp.dtype(dtype)
@@ -860,6 +888,8 @@ class MLPClassifier:
                 np.float32
             )
         if nbytes <= chunk_bytes:
+            if wait_rows is not None:
+                wait_rows(X.shape[0])
             if quantize:
                 return jax.device_put(jnp.asarray(
                     MLPClassifier._quantize_matrix_int8(
@@ -882,6 +912,8 @@ class MLPClassifier:
         buf = jnp.zeros(X.shape, dtype)
         t0 = time.perf_counter()
         for start in range(0, n, rows_per_chunk):
+            if wait_rows is not None:
+                wait_rows(min(start + rows_per_chunk, n))
             if quantize:
                 t_q = time.perf_counter()
                 q = MLPClassifier._quantize_rows_int8(

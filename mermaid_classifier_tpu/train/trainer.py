@@ -71,6 +71,52 @@ PRODUCTION_LEARNING_RATE = 1e-4
 PRODUCTION_RANDOM_STATE = 0
 
 
+class _FilledPrefix:
+    """Thread-safe watermark over a buffer being filled in disjoint row
+    spans: ``add(start, end)`` publishes a completed span, ``wait(n)``
+    blocks until rows [0, n) are ALL complete. The fill completes spans
+    nearly in order (sorted image keys across a bounded worker pool), so
+    the contiguous-prefix watermark advances smoothly — this is what lets
+    the device upload stream slabs behind the disk fill instead of
+    serializing after it. ``fail(exc)`` aborts every waiter (a fill error
+    must kill the uploader, never hang it)."""
+
+    def __init__(self, total: int):
+        import threading
+
+        self._cv = threading.Condition()
+        self._total = int(total)
+        self._watermark = 0
+        self._pending: list[tuple[int, int]] = []  # heap of (start, end)
+        self._exc: BaseException | None = None
+
+    def add(self, start: int, n: int) -> None:
+        import heapq
+
+        with self._cv:
+            heapq.heappush(self._pending, (start, start + n))
+            while self._pending and self._pending[0][0] <= self._watermark:
+                _, end = heapq.heappop(self._pending)
+                if end > self._watermark:
+                    self._watermark = end
+            self._cv.notify_all()
+
+    def fail(self, exc: BaseException) -> None:
+        with self._cv:
+            self._exc = exc
+            self._cv.notify_all()
+
+    def wait(self, n: int) -> None:
+        with self._cv:
+            while self._watermark < min(n, self._total):
+                if self._exc is not None:
+                    raise RuntimeError(
+                        "resident fill failed while the upload was waiting"
+                        f" for {n} rows"
+                    ) from self._exc
+                self._cv.wait(timeout=1.0)
+
+
 @contextmanager
 def _log_entry_and_exit(name: str):
     """DEBUG-level enter/exit timing around a pipeline phase
@@ -487,30 +533,74 @@ class MermaidTrainer:
                     stacked = np.empty((pos, dim), dtype=np.float32)
                 self._pretouch_parallel(stacked, self.resident_load_workers)
                 pretouch_s = time.time() - t_load
-                for split, offset in split_plan:
-                    split.load_into(
-                        stacked, offset,
-                        max_workers=self.resident_load_workers,
-                        row_transform=row_transform,
-                    )
+
+                # Pipelined fill -> upload: the disk fill publishes each
+                # image's completed rows (on_rows_filled) into a
+                # contiguous-prefix watermark, and the uploader thread
+                # streams ~256 MB slabs behind it (each slab's wait_rows
+                # blocks until its rows are final). The fill writes rows
+                # in near-sorted order across the worker pool, so the
+                # watermark advances smoothly and the two multi-minute
+                # stages overlap instead of serializing — wall-clock is
+                # ~max(fill, upload) + the uploader's tail, not their sum.
+                # A mesh run degrades gracefully: the sharded put waits
+                # for the full matrix (identical to the serial order).
+                import threading as _threading
+
+                tracker = _FilledPrefix(pos)
+                upload_exc: list[BaseException] = []
+                t_up = time.time()
+
+                def _upload() -> None:
+                    try:
+                        if rdtype == "float32":
+                            clf.set_resident_features(
+                                stacked, dtype=rdtype,
+                                wait_rows=tracker.wait,
+                            )
+                        else:
+                            clf.set_resident_features_storage(
+                                stacked, scale_vec, wait_rows=tracker.wait
+                            )
+                    except BaseException as exc:  # rethrown on join below
+                        upload_exc.append(exc)
+
+                upload_thread = _threading.Thread(
+                    target=_upload, name="resident-upload", daemon=True
+                )
+                upload_thread.start()
+                try:
+                    for split, offset in split_plan:
+                        split.load_into(
+                            stacked, offset,
+                            max_workers=self.resident_load_workers,
+                            row_transform=row_transform,
+                            on_rows_filled=tracker.add,
+                        )
+                except BaseException as exc:
+                    tracker.fail(exc)  # abort the uploader, never hang it
+                    upload_thread.join()
+                    raise
                 load_s = time.time() - t_load
                 logger.info(
                     "resident feature buffer loaded from disk in %.1fs"
-                    " (%d rows x %d, %.2f GB %s storage, %d read workers)",
+                    " (%d rows x %d, %.2f GB %s storage, %d read workers;"
+                    " upload streaming concurrently)",
                     load_s, stacked.shape[0], dim,
                     stacked.nbytes / 1e9, rdtype,
                     self.resident_load_workers,
                 )
-                t_up = time.time()
-                if rdtype == "float32":
-                    clf.set_resident_features(stacked, dtype=rdtype)
-                else:
-                    clf.set_resident_features_storage(stacked, scale_vec)
+                t_join = time.time()
+                upload_thread.join()
+                if upload_exc:
+                    raise upload_exc[0]
                 upload_s = time.time() - t_up
+                upload_extra_s = time.time() - t_join
                 logger.info(
-                    "resident buffer staged in %.1fs (transfer may complete"
+                    "resident buffer staged: upload thread ran %.1fs,"
+                    " +%.1fs beyond the disk fill (transfer may complete"
                     " asynchronously under the first training step)",
-                    upload_s,
+                    upload_s, upload_extra_s,
                 )
                 warm_wait_s = 0.0
                 if warm_thread is not None:
@@ -538,7 +628,14 @@ class MermaidTrainer:
                     # the buffer — the component that tracks host memory
                     # weather, not disk or code.
                     "pretouch_seconds": round(pretouch_s, 1),
+                    # Upload-thread lifetime — it STARTS with the fill
+                    # (pipelined), so most of it overlaps load_seconds.
                     "upload_stage_seconds": round(upload_s, 1),
+                    # The upload's serialized contribution to wall-clock:
+                    # how long it kept running AFTER the fill finished.
+                    # This — not upload_stage_seconds — is what a faster
+                    # link would recover (the VM projection uses it).
+                    "upload_extra_wait_seconds": round(upload_extra_s, 1),
                     "warm_seconds": float(warm_stats.get("seconds", 0.0)),
                     "warm_extra_wait_seconds": round(warm_wait_s, 1),
                     "warm_epoch_programs": float(

@@ -71,6 +71,13 @@ def _project_vm_minutes(train_seconds: float, metrics: dict, args) -> float | No
     rows = metrics.get("subsample/realized_total")
     if pretouch is None or upload is None or not rows:
         return None
+    # Pipelined runs: the upload thread overlaps the disk fill, so only
+    # its serialized tail (how long it outlived the fill) cost wall-clock
+    # — subtracting the full thread lifetime would credit away seconds
+    # that never serialized. Older records lack the key; fall back.
+    extra = metrics.get("resident/upload_extra_wait_seconds")
+    if extra is not None:
+        upload = extra
     wire_gb = (
         rows * args.dim * _RESIDENT_ITEMSIZE[args.resident_dtype] / 1e9
     )

@@ -418,6 +418,36 @@ class TestLoadInto:
                 want.astype(jnp.bfloat16).view(np.uint16),
             )
 
+    def test_on_rows_filled_covers_every_row_exactly_once(self, tmp_path):
+        """The fill-progress callback must report each image's absolute
+        span after its rows are written — the pipelined upload trusts it
+        to decide which slabs are safe to read."""
+        import threading
+
+        labels, _ = build_synthetic_labels(tmp_path, n_images=9,
+                                           pts_per_image=5)
+        want, _ = labels.load_all()
+        for workers in (None, 4):
+            spans = []
+            lock = threading.Lock()
+            out = np.empty((want.shape[0] + 2, want.shape[1]), np.float32)
+
+            def record(start, n):
+                # Rows must already be final when the callback fires.
+                np.testing.assert_array_equal(
+                    out[start: start + n], want[start - 2: start - 2 + n]
+                )
+                with lock:
+                    spans.append((start, n))
+
+            labels.load_into(out, offset=2, max_workers=workers,
+                             on_rows_filled=record)
+            covered = sorted(spans)
+            assert covered[0][0] == 2
+            assert sum(n for _, n in covered) == want.shape[0]
+            for (a, n1), (b, _) in zip(covered, covered[1:]):
+                assert a + n1 == b  # disjoint, gapless
+
     def test_rejects_undersized_buffer(self, tmp_path):
         labels, _ = build_synthetic_labels(tmp_path, n_images=3,
                                            pts_per_image=4)

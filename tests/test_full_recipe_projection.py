@@ -74,6 +74,27 @@ class TestProjectedVmMinutes:
         )
         assert (with_q - without) * 60.0 == pytest.approx(30.0, abs=0.61)
 
+    def test_pipelined_runs_subtract_only_the_upload_tail(self):
+        """With the pipelined fill->upload, most of the upload thread's
+        lifetime overlaps the disk fill — only its serialized tail
+        (upload_extra_wait_seconds) cost wall-clock, so only the tail is
+        subtracted; legacy records without the key keep the old formula."""
+        drive = _load_drive()
+        base = {
+            "resident/pretouch_seconds": 10.0,
+            "resident/upload_stage_seconds": 100.0,
+            "subsample/realized_total": 1000.0,
+        }
+        legacy = drive._project_vm_minutes(600.0, base, self._args())
+        pipelined = drive._project_vm_minutes(
+            600.0,
+            {**base, "resident/upload_extra_wait_seconds": 20.0},
+            self._args(),
+        )
+        # Legacy subtracts 100 s of upload; pipelined subtracts its 20 s
+        # tail — the projection rises by the 80 s that never serialized.
+        assert (pipelined - legacy) * 60.0 == pytest.approx(80.0, abs=0.61)
+
     def test_missing_budget_returns_none(self):
         drive = _load_drive()
         assert drive._project_vm_minutes(600.0, {}, self._args()) is None

@@ -631,8 +631,122 @@ def test_resident_timings_recorded(task_labels):
     assert t["warm_forward_programs"] >= 1
     assert t["load_seconds"] >= 0.0
     assert t["upload_stage_seconds"] >= 0.0
+    # Pipelined upload: the serialized tail can never exceed the upload
+    # thread's lifetime (it is the part that outlived the disk fill).
+    assert 0.0 <= t["upload_extra_wait_seconds"] <= t["upload_stage_seconds"] + 0.2
     assert t["rows"] == task_labels.label_count
 
     streamed = SmallNetTrainer(batch_size=64)
     streamed(task_labels, nbr_epochs=2, pc_models=[])
     assert streamed.resident_timings is None
+
+
+class TestFilledPrefix:
+    """The fill->upload watermark: out-of-order spans, blocking waits, and
+    failure propagation (an uploader waiting on a dead fill must raise,
+    never hang)."""
+
+    def test_out_of_order_spans_advance_contiguously(self):
+        from mermaid_classifier_tpu.train.trainer import _FilledPrefix
+
+        t = _FilledPrefix(10)
+        t.add(4, 3)          # [4,7) pending — prefix still 0
+        assert t._watermark == 0
+        t.add(0, 4)          # [0,4) lands -> merges through [4,7)
+        assert t._watermark == 7
+        t.add(7, 3)
+        assert t._watermark == 10
+        t.wait(10)           # returns immediately
+
+    def test_wait_blocks_until_published(self):
+        import threading
+        import time as _time
+
+        from mermaid_classifier_tpu.train.trainer import _FilledPrefix
+
+        t = _FilledPrefix(6)
+        seen = []
+
+        def waiter():
+            t.wait(6)
+            seen.append("done")
+
+        th = threading.Thread(target=waiter, daemon=True)
+        th.start()
+        _time.sleep(0.05)
+        assert seen == []    # still blocked
+        t.add(0, 3)
+        t.add(3, 3)
+        th.join(timeout=5)
+        assert seen == ["done"]
+
+    def test_wait_clamps_to_total(self):
+        from mermaid_classifier_tpu.train.trainer import _FilledPrefix
+
+        t = _FilledPrefix(4)
+        t.add(0, 4)
+        t.wait(10**9)        # requests beyond total clamp to total
+
+    def test_fail_aborts_waiters(self):
+        import threading
+
+        from mermaid_classifier_tpu.train.trainer import _FilledPrefix
+
+        t = _FilledPrefix(8)
+        errs = []
+
+        def waiter():
+            try:
+                t.wait(8)
+            except RuntimeError as exc:
+                errs.append(exc)
+
+        th = threading.Thread(target=waiter, daemon=True)
+        th.start()
+        t.fail(FileNotFoundError("gone.npz"))
+        th.join(timeout=5)
+        assert len(errs) == 1
+        assert isinstance(errs[0].__cause__, FileNotFoundError)
+
+
+class TestPipelinedUpload:
+    """The pipelined fill->upload must be bit-identical to uploading after
+    the fill completes, and a fill failure must kill the run promptly."""
+
+    def test_chunked_put_with_wait_rows_matches_direct(self):
+        """Stream slabs behind a concurrent fill (tiny chunk_bytes forces
+        many slabs) — the device buffer must equal a direct put of the
+        finished matrix."""
+        import threading
+
+        from mermaid_classifier_tpu.train.trainer import _FilledPrefix
+
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((64, 32)).astype(np.float32)
+        staged = np.zeros_like(X)
+        tracker = _FilledPrefix(64)
+
+        def fill():
+            order = [3, 0, 1, 2, 5, 4, 7, 6]  # out-of-order 8-row spans
+            for k in order:
+                staged[k * 8: (k + 1) * 8] = X[k * 8: (k + 1) * 8]
+                tracker.add(k * 8, 8)
+
+        th = threading.Thread(target=fill, daemon=True)
+        th.start()
+        got = MLPClassifier._chunked_device_put(
+            staged, chunk_bytes=8 * 32 * 4, wait_rows=tracker.wait
+        )
+        th.join(timeout=5)
+        np.testing.assert_array_equal(np.asarray(got), X)
+
+    def test_resident_fill_failure_propagates_without_hang(self, task_labels):
+        """Delete one feature file: the trainer must raise the fill error
+        (and the concurrent uploader must shut down, not deadlock)."""
+        import os
+
+        victim = sorted(task_labels.train.data.keys())[2]
+        os.remove(victim)
+        trainer = SmallNetTrainer(batch_size=64, device_resident=True)
+        with pytest.raises(FileNotFoundError):
+            trainer(task_labels, nbr_epochs=2, pc_models=[])
