@@ -123,7 +123,14 @@ def _mapped_npz_member(path: Path, zf: zipfile.ZipFile, name: str):
             except (AttributeError, ValueError, OSError):
                 pass
         return mapped
-    except (OSError, ValueError, KeyError, SyntaxError, struct.error):
+    except (
+        OSError, ValueError, KeyError, SyntaxError, struct.error,
+        # Truncated/malformed members: magic shorter than 8 bytes
+        # (IndexError on magic[6]), a header that parses to a non-dict
+        # (AttributeError on .get), or non-literal header contents
+        # (TypeError from literal_eval) — all must fall back, never leak.
+        IndexError, AttributeError, TypeError,
+    ):
         return None
 
 
@@ -177,15 +184,20 @@ def select_point_rows(
     """
     stored = np.asarray(rowcols, dtype=np.int64).reshape(-1, 2)
     want = np.asarray(wanted_rowcols, dtype=np.int64).reshape(-1, 2)
-    if want.shape == stored.shape and np.array_equal(want, stored):
-        return None
-    if want.shape[0] == 0:
-        return np.empty(0, dtype=np.intp)
     # (row, col) int32 pairs pack bijectively into one int64 key.
     skey = (stored[:, 0] << 32) | (stored[:, 1] & 0xFFFFFFFF)
-    wkey = (want[:, 0] << 32) | (want[:, 1] & 0xFFFFFFFF)
     order = np.argsort(skey, kind="stable")
     sorted_keys = skey[order]
+    if want.shape == stored.shape and np.array_equal(want, stored):
+        # Exact match in stored order — but only when every stored point
+        # is unique: with a duplicated point the dict-last semantics pick
+        # the LAST occurrence for every lookup, which identity would not
+        # reproduce; fall through to the general path for those.
+        if stored.shape[0] < 2 or (sorted_keys[1:] != sorted_keys[:-1]).all():
+            return None
+    if want.shape[0] == 0:
+        return np.empty(0, dtype=np.intp)
+    wkey = (want[:, 0] << 32) | (want[:, 1] & 0xFFFFFFFF)
     # side="right" - 1 lands on the last stable-sorted duplicate.
     pos = np.searchsorted(sorted_keys, wkey, side="right") - 1
     missing = (pos < 0) | (sorted_keys[np.maximum(pos, 0)] != wkey)

@@ -692,6 +692,14 @@ class MLPClassifier:
                 f" got {dtype!r}"
             )
         jdtype = jnp.dtype(dtype)
+        if wait_rows is not None and not (
+            isinstance(X, np.ndarray) and X.dtype == np.float32
+        ):
+            # np.asarray below would COPY a non-f32 input — snapshotting a
+            # buffer the pipelined fill is still writing. Degrade to
+            # wait-all so the conversion sees only final rows.
+            wait_rows(int(np.shape(X)[0]))
+            wait_rows = None
         X = np.asarray(X, dtype=np.float32)
         if X.ndim != 2:
             raise ValueError(f"X must be 2D, got shape {X.shape}")
@@ -781,6 +789,21 @@ class MLPClassifier:
         last slab waits for the full matrix), so the caller may fill it
         in the same pass. The mesh path is a single sharded device_put —
         it waits for the full matrix up front."""
+        if wait_rows is not None and not (
+            isinstance(stored, np.ndarray)
+            and (
+                scale is None
+                or (
+                    isinstance(scale, np.ndarray)
+                    and scale.dtype == np.float32
+                )
+            )
+        ):
+            # The asarray conversions below would COPY non-ndarray/
+            # non-f32 inputs — snapshotting buffers the pipelined fill is
+            # still writing. Degrade to wait-all first.
+            wait_rows(int(np.shape(stored)[0]))
+            wait_rows = None
         stored = np.asarray(stored)
         if stored.ndim != 2:
             raise ValueError(f"stored must be 2D, got shape {stored.shape}")

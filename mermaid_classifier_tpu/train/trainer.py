@@ -565,6 +565,17 @@ class MermaidTrainer:
                     except BaseException as exc:  # rethrown on join below
                         upload_exc.append(exc)
 
+                def _publish(start: int, n: int) -> None:
+                    # Cancellation runs BOTH ways: a dead uploader (device
+                    # OOM, wedged transfer) aborts the fill at its next
+                    # published span instead of letting a multi-minute
+                    # fill run to completion before the error surfaces.
+                    if upload_exc:
+                        raise RuntimeError(
+                            "resident upload failed; aborting the disk fill"
+                        ) from upload_exc[0]
+                    tracker.add(start, n)
+
                 upload_thread = _threading.Thread(
                     target=_upload, name="resident-upload", daemon=True
                 )
@@ -575,11 +586,15 @@ class MermaidTrainer:
                             stacked, offset,
                             max_workers=self.resident_load_workers,
                             row_transform=row_transform,
-                            on_rows_filled=tracker.add,
+                            on_rows_filled=_publish,
                         )
                 except BaseException as exc:
                     tracker.fail(exc)  # abort the uploader, never hang it
                     upload_thread.join()
+                    # The fill died BECAUSE the uploader died: surface the
+                    # uploader's root cause, not the abort wrapper.
+                    if upload_exc and exc.__cause__ is upload_exc[0]:
+                        raise upload_exc[0]
                     raise
                 load_s = time.time() - t_load
                 logger.info(

@@ -132,6 +132,28 @@ class TestFeatureIO:
         # Empty wanted list → empty index array, not None.
         got = select_point_rows(rowcols, [])
         assert got is not None and got.shape == (0,)
+        # A duplicated stored point defeats the exact-match fast path too:
+        # dict-last semantics map EVERY (5,5) lookup to the last
+        # occurrence, which identity order would not reproduce.
+        np.testing.assert_array_equal(
+            select_point_rows(dup, [(5, 5), (7, 7), (5, 5)]), [2, 1, 2]
+        )
+
+    def test_mapped_member_rejects_truncated_magic(self, tmp_path):
+        """A STORED member whose bytes end inside the npy magic must make
+        the mapped parser bail to the eager path (None), not crash with
+        an IndexError."""
+        import zipfile
+
+        from mermaid_classifier_tpu.data.features_io import (
+            _mapped_npz_member,
+        )
+
+        path = tmp_path / "trunc.npz"
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+            zf.writestr("features.npy", b"\x93NUMPY")  # magic cut at 6 bytes
+        with zipfile.ZipFile(path) as zf:
+            assert _mapped_npz_member(path, zf, "features.npy") is None
 
     def test_legacy_json_reader(self, tmp_path):
         import json

@@ -750,3 +750,70 @@ class TestPipelinedUpload:
         trainer = SmallNetTrainer(batch_size=64, device_resident=True)
         with pytest.raises(FileNotFoundError):
             trainer(task_labels, nbr_epochs=2, pc_models=[])
+
+    def test_wait_rows_guards_converting_inputs(self):
+        """A non-f32 input (f64 buffer, f64 scale vector) makes the
+        upload snapshot a CONVERTED copy — with wait_rows it must wait
+        for the full fill BEFORE converting, or the device receives the
+        buffer's initial garbage."""
+        import threading
+
+        from mermaid_classifier_tpu.train.trainer import _FilledPrefix
+
+        rng = np.random.default_rng(1)
+        final = rng.standard_normal((16, 8)).astype(np.float64)
+
+        # f32 path with an f64 staging buffer.
+        staged = np.zeros((16, 8), np.float64)
+        tracker = _FilledPrefix(16)
+
+        def fill():
+            staged[:] = final
+            tracker.add(0, 16)
+
+        th = threading.Thread(target=fill, daemon=True)
+        clf = MLPClassifier((4,), random_state=0)
+        th.start()
+        clf.set_resident_features(staged, wait_rows=tracker.wait)
+        th.join(timeout=5)
+        np.testing.assert_array_equal(
+            np.asarray(clf._resident_X), final.astype(np.float32)
+        )
+
+        # Storage path with an f64 scale vector (copied by asarray).
+        q = rng.integers(-127, 127, (16, 8)).astype(np.int8)
+        scale64 = np.zeros(16, np.float64)
+        tracker2 = _FilledPrefix(16)
+
+        def fill2():
+            scale64[:] = np.arange(1, 17)
+            tracker2.add(0, 16)
+
+        th2 = threading.Thread(target=fill2, daemon=True)
+        clf2 = MLPClassifier((4,), random_state=0)
+        th2.start()
+        clf2.set_resident_features_storage(
+            q, scale64, wait_rows=tracker2.wait
+        )
+        th2.join(timeout=5)
+        np.testing.assert_array_equal(
+            np.asarray(clf2._resident_scale),
+            np.arange(1, 17, dtype=np.float32),
+        )
+
+    def test_upload_failure_surfaces_not_swallowed(self, task_labels,
+                                                   monkeypatch):
+        """An uploader that dies (device OOM, wedged transfer) must
+        surface its error from the trainer call — and the bidirectional
+        abort means the fill never completes obliviously."""
+        boom = MemoryError("HBM exhausted")
+
+        def raising(*a, **k):
+            raise boom
+
+        monkeypatch.setattr(MLPClassifier, "set_resident_features", raising)
+        trainer = SmallNetTrainer(batch_size=64, device_resident=True)
+        with pytest.raises(BaseException) as excinfo:
+            trainer(task_labels, nbr_epochs=2, pc_models=[])
+        exc = excinfo.value
+        assert boom is exc or boom is getattr(exc, "__cause__", None)
