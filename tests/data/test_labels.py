@@ -110,6 +110,34 @@ class TestFeatureIO:
         np.testing.assert_array_equal(f, feats)
         assert not isinstance(f, np.memmap)
 
+    def test_mapped_reader_parses_npy_v2_v3_headers(self, tmp_path):
+        """np.savez writes v1 headers today, but the parser claims v2/v3
+        support (4-byte header length) — pin it against members written
+        with those versions explicitly."""
+        import io
+        import zipfile
+
+        from mermaid_classifier_tpu.data.features_io import (
+            read_feature_file_mapped,
+        )
+
+        feats = np.arange(12, dtype=np.float32).reshape(3, 4)
+        rowcols = np.stack(
+            [np.arange(3), np.arange(3) + 10], axis=1
+        ).astype(np.int32)
+        path = tmp_path / "v23.npz"
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+            b = io.BytesIO()
+            np.lib.format.write_array(b, rowcols, version=(2, 0))
+            zf.writestr("rowcols.npy", b.getvalue())
+            b = io.BytesIO()
+            np.lib.format.write_array(b, feats, version=(3, 0))
+            zf.writestr("features.npy", b.getvalue())
+        r, f = read_feature_file_mapped(path)
+        assert isinstance(f, np.memmap)  # mapped, not the eager fallback
+        np.testing.assert_array_equal(r, rowcols)
+        np.testing.assert_array_equal(np.asarray(f), feats)
+
     def test_select_point_rows(self):
         from mermaid_classifier_tpu.data.features_io import select_point_rows
 
