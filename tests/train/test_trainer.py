@@ -4,7 +4,10 @@ calibration equivalence (reference analog: tests/pyspacer/test_trainer.py)."""
 import numpy as np
 import pytest
 
-from mermaid_classifier_tpu.data.labels import preprocess_labels
+from mermaid_classifier_tpu.data.labels import (
+    evaluate_classifier,
+    preprocess_labels,
+)
 from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
 from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
 from mermaid_classifier_tpu.train.trainer import MermaidTrainer
@@ -567,6 +570,55 @@ class TestDeviceResidentTrainer:
         assert trainer.resident_artifact_val_proba(
             clf_cal.estimator, task_labels.val, {}
         ) is None
+
+    def test_final_eval_resident_matches_disk_streaming(self, task_labels):
+        """The trainer's final calibrated-model eval gathers val rows from
+        the resident buffer (only (N, K) probabilities cross back); for
+        f32 storage its ValResults must reproduce the disk-streamed
+        evaluate_classifier bit-for-bit."""
+        trainer = SmallNetTrainer(batch_size=64, device_resident=True)
+        clf_cal, val_results, _ = trainer(
+            task_labels, nbr_epochs=3, pc_models=[]
+        )
+        gts, ests, scores = evaluate_classifier(
+            clf_cal, task_labels.val, batch_size=64
+        )
+        classes = list(clf_cal.classes_)
+        assert val_results.gt == [classes.index(g) for g in gts]
+        assert val_results.est == [classes.index(e) for e in ests]
+        np.testing.assert_array_equal(val_results.scores, scores)
+
+    def test_final_eval_resident_int8_band(self, task_labels):
+        """int8 residency evaluates the calibrated model on the
+        storage-rounded rows (the same rows training, calibration, and
+        the artifact eval consumed) — agreement with the exact-feature
+        disk-streamed eval is a quality band, not bit equality."""
+        trainer = SmallNetTrainer(
+            batch_size=64, device_resident=True, resident_dtype="int8"
+        )
+        clf_cal, val_results, msg = trainer(
+            task_labels, nbr_epochs=3, pc_models=[]
+        )
+        gts, ests, _ = evaluate_classifier(
+            clf_cal, task_labels.val, batch_size=64
+        )
+        classes = list(clf_cal.classes_)
+        assert val_results.gt == [classes.index(g) for g in gts]
+        acc_disk = float(np.mean(np.asarray(ests) == np.asarray(gts)))
+        assert msg.acc == pytest.approx(acc_disk, abs=0.05)
+
+    def test_phase_timings_recorded(self, task_labels):
+        """The post-staging phase budget (epoch loop / calibration /
+        final eval) joins the resident stage budget so full-recipe
+        records decompose the whole train stage."""
+        trainer = SmallNetTrainer(batch_size=64, device_resident=True)
+        trainer(task_labels, nbr_epochs=2, pc_models=[])
+        t = trainer.resident_timings
+        assert t is not None
+        assert t["epochs_run"] == 2.0
+        assert t["epochs_seconds"] >= 0.0
+        assert t["calibration_seconds"] >= 0.0
+        assert t["final_eval_seconds"] >= 0.0
 
     def test_device_calibration_backend_close_to_scipy(self, task_labels):
         """calibration_backend='device' routes the Platt fits through the
