@@ -6,6 +6,7 @@ coordinator.py:26-108, with the local tracker in place of MLflow)."""
 from __future__ import annotations
 
 import logging
+import time
 
 import numpy as np
 
@@ -36,6 +37,12 @@ class MetricsCoordinator:
     def __init__(self, ctx: MetricsContext, run: Run):
         self.ctx = ctx
         self.run = run
+        # Per-group wall seconds from the last compute_and_log_all —
+        # persisted as metrics_group_seconds.json so a slow metrics block
+        # in a full-scale drive decomposes inside the tracked run (the
+        # same self-explanation discipline as resident/* and
+        # profiled_sections).
+        self.group_seconds: dict[str, float] = {}
 
     def compute_and_log_all(self) -> None:
         try:
@@ -59,11 +66,19 @@ class MetricsCoordinator:
         ):
             self._precompute_probabilities()
 
+        self.group_seconds = {}
         for group in runnable_groups(self.ctx):
+            t0 = time.perf_counter()
             try:
                 self._log_output(group.compute(self.ctx))
             except Exception:
                 logger.warning("Metric group %r failed", group.name, exc_info=True)
+            finally:
+                elapsed = round(time.perf_counter() - t0, 3)
+                self.group_seconds[group.name] = elapsed
+                logger.debug("metric group %r: %.3fs", group.name, elapsed)
+        if self.group_seconds:
+            self.run.log_dict(self.group_seconds, "metrics_group_seconds.json")
 
     def _precompute_probabilities(self) -> None:
         """Stream the val set through the classifier ONCE and share the

@@ -345,6 +345,9 @@ class TestCoordinatorEndToEnd:
         assert any(a.startswith("confusion_matrix/") for a in artifacts)
         assert any(a.startswith("per_source/") for a in artifacts)
         assert any(a.startswith("cover/") for a in artifacts)
+        # Per-group wall seconds are persisted so a slow metrics block in a
+        # full-scale drive decomposes inside the tracked run.
+        assert "metrics_group_seconds.json" in artifacts
 
     def test_precomputed_val_proba_is_honored(self, tmp_path):
         """A caller-precomputed probability matrix (the runner's
