@@ -1021,6 +1021,7 @@ class MLPClassifier:
         n_classes: int,
         train_batch_row_counts: Sequence[int] = (),
         eval_batch_row_counts: Sequence[int] = (),
+        head_row_counts: Sequence[int] = (),
         dtype: str = "float32",
     ) -> dict:
         """AOT-compile the resident-epoch and resident-forward programs for
@@ -1041,7 +1042,12 @@ class MLPClassifier:
         the live mesh context). Returns a stats dict.
         """
         t0 = time.perf_counter()
-        stats = {"epoch_programs": 0, "forward_programs": 0, "seconds": 0.0}
+        stats = {
+            "epoch_programs": 0,
+            "forward_programs": 0,
+            "head_programs": 0,
+            "seconds": 0.0,
+        }
         if self.mesh is not None:
             stats["skipped"] = "mesh"
             return stats
@@ -1119,6 +1125,35 @@ class MLPClassifier:
                     params_aval, x_aval, idx_aval,
                 ).compile()
             stats["forward_programs"] += 1
+        # The SHIPPED artifact's head program over resident rows
+        # (predict_proba_resident_head): the eval-the-artifact fast path
+        # dispatches it once at drive end with the full val span — warming
+        # it here rides the upload overlap instead of paying the remote
+        # compile serialized after training. The head pytree structure is
+        # HeadParams.as_pytree(): f32 weights/biases (same sizes as the
+        # MLP) plus (K,) f32 Platt a/b.
+        head_aval = {
+            "weights": list(w_avals),
+            "biases": list(b_avals),
+            "a": jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
+            "b": jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
+        }
+        for n in sorted({int(n) for n in head_row_counts}):
+            if n <= 0:
+                continue
+            k = key("head", n)
+            if k in execs:
+                continue
+            idx_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
+            if quantized:
+                execs[k] = _jitted_head_apply_resident(True).lower(
+                    head_aval, x_aval, scale_aval, idx_aval,
+                ).compile()
+            else:
+                execs[k] = _jitted_head_apply_resident(False).lower(
+                    head_aval, x_aval, idx_aval,
+                ).compile()
+            stats["head_programs"] += 1
         stats["seconds"] = round(time.perf_counter() - t0, 1)
         return stats
 
@@ -1395,7 +1430,26 @@ class MLPClassifier:
         if idx.ndim != 1:
             raise ValueError(f"indices must be 1-D, got {idx.shape}")
         quantized = getattr(self, "_resident_dtype", "float32") == "int8"
-        fwd = _jitted_head_apply_resident(quantized)
+        fwd = None
+        if self.mesh is None:
+            # AOT-warmed executable, if the trainer compiled one during
+            # the resident upload. The key's class count comes from the
+            # head pytree itself (this path needs no fitted state), so a
+            # structurally different artifact simply misses and falls
+            # back to jit.
+            fwd = getattr(self, "_resident_exec", {}).get(
+                self._exec_key_from(
+                    "head",
+                    (len(idx),),
+                    int(getattr(self, "_resident_n_rows", 0) or 0),
+                    int(self._resident_X.shape[0]),
+                    int(self._resident_X.shape[1]),
+                    int(np.shape(head_pytree["a"])[0]),
+                    str(self._resident_X.dtype),
+                )
+            )
+        if fwd is None:
+            fwd = _jitted_head_apply_resident(quantized)
         if quantized:
             probs = fwd(
                 head_pytree, self._resident_X, self._resident_scale,

@@ -459,6 +459,13 @@ class MermaidTrainer:
                             labels, split_name
                         ).iter_index_batches(batch_size=self.batch_size)
                     }
+                    # The eval-the-artifact fast path gathers the WHOLE val
+                    # span in one dispatch (resident_artifact_val_proba);
+                    # warm its head program too so the drive-end artifact
+                    # eval never pays a serialized remote compile.
+                    head_counts = (
+                        {labels.val.label_count} if len(labels.val) else set()
+                    )
                     def _warm() -> None:
                         try:
                             warm_stats.update(clf.warm_resident_programs(
@@ -467,6 +474,7 @@ class MermaidTrainer:
                                 n_classes=len(classes_list),
                                 train_batch_row_counts=train_counts,
                                 eval_batch_row_counts=eval_counts,
+                                head_row_counts=head_counts,
                                 dtype=self.resident_dtype,
                             ))
                         except Exception as exc:  # fall back to jit-on-call
@@ -658,6 +666,9 @@ class MermaidTrainer:
                     ),
                     "warm_forward_programs": float(
                         warm_stats.get("forward_programs", 0)
+                    ),
+                    "warm_head_programs": float(
+                        warm_stats.get("head_programs", 0)
                     ),
                     "rows": float(pos),
                     "gigabytes_f32": round(stacked.nbytes / 1e9, 2),

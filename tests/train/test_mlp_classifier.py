@@ -995,6 +995,66 @@ class TestWarmResidentPrograms:
         clf.partial_fit_resident(idx[300:], y[300:])
         clf.predict_proba_resident(idx)
 
+    def _head_pytree(self, clf):
+        """A shipped-artifact-shaped head pytree for clf's architecture
+        (arbitrary but deterministic Platt params)."""
+        import jax.numpy as jnp
+
+        k = len(clf.classes_)
+        return {
+            "weights": [jnp.asarray(w) for w in clf.coefs_],
+            "biases": [jnp.asarray(b) for b in clf.intercepts_],
+            "a": jnp.asarray(np.linspace(-2.0, -0.5, k), dtype=jnp.float32),
+            "b": jnp.asarray(np.linspace(0.1, 0.4, k), dtype=jnp.float32),
+        }
+
+    def test_warmed_head_program_bitwise_identical(self):
+        """warm_resident_programs(head_row_counts=...) pre-compiles the
+        eval-the-artifact program; its output must be bit-identical to the
+        jit path for f32 and int8 residency."""
+        for dtype in ("float32", "int8"):
+            X, y = self._data()
+            cold, _ = self._train(X, y, warm=False, dtype=dtype)
+            idx = np.arange(len(X), dtype=np.int32)
+            head = self._head_pytree(cold)
+            p_cold = cold.predict_proba_resident_head(head, idx)
+
+            classes = sorted(set(y.tolist()))
+            warm = MLPClassifier((16, 8), batch_size=64, random_state=0)
+            stats = warm.warm_resident_programs(
+                n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+                train_batch_row_counts=[300, len(X) - 300],
+                head_row_counts=[len(X)], dtype=dtype,
+            )
+            assert stats["head_programs"] == 1
+            warm.set_resident_features(X, dtype=dtype)
+            warm.partial_fit_resident(idx[:300], y[:300], classes=classes)
+            warm.partial_fit_resident(idx[300:], y[300:])
+            p_warm = warm.predict_proba_resident_head(
+                self._head_pytree(warm), idx
+            )
+            np.testing.assert_array_equal(p_cold, p_warm, err_msg=dtype)
+
+    def test_warmed_head_executable_is_used(self, monkeypatch):
+        import mermaid_classifier_tpu.train.mlp_classifier as mod
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[len(X)], head_row_counts=[len(X)],
+        )
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the jit path")
+
+        monkeypatch.setattr(mod, "_jitted_head_apply_resident", boom)
+        clf.predict_proba_resident_head(self._head_pytree(clf), idx)
+
     def test_mesh_skips_warming(self):
         from mermaid_classifier_tpu.parallel.mesh import make_mesh
 
