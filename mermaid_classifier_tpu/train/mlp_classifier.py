@@ -289,6 +289,38 @@ def _jitted_forward_resident(quantized: bool = False):
     return jax.jit(fwd)
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_predict_resident(quantized: bool = False):
+    """argmax of the resident forward: the accuracy-only eval pass reads
+    back (N,) int32 predictions instead of the (N, K) probability matrix
+    (14.4 MB + two fresh ~29 MB float64 host allocations per epoch at C2
+    scale — fresh-page allocation is the weather-bound resource,
+    CLAUDE.md). argmax commutes with the float64 renormalization (a
+    positive per-row scale; equal float32 values stay equal and distinct
+    ones stay ordered through the exact f32→f64 promotion), so the
+    predictions are bit-identical to
+    ``predict_proba_resident(idx).argmax(axis=1)`` — differential-tested."""
+    if quantized:
+        def pred_q(params, x_resident, scale, idx):
+            x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+            x = x * jnp.take(scale, idx, axis=0)[:, None]
+            probs = jax.nn.softmax(
+                _forward_logits(params["W"], params["b"], x), axis=1
+            )
+            return jnp.argmax(probs, axis=1).astype(jnp.int32)
+
+        return jax.jit(pred_q)
+
+    def pred(params, x_resident, idx):
+        x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+        probs = jax.nn.softmax(
+            _forward_logits(params["W"], params["b"], x), axis=1
+        )
+        return jnp.argmax(probs, axis=1).astype(jnp.int32)
+
+    return jax.jit(pred)
+
+
 class MLPClassifier:
     """sklearn-MLPClassifier-compatible JAX classifier head.
 
@@ -1022,6 +1054,7 @@ class MLPClassifier:
         train_batch_row_counts: Sequence[int] = (),
         eval_batch_row_counts: Sequence[int] = (),
         head_row_counts: Sequence[int] = (),
+        pred_row_counts: Sequence[int] = (),
         dtype: str = "float32",
     ) -> dict:
         """AOT-compile the resident-epoch and resident-forward programs for
@@ -1046,6 +1079,7 @@ class MLPClassifier:
             "epoch_programs": 0,
             "forward_programs": 0,
             "head_programs": 0,
+            "pred_programs": 0,
             "seconds": 0.0,
         }
         if self.mesh is not None:
@@ -1125,6 +1159,24 @@ class MLPClassifier:
                     params_aval, x_aval, idx_aval,
                 ).compile()
             stats["forward_programs"] += 1
+        # The accuracy-only eval program (device argmax, (N,) int32
+        # readback) — the trainer's per-epoch ref accuracy pass.
+        for n in sorted({int(n) for n in pred_row_counts}):
+            if n <= 0:
+                continue
+            k = key("pred", n)
+            if k in execs:
+                continue
+            idx_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
+            if quantized:
+                execs[k] = _jitted_predict_resident(True).lower(
+                    params_aval, x_aval, scale_aval, idx_aval,
+                ).compile()
+            else:
+                execs[k] = _jitted_predict_resident(False).lower(
+                    params_aval, x_aval, idx_aval,
+                ).compile()
+            stats["pred_programs"] += 1
         # The SHIPPED artifact's head program over resident rows
         # (predict_proba_resident_head): the eval-the-artifact fast path
         # dispatches it once at drive end with the full val span — warming
@@ -1414,6 +1466,40 @@ class MLPClassifier:
     def predict_resident(self, indices: np.ndarray) -> np.ndarray:
         probs = self.predict_proba_resident(indices)
         return self.classes_[np.argmax(probs, axis=1)]
+
+    def predict_indices_resident(self, indices: np.ndarray) -> np.ndarray:
+        """Class-INDEX predictions over resident rows, argmax taken on
+        device — only (N,) int32 crosses back to the host. Bit-identical
+        to ``predict_proba_resident(indices).argmax(axis=1)``
+        (see _jitted_predict_resident); the trainer's per-epoch ref
+        accuracy uses this to avoid the probability-matrix readback and
+        its fresh float64 host allocations."""
+        if not hasattr(self, "_params"):
+            raise RuntimeError(
+                "MLPClassifier is not fitted. Call partial_fit or fit"
+                " before predict/predict_proba."
+            )
+        if getattr(self, "_resident_X", None) is None:
+            raise ValueError("call set_resident_features(X) first.")
+        idx = np.asarray(indices, dtype=np.int32)
+        if idx.ndim != 1:
+            raise ValueError(f"indices must be 1-D, got {idx.shape}")
+        quantized = getattr(self, "_resident_dtype", "float32") == "int8"
+        fn = None
+        if self.mesh is None:
+            fn = getattr(self, "_resident_exec", {}).get(
+                self._exec_key("pred", len(idx))
+            )
+        if fn is None:
+            fn = _jitted_predict_resident(quantized)
+        if quantized:
+            out = fn(
+                self._params, self._resident_X, self._resident_scale,
+                jnp.asarray(idx),
+            )
+        else:
+            out = fn(self._params, self._resident_X, jnp.asarray(idx))
+        return np.asarray(out)
 
     def predict_proba_resident_head(
         self, head_pytree: dict, indices: np.ndarray

@@ -452,12 +452,17 @@ class MermaidTrainer:
                             random_seed=epoch_seed,
                         )
                     }
-                    eval_counts = {
+                    ref_counts = {
                         len(y)
-                        for split_name in ("ref", "val")
-                        for _, y in getattr(
-                            labels, split_name
-                        ).iter_index_batches(batch_size=self.batch_size)
+                        for _, y in labels.ref.iter_index_batches(
+                            batch_size=self.batch_size
+                        )
+                    }
+                    eval_counts = ref_counts | {
+                        len(y)
+                        for _, y in labels.val.iter_index_batches(
+                            batch_size=self.batch_size
+                        )
                     }
                     # The eval-the-artifact fast path gathers the WHOLE val
                     # span in one dispatch (resident_artifact_val_proba);
@@ -474,6 +479,9 @@ class MermaidTrainer:
                                 n_classes=len(classes_list),
                                 train_batch_row_counts=train_counts,
                                 eval_batch_row_counts=eval_counts,
+                                # Per-epoch ref accuracy reads back (N,)
+                                # int32 predictions (device argmax).
+                                pred_row_counts=ref_counts,
                                 head_row_counts=head_counts,
                                 dtype=self.resident_dtype,
                             ))
@@ -669,6 +677,9 @@ class MermaidTrainer:
                     ),
                     "warm_head_programs": float(
                         warm_stats.get("head_programs", 0)
+                    ),
+                    "warm_pred_programs": float(
+                        warm_stats.get("pred_programs", 0)
                     ),
                     "rows": float(pos),
                     "gigabytes_f32": round(stacked.nbytes / 1e9, 2),
@@ -1021,10 +1032,20 @@ class MermaidTrainer:
 
     def _calc_acc_batched(self, clf: MLPClassifier, labels: ImageLabels) -> float:
         """Streamed accuracy: only predictions accumulate, not features
-        (reference: trainer.py:295-307)."""
+        (reference: trainer.py:295-307). When the split is resident the
+        argmax happens on device and only (N,) int32 predictions cross
+        back — bit-identical to argmax over the probability matrix
+        (_jitted_predict_resident), without its per-epoch readback and
+        fresh float64 host allocations."""
         gt: list[str] = []
         pred: list[str] = []
         clf_classes = np.asarray(clf.classes_)
+        offset = self._resident_offset(labels)
+        if offset is not None:
+            for idx, y in labels.iter_index_batches(batch_size=self.batch_size):
+                pred.extend(clf_classes[clf.predict_indices_resident(idx + offset)])
+                gt.extend(y)
+            return float(accuracy_score(gt, pred))
         for proba, y in self._iter_proba_batches(clf, labels):
             pred.extend(clf_classes[np.argmax(proba, axis=1)])
             gt.extend(y)
@@ -1043,7 +1064,10 @@ class MermaidTrainer:
         for proba, y in self._iter_proba_batches(clf, labels):
             all_proba.append(proba)
             gt.extend(y)
-        proba = np.vstack(all_proba)
+        # vstack of a single batch would copy the whole (N, K) float64
+        # matrix — a fresh ~29 MB host allocation per epoch at C2 scale
+        # (fresh pages are the weather-bound resource, CLAUDE.md).
+        proba = all_proba[0] if len(all_proba) == 1 else np.vstack(all_proba)
         clf_classes = list(clf.classes_)
         pred = [clf_classes[i] for i in proba.argmax(axis=1)]
         acc = float(accuracy_score(gt, pred))

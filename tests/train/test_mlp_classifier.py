@@ -444,6 +444,24 @@ class TestResidentTraining:
             streamed.predict_proba(X[:50]), resident.predict_proba(X[:50])
         )
 
+    def test_predict_indices_resident_matches_proba_argmax(self):
+        """The device-argmax prediction pass (the trainer's per-epoch ref
+        accuracy) must be bit-identical to argmax over the renormalized
+        probability matrix, for every storage dtype."""
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        for dtype in ("float32", "bfloat16", "int8"):
+            clf = MLPClassifier((16, 8), learning_rate_init=1e-2,
+                                random_state=3)
+            clf.set_resident_features(X, dtype=dtype)
+            idx = np.arange(len(X), dtype=np.int32)
+            clf.partial_fit_resident(idx, y, classes=classes)
+            np.testing.assert_array_equal(
+                clf.predict_indices_resident(idx),
+                clf.predict_proba_resident(idx).argmax(axis=1),
+                err_msg=dtype,
+            )
+
     def test_resident_with_class_weights_and_padding(self):
         X, y = self._data(n=130)  # forces a ragged tail mini-batch
         classes = sorted(set(y.tolist()))
@@ -1034,6 +1052,27 @@ class TestWarmResidentPrograms:
                 self._head_pytree(warm), idx
             )
             np.testing.assert_array_equal(p_cold, p_warm, err_msg=dtype)
+
+    def test_warmed_pred_executable_is_used(self, monkeypatch):
+        import mermaid_classifier_tpu.train.mlp_classifier as mod
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        stats = clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[len(X)], pred_row_counts=[len(X)],
+        )
+        assert stats["pred_programs"] == 1
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the jit path")
+
+        monkeypatch.setattr(mod, "_jitted_predict_resident", boom)
+        clf.predict_indices_resident(idx)
 
     def test_warmed_head_executable_is_used(self, monkeypatch):
         import mermaid_classifier_tpu.train.mlp_classifier as mod
