@@ -78,7 +78,17 @@ class MetricsCoordinator:
                 self.group_seconds[group.name] = elapsed
                 logger.debug("metric group %r: %.3fs", group.name, elapsed)
         if self.group_seconds:
-            self.run.log_dict(self.group_seconds, "metrics_group_seconds.json")
+            # Same isolation as every other tracker write here: a timing
+            # artifact must never abort a metrics stage that already
+            # computed its groups.
+            try:
+                self.run.log_dict(
+                    self.group_seconds, "metrics_group_seconds.json"
+                )
+            except Exception:
+                logger.warning(
+                    "Failed to log metrics_group_seconds", exc_info=True
+                )
 
     def _precompute_probabilities(self) -> None:
         """Stream the val set through the classifier ONCE and share the

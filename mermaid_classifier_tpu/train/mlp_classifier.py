@@ -1193,7 +1193,10 @@ class MLPClassifier:
         for n in sorted({int(n) for n in head_row_counts}):
             if n <= 0:
                 continue
-            k = key("head", n)
+            # The runtime key derives the architecture from the artifact
+            # pytree itself; mirror it here (hidden sizes between dim and
+            # n_classes).
+            k = key("head", n, *sizes[1:-1])
             if k in execs:
                 continue
             idx_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
@@ -1432,11 +1435,12 @@ class MLPClassifier:
         probs = self._forward_probs(X)
         return self.classes_[np.argmax(probs, axis=1)]
 
-    def predict_proba_resident(self, indices: np.ndarray) -> np.ndarray:
-        """predict_proba over rows of the resident feature matrix — only
-        the (N, K) probabilities cross back to the host. Same float64
-        renormalization + drift warning as predict_proba."""
-        if not hasattr(self, "_params"):
+    def _check_resident_indices(
+        self, indices: np.ndarray, require_fitted: bool
+    ) -> np.ndarray:
+        """Shared preconditions of every resident forward-family entry
+        point (one copy — see _dispatch_resident)."""
+        if require_fitted and not hasattr(self, "_params"):
             raise RuntimeError(
                 "MLPClassifier is not fitted. Call partial_fit or fit"
                 " before predict/predict_proba."
@@ -1446,21 +1450,38 @@ class MLPClassifier:
         idx = np.asarray(indices, dtype=np.int32)
         if idx.ndim != 1:
             raise ValueError(f"indices must be 1-D, got {idx.shape}")
+        return idx
+
+    def _dispatch_resident(self, exec_key, jit_factory, params, idx):
+        """One dispatch body for every resident forward-family program:
+        AOT-warmed executable lookup (single-device) with jit fallback,
+        plus the quantized paths' extra scale argument. Three
+        hand-maintained copies of this boilerplate would be exactly the
+        hazard _exec_key_from's docstring warns about."""
         quantized = getattr(self, "_resident_dtype", "float32") == "int8"
-        fwd = None
-        if self.mesh is None:
-            fwd = getattr(self, "_resident_exec", {}).get(
-                self._exec_key("fwd", len(idx))
-            )
-        if fwd is None:
-            fwd = _jitted_forward_resident(quantized)
+        fn = None
+        if self.mesh is None and exec_key is not None:
+            fn = getattr(self, "_resident_exec", {}).get(exec_key)
+        if fn is None:
+            fn = jit_factory(quantized)
         if quantized:
-            probs = fwd(
-                self._params, self._resident_X, self._resident_scale,
+            return fn(
+                params, self._resident_X, self._resident_scale,
                 jnp.asarray(idx),
             )
-        else:
-            probs = fwd(self._params, self._resident_X, jnp.asarray(idx))
+        return fn(params, self._resident_X, jnp.asarray(idx))
+
+    def predict_proba_resident(self, indices: np.ndarray) -> np.ndarray:
+        """predict_proba over rows of the resident feature matrix — only
+        the (N, K) probabilities cross back to the host. Same float64
+        renormalization + drift warning as predict_proba."""
+        idx = self._check_resident_indices(indices, require_fitted=True)
+        probs = self._dispatch_resident(
+            self._exec_key("fwd", len(idx)),
+            _jitted_forward_resident,
+            self._params,
+            idx,
+        )
         return self._renormalize_probs(np.asarray(probs).astype(np.float64))
 
     def predict_resident(self, indices: np.ndarray) -> np.ndarray:
@@ -1474,31 +1495,13 @@ class MLPClassifier:
         (see _jitted_predict_resident); the trainer's per-epoch ref
         accuracy uses this to avoid the probability-matrix readback and
         its fresh float64 host allocations."""
-        if not hasattr(self, "_params"):
-            raise RuntimeError(
-                "MLPClassifier is not fitted. Call partial_fit or fit"
-                " before predict/predict_proba."
-            )
-        if getattr(self, "_resident_X", None) is None:
-            raise ValueError("call set_resident_features(X) first.")
-        idx = np.asarray(indices, dtype=np.int32)
-        if idx.ndim != 1:
-            raise ValueError(f"indices must be 1-D, got {idx.shape}")
-        quantized = getattr(self, "_resident_dtype", "float32") == "int8"
-        fn = None
-        if self.mesh is None:
-            fn = getattr(self, "_resident_exec", {}).get(
-                self._exec_key("pred", len(idx))
-            )
-        if fn is None:
-            fn = _jitted_predict_resident(quantized)
-        if quantized:
-            out = fn(
-                self._params, self._resident_X, self._resident_scale,
-                jnp.asarray(idx),
-            )
-        else:
-            out = fn(self._params, self._resident_X, jnp.asarray(idx))
+        idx = self._check_resident_indices(indices, require_fitted=True)
+        out = self._dispatch_resident(
+            self._exec_key("pred", len(idx)),
+            _jitted_predict_resident,
+            self._params,
+            idx,
+        )
         return np.asarray(out)
 
     def predict_proba_resident_head(
@@ -1510,39 +1513,27 @@ class MLPClassifier:
         fed by the on-device gather. Returns float64 like
         ``Predictor.predict_proba`` (same post-cast, no extra renorm).
         Requires no fitted state: the params ARE the model."""
-        if getattr(self, "_resident_X", None) is None:
-            raise ValueError("call set_resident_features(X) first.")
-        idx = np.asarray(indices, dtype=np.int32)
-        if idx.ndim != 1:
-            raise ValueError(f"indices must be 1-D, got {idx.shape}")
-        quantized = getattr(self, "_resident_dtype", "float32") == "int8"
-        fwd = None
-        if self.mesh is None:
-            # AOT-warmed executable, if the trainer compiled one during
-            # the resident upload. The key's class count comes from the
-            # head pytree itself (this path needs no fitted state), so a
-            # structurally different artifact simply misses and falls
-            # back to jit.
-            fwd = getattr(self, "_resident_exec", {}).get(
-                self._exec_key_from(
-                    "head",
-                    (len(idx),),
-                    int(getattr(self, "_resident_n_rows", 0) or 0),
-                    int(self._resident_X.shape[0]),
-                    int(self._resident_X.shape[1]),
-                    int(np.shape(head_pytree["a"])[0]),
-                    str(self._resident_X.dtype),
-                )
-            )
-        if fwd is None:
-            fwd = _jitted_head_apply_resident(quantized)
-        if quantized:
-            probs = fwd(
-                head_pytree, self._resident_X, self._resident_scale,
-                jnp.asarray(idx),
-            )
-        else:
-            probs = fwd(head_pytree, self._resident_X, jnp.asarray(idx))
+        idx = self._check_resident_indices(indices, require_fitted=False)
+        # The warmed-executable key carries the artifact's OWN structure —
+        # hidden sizes from the weight shapes, class count from the Platt
+        # vector (this path needs no fitted state) — so a structurally
+        # different artifact MISSES and falls back to jit. Without the
+        # architecture in the key, an artifact with different hidden
+        # sizes but matching (rows, dim, classes, dtype) would hit the
+        # stale executable and crash on mismatched avals.
+        hidden = tuple(int(w.shape[1]) for w in head_pytree["weights"][:-1])
+        key = self._exec_key_from(
+            "head",
+            (len(idx), *hidden),
+            int(getattr(self, "_resident_n_rows", 0) or 0),
+            int(self._resident_X.shape[0]),
+            int(self._resident_X.shape[1]),
+            int(np.shape(head_pytree["a"])[0]),
+            str(self._resident_X.dtype),
+        )
+        probs = self._dispatch_resident(
+            key, _jitted_head_apply_resident, head_pytree, idx
+        )
         return np.asarray(probs).astype(np.float64)
 
     # --- sklearn parameter protocol (lightweight) -------------------------

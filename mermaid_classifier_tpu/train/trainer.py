@@ -1014,8 +1014,12 @@ class MermaidTrainer:
         (bf16/int8) evaluates on the storage-rounded rows — the same rows
         every in-run eval, the calibration fit, and the artifact eval
         consumed — behind the house numerics band (differential-tested).
-        Non-resident splits stream from disk, reproducing
-        ``evaluate_classifier`` exactly."""
+        Non-resident splits delegate to ``evaluate_classifier`` itself (one
+        copy of the scores contract)."""
+        if self._resident_offset(labels) is None:
+            return evaluate_classifier(
+                clf_calibrated, labels, batch_size=self.batch_size
+            )
         classes = list(clf_calibrated.classes_)
         gts: list[str] = []
         ests: list[str] = []

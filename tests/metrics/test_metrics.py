@@ -410,6 +410,38 @@ class TestCoordinatorEndToEnd:
         metrics = run.latest_metrics()
         assert "log_loss" in metrics  # proba-dependent group ran off the preset
 
+    def test_group_seconds_write_failure_is_isolated(self):
+        """The timing-artifact write obeys the same isolation as every
+        other tracker write: a failing log_dict must not abort a metrics
+        stage whose groups already computed."""
+        n = 20
+        gt = [i % len(CLASSES) for i in range(n)]
+        val_results = ValResults(
+            scores=[0.9] * n, gt=gt, est=gt, classes=list(CLASSES)
+        )
+        ctx = MetricsContext(
+            val_results=val_results,
+            ba_library=make_ba_library(),
+            gf_library=make_gf_library(),
+        )
+
+        class ExplodingDictRun:
+            def log_metric(self, *a, **k):
+                pass
+
+            def log_dataframe(self, *a, **k):
+                pass
+
+            def log_figure(self, *a, **k):
+                pass
+
+            def log_dict(self, *a, **k):
+                raise OSError("disk full")
+
+        coordinator = MetricsCoordinator(ctx, ExplodingDictRun())
+        coordinator.compute_and_log_all()  # must not raise
+        assert coordinator.group_seconds  # groups ran and were timed
+
     def test_per_source_misalignment_raises(self, tmp_path):
         """The alignment invariant fires instead of silently mis-grouping."""
         from mermaid_classifier_tpu.data.labels import ImageLabels

@@ -1074,6 +1074,45 @@ class TestWarmResidentPrograms:
         monkeypatch.setattr(mod, "_jitted_predict_resident", boom)
         clf.predict_indices_resident(idx)
 
+    def test_head_program_different_architecture_falls_back(self):
+        """An artifact with different hidden sizes but matching (rows,
+        dim, classes, dtype) must MISS the warmed executable and fall
+        back to jit — the key carries the architecture; a stale hit
+        would crash on mismatched avals instead of serving."""
+        import jax.numpy as jnp
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[len(X)], head_row_counts=[len(X)],
+        )
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)
+
+        k = len(classes)
+        dim = X.shape[1]
+        rng = np.random.default_rng(0)
+        head = {
+            "weights": [
+                jnp.asarray(
+                    rng.standard_normal((dim, 4)).astype(np.float32)
+                ),
+                jnp.asarray(rng.standard_normal((4, k)).astype(np.float32)),
+            ],
+            "biases": [
+                jnp.zeros(4, jnp.float32),
+                jnp.zeros(k, jnp.float32),
+            ],
+            "a": jnp.asarray(np.full(k, -1.0, np.float32)),
+            "b": jnp.asarray(np.zeros(k, np.float32)),
+        }
+        out = clf.predict_proba_resident_head(head, idx)
+        assert out.shape == (len(X), k)
+        np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
+
     def test_warmed_head_executable_is_used(self, monkeypatch):
         import mermaid_classifier_tpu.train.mlp_classifier as mod
 
