@@ -118,8 +118,13 @@ def export_artifact(
 
     # Numerical gate: the artifact ships only if it reproduces the source
     # model on the supplied batch (reference: inference/export.py:59-69,
-    # same 1e-6 tolerance).
-    ref = np.asarray(reference_features, dtype=np.float32)
+    # same 1e-6 tolerance). The batch is put on device ONCE and shared by
+    # both forwards — uploading it twice cost ~30 s of a C2 drive through
+    # a bad tunnel window (the bits are identical either way; the source
+    # model's predict_proba takes the device fast path).
+    import jax.numpy as jnp
+
+    ref = jnp.asarray(np.asarray(reference_features, dtype=np.float32))
     expected = np.asarray(model.predict_proba(ref), dtype=np.float64)
     got = head_fn(ref)
     max_diff = float(np.max(np.abs(expected - got)))

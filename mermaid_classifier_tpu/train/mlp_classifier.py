@@ -1398,7 +1398,14 @@ class MLPClassifier:
                 "MLPClassifier is not fitted. Call partial_fit or fit"
                 " before predict/predict_proba."
             )
-        X_arr = np.asarray(X, dtype=np.float32)
+        if isinstance(X, jax.Array) and X.dtype == jnp.float32:
+            # Device fast path: a caller already holding the batch on
+            # device (the export parity gate uploads its reference batch
+            # ONCE for both the source-model and artifact forwards) skips
+            # the host round trip — same program, same input bits.
+            X_arr = X
+        else:
+            X_arr = np.asarray(X, dtype=np.float32)
         if X_arr.ndim != 2:
             raise ValueError(f"X must be 2D, got shape {X_arr.shape}")
         if X_arr.shape[1] != self.n_features_in_:

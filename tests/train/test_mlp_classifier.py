@@ -444,6 +444,21 @@ class TestResidentTraining:
             streamed.predict_proba(X[:50]), resident.predict_proba(X[:50])
         )
 
+    def test_predict_proba_device_input_matches_numpy(self):
+        """The device fast path (export's single-upload parity gate) must
+        be bit-identical to the numpy-input path — same program, same
+        input bits, no host round trip."""
+        import jax.numpy as jnp
+
+        X, y = self._data()
+        clf = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=3)
+        clf.partial_fit(X, y, classes=sorted(set(y.tolist())))
+        np.testing.assert_array_equal(
+            clf.predict_proba(jnp.asarray(X)), clf.predict_proba(X)
+        )
+        with pytest.raises(ValueError, match="features"):
+            clf.predict_proba(jnp.asarray(X[:, :5]))
+
     def test_predict_indices_resident_matches_proba_argmax(self):
         """The device-argmax prediction pass (the trainer's per-epoch ref
         accuracy) must be bit-identical to argmax over the renormalized
