@@ -177,12 +177,15 @@ def _make_resident_epoch_fn(
 
         xb_sharding = NamedSharding(mesh, P(mesh.axis_names, None))
 
-    def epoch_impl(params, opt_state, x_resident, scale, idxs, ys, ws, ns):
+    def epoch_impl(params, opt_state, x_resident, scale, idxs, ys, weight_vec, ns):
         # x_resident: (N, D) on device; idxs: (n_batches, B) i32 rows;
+        # ys: (n_batches, B) int16/int32 class indices;
+        # weight_vec: (K,) f32 per-class weights (ones when unweighted);
         # scale: (N,) f32 per-row dequant factors (quantized only).
         def step(carry, batch):
             params, opt_state = carry
-            idxb, yb, wb, n_real = batch
+            idxb, yb, n_real = batch
+            yb = yb.astype(jnp.int32)
             xb = jnp.take(x_resident, idxb, axis=0)
             if xb_sharding is not None:
                 xb = jax.lax.with_sharding_constraint(xb, xb_sharding)
@@ -194,6 +197,18 @@ def _make_resident_epoch_fn(
             xb = xb.astype(jnp.float32)
             if scale is not None:
                 xb = xb * jnp.take(scale, idxb, axis=0)[:, None]
+            # Per-sample weights derived ON DEVICE from the (K,) class
+            # weight vector and the real-row mask — uploading the host's
+            # precomputed (n_batches, B) f32 weight matrix cost ~1.8 MB
+            # per epoch at C2 scale. Bit-identical: the same f32 gather
+            # and multiply the host performed (rows past n_real — the
+            # global pad tail and any mesh row pad — carry weight 0, and
+            # padding rows point at class 0 exactly as before).
+            mask = (
+                jnp.arange(idxb.shape[0], dtype=jnp.int32)
+                < n_real.astype(jnp.int32)
+            ).astype(jnp.float32)
+            wb = jnp.take(weight_vec, yb) * mask
 
             def loss_fn(p):
                 logits = _forward_logits(p["W"], p["b"], xb)
@@ -211,21 +226,21 @@ def _make_resident_epoch_fn(
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (idxs, ys, ws, ns), length=n_batches
+            step, (params, opt_state), (idxs, ys, ns), length=n_batches
         )
         return params, opt_state, losses
 
     if quantized:
-        def epoch_q(params, opt_state, x_resident, scale, idxs, ys, ws, ns):
+        def epoch_q(params, opt_state, x_resident, scale, idxs, ys, weight_vec, ns):
             return epoch_impl(
-                params, opt_state, x_resident, scale, idxs, ys, ws, ns
+                params, opt_state, x_resident, scale, idxs, ys, weight_vec, ns
             )
 
         return jax.jit(epoch_q)
 
-    def epoch(params, opt_state, x_resident, idxs, ys, ws, ns):
+    def epoch(params, opt_state, x_resident, idxs, ys, weight_vec, ns):
         return epoch_impl(
-            params, opt_state, x_resident, None, idxs, ys, ws, ns
+            params, opt_state, x_resident, None, idxs, ys, weight_vec, ns
         )
 
     return jax.jit(epoch)
@@ -1123,10 +1138,16 @@ class MLPClassifier:
                 float(self.beta_1), float(self.beta_2), float(self.epsilon),
                 float(self.alpha), None, quantized,
             )
+            # ys ships int16 when the class count fits (mirrors
+            # partial_fit_resident's dtype choice exactly — both are pure
+            # functions of n_classes, which is already in the key).
+            ys_dtype = (
+                jnp.int16 if int(n_classes) <= 32767 else jnp.int32
+            )
             batch_avals = (
                 jax.ShapeDtypeStruct((n_batches, bs), jnp.int32),
-                jax.ShapeDtypeStruct((n_batches, bs), jnp.int32),
-                jax.ShapeDtypeStruct((n_batches, bs), jnp.float32),
+                jax.ShapeDtypeStruct((n_batches, bs), ys_dtype),
+                jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
                 jax.ShapeDtypeStruct((n_batches,), jnp.float32),
             )
             if quantized:
@@ -1277,37 +1298,43 @@ class MLPClassifier:
         if pad:
             # Padding rows point at row 0 but carry weight 0 — inert: the
             # data loss is sum(w*ce)/sum(w) and the L2 scale divides by the
-            # REAL count ns.
+            # REAL count ns. The weight-0 mask itself is derived on device
+            # from ns (rows at positions >= n_real), so no per-sample
+            # weight matrix crosses the link.
             idx_shuf = np.concatenate([idx_shuf, np.zeros(pad, np.int32)])
             y_shuf = np.concatenate([y_shuf, np.zeros(pad, np.int32)])
-        sample_mask = np.ones(n_padded, dtype=np.float32)
-        if pad:
-            sample_mask[n_samples:] = 0.0
-        if self._class_weight_vector is not None:
-            sample_w = self._class_weight_vector[y_shuf] * sample_mask
-        else:
-            sample_w = sample_mask
 
         idxs = idx_shuf.reshape(n_batches, batch_size)
-        ys = y_shuf.reshape(n_batches, batch_size)
-        ws = sample_w.reshape(n_batches, batch_size)
+        # Class indices ship int16 when they fit (they always do in
+        # production: K=80) — the epoch program upcasts after transfer.
+        ys_dtype = (
+            np.int16
+            if len(self.classes_) <= np.iinfo(np.int16).max
+            else np.int32
+        )
+        ys = y_shuf.reshape(n_batches, batch_size).astype(ys_dtype)
         ns = np.full(n_batches, batch_size, dtype=np.float32)
         if pad:
             ns[-1] = batch_size - pad
+        # (K,) f32 per-class weights, gathered per sample ON DEVICE
+        # (ones when unweighted — multiplying by exactly 1.0 is exact).
+        if self._class_weight_vector is not None:
+            weight_vec = self._class_weight_vector
+        else:
+            weight_vec = np.ones(len(self.classes_), dtype=np.float32)
 
         if self.mesh is not None:
             # Mini-batch rows must divide the device count for the dp
-            # sharding constraint; extra rows are weight-0 and inert (same
-            # rationale as the streamed mesh path above).
+            # sharding constraint; extra rows sit past n_real so the
+            # device-derived mask zeroes them (same rationale as the
+            # streamed mesh path above).
             n_devices = self.mesh.devices.size
             row_pad = -batch_size % n_devices
             if row_pad:
                 idxs = np.concatenate(
                     [idxs, np.zeros((n_batches, row_pad), np.int32)], axis=1)
                 ys = np.concatenate(
-                    [ys, np.zeros((n_batches, row_pad), np.int32)], axis=1)
-                ws = np.concatenate(
-                    [ws, np.zeros((n_batches, row_pad), np.float32)], axis=1)
+                    [ys, np.zeros((n_batches, row_pad), ys_dtype)], axis=1)
 
         quantized = getattr(self, "_resident_dtype", "float32") == "int8"
         epoch_fn = None
@@ -1333,12 +1360,12 @@ class MLPClassifier:
         if quantized:
             self._params, self._opt_state, losses = epoch_fn(
                 self._params, self._opt_state, self._resident_X,
-                self._resident_scale, idxs, ys, ws, ns,
+                self._resident_scale, idxs, ys, weight_vec, ns,
             )
         else:
             self._params, self._opt_state, losses = epoch_fn(
                 self._params, self._opt_state, self._resident_X,
-                idxs, ys, ws, ns,
+                idxs, ys, weight_vec, ns,
             )
 
         losses_np = np.asarray(losses, dtype=np.float64)
