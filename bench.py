@@ -31,6 +31,7 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 BASELINE_PATCHES_PER_SEC = 5000.0
 
@@ -1183,11 +1184,11 @@ def main() -> None:
         "BENCH_FULL_RECIPE", "1"
     ) != "0"
     if run_recipe:
-        # The C2 drive runs LAST and the payload is printed BEFORE it: if
+        # The C2 drive runs LAST and a headline is printed BEFORE it: if
         # the drive (or an external deadline) kills the process mid-leg,
         # the already-printed line still carries every other result; on
-        # success the final line (with the full_recipe block) supersedes it.
-        print(json.dumps(payload))
+        # success the final line supersedes it.
+        print(json.dumps(_headline(payload)))
         sys.stdout.flush()
         recipe = run_full_recipe(args)
         if recipe is not None:
@@ -1208,7 +1209,78 @@ def main() -> None:
             payload["train_full_recipe_minutes"] = recipe[
                 "train_full_recipe_minutes"
             ]
+    # The FULL payload (every leg's decomposition, all committed run
+    # records) outgrew the driver's stdout capture in round 4
+    # (BENCH_r04.json parsed: null) — it now goes to a sidecar file and an
+    # EARLIER stdout line; the LAST line is a compact headline the driver
+    # can always parse.
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(payload, indent=1) + "\n")
+        log(f"full payload written to {full_path}")
+    except OSError as exc:
+        log(f"could not write {full_path}: {exc}")
     print(json.dumps(payload))
+    sys.stdout.flush()
+    print(json.dumps(_headline(payload)))
+
+
+def _headline(payload):
+    """Compact final-line summary (always well under one output block).
+
+    Carries the driver contract keys (metric/value/unit/vs_baseline) plus
+    the round's load-bearing evidence: gate, roofline, VM projection,
+    quality deltas, and the C2 recipe minutes (this-run measurement when
+    the leg ran, else the committed record).
+    """
+    head = {
+        k: payload[k]
+        for k in (
+            "metric", "value", "unit", "vs_baseline", "dtype", "backbone",
+            "numerics_gate_cosine", "roofline_fraction",
+            "projected_vm_pps", "projected_vm_vs_baseline",
+            "bucket_patches_per_sec", "annotate_latency_ms",
+            "train_samples_per_sec", "serve_rows_per_sec",
+        )
+        if k in payload
+    }
+    quality = payload.get("quality")
+    if quality:
+        head["quality"] = {
+            k: quality[k]
+            for k in (
+                "accuracy_delta", "balanced_accuracy_delta", "init",
+                "balanced_accuracy_delta_ci95", "seeds",
+            )
+            if k in quality
+        }
+    recipe = payload.get("full_recipe")
+    if recipe:
+        head["full_recipe"] = {
+            k: recipe[k]
+            for k in (
+                "train_full_recipe_minutes", "projected_vm_train_minutes",
+                "accuracy", "balanced_accuracy", "log_loss",
+                "export_parity_max_abs_diff", "reference_minutes",
+            )
+            if k in recipe
+        }
+        head["full_recipe"]["measured_this_run"] = True
+    else:
+        committed = payload.get("full_recipe_committed_record")
+        if committed:
+            head["full_recipe"] = {
+                k: committed[k]
+                for k in (
+                    "train_full_recipe_minutes",
+                    "projected_vm_train_minutes", "accuracy",
+                    "balanced_accuracy", "export_parity_max_abs_diff",
+                    "reference_minutes", "source", "measured_this_run",
+                )
+                if k in committed
+            }
+    head["full_payload_file"] = "BENCH_FULL.json"
+    return head
 
 
 if __name__ == "__main__":
