@@ -34,6 +34,7 @@ Architecture notes:
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -102,19 +103,23 @@ class EfficientNetConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "EfficientNetConfig":
-        return cls(
-            stem_channels=d["stem_channels"],
-            stages=tuple(tuple(s) for s in d["stages"]),
-            head_channels=d["head_channels"],
-            se_ratio=d["se_ratio"],
-            feature_dim=d["feature_dim"],
-            mean_rgb=tuple(d["mean_rgb"]),
-            std_rgb=tuple(d["std_rgb"]),
-            patch_size=d["patch_size"],
-            compute_dtype=d.get("compute_dtype", "float32"),
-            padding=d.get("padding", "symmetric"),
-            bn_eps=d.get("bn_eps", BN_EPS),
-        )
+        """Config from a (possibly partial) dict: absent fields take the
+        dataclass defaults, so sidecar configs written before a new field
+        existed — and hand-written test/drive configs — keep loading.
+        Unknown keys are rejected loudly: a typo'd field silently falling
+        back to a default would change numerics without a trace."""
+        unknown = set(d) - {f.name for f in dataclasses.fields(cls)}
+        if unknown:
+            raise ValueError(
+                f"unknown EfficientNetConfig fields: {sorted(unknown)}"
+            )
+        kwargs = dict(d)
+        if "stages" in kwargs:
+            kwargs["stages"] = tuple(tuple(s) for s in kwargs["stages"])
+        for key in ("mean_rgb", "std_rgb"):
+            if key in kwargs:
+                kwargs[key] = tuple(kwargs[key])
+        return cls(**kwargs)
 
 
 def _round_filters(channels: int, width_mult: float) -> int:
