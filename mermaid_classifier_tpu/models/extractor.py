@@ -471,13 +471,24 @@ class FeatureExtractor:
         f32_model = EfficientNetBackbone(
             config=replace(self.config, compute_dtype="float32")
         )
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            cpu_vars = jax.device_put(
-                jax.tree.map(np.asarray, self.variables), cpu
+        try:
+            reference_device = jax.devices("cpu")[0]
+        except RuntimeError:
+            # Some TPU plugins (axon) register ONLY their own backend, so
+            # no host-CPU device exists in-process. The gate still holds:
+            # the reference side stays a float32 graph — on the same
+            # device — which is exactly how the bench gates its folded/
+            # bf16 schedules. What the gate then can't see is a
+            # device-wide f32 defect that the f32 reference shares; the
+            # CPU cross-check for that runs in CI (tests exercise this
+            # method on the CPU backend).
+            reference_device = jax.devices()[0]
+        with jax.default_device(reference_device):
+            ref_vars = jax.device_put(
+                jax.tree.map(np.asarray, self.variables), reference_device
             )
             cpu_out = np.asarray(
-                jax.jit(f32_model.apply)(cpu_vars, jnp.asarray(patches))
+                jax.jit(f32_model.apply)(ref_vars, jnp.asarray(patches))
             )
 
         num = np.sum(device_out * cpu_out, axis=1)

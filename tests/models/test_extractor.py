@@ -99,6 +99,26 @@ class TestBackboneImpl:
         )
         assert alt.verify_device_numerics(n_patches=2) > 0.999
 
+    def test_numerics_gate_without_cpu_backend(self, monkeypatch):
+        """TPU plugins that register ONLY their own backend (axon) expose
+        no in-process CPU device; the gate must fall back to a same-device
+        float32 reference instead of crashing the production CLI
+        (regression: the first at-scale bucket drive died here)."""
+        import jax
+
+        real_devices = jax.devices
+
+        def no_cpu(backend=None):
+            if backend == "cpu":
+                raise RuntimeError(
+                    "Unknown backend cpu. Available backends are ['axon']"
+                )
+            return real_devices() if backend is None else real_devices(backend)
+
+        monkeypatch.setattr(jax, "devices", no_cpu)
+        ext = build_extractor(config=TINY, seed=0, backbone_batch=8)
+        assert ext.verify_device_numerics(n_patches=2) > 0.999
+
     def test_rejects_unknown_impl(self):
         with pytest.raises(ValueError, match="backbone_impl"):
             build_extractor(config=TINY, backbone_impl="turbo")
