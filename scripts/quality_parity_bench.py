@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                         " the pipeline")
     parser.add_argument("--ci-scale", action="store_true",
                         help="run the exact spec the CI test asserts on")
+    parser.add_argument("--seeds", type=int, default=0,
+                        help="run the composed benchmark over N seeds"
+                        " (>=2) and report mean +/- 95%% t-CI per delta;"
+                        " each seed re-draws data, splits, shuffle stream,"
+                        " and the (matched) init stream")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -56,6 +61,7 @@ def main(argv=None) -> int:
     from mermaid_classifier_tpu.train.quality_parity import (
         QualityRunSpec,
         run_quality_parity,
+        run_quality_parity_multiseed,
     )
 
     if args.ci_scale:
@@ -78,9 +84,16 @@ def main(argv=None) -> int:
             seed=args.seed,
             init=args.init,
         )
-    result = run_quality_parity(spec)
-    result["metric"] = "quality_parity_accuracy_delta"
-    result["value"] = result["accuracy_delta"]
+    if args.seeds:
+        result = run_quality_parity_multiseed(
+            spec, seeds=tuple(range(args.seeds))
+        )
+        result["metric"] = "quality_parity_balanced_accuracy_delta_mean"
+        result["value"] = result["deltas"]["balanced_accuracy_delta"]["mean"]
+    else:
+        result = run_quality_parity(spec)
+        result["metric"] = "quality_parity_accuracy_delta"
+        result["value"] = result["accuracy_delta"]
     print(json.dumps(result))
     return 0
 

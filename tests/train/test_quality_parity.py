@@ -58,3 +58,62 @@ class TestQualityParity:
         uniform = float(np.log(result["n_classes"]))
         assert result["repo_log_loss"] < 0.7 * uniform
         assert result["sklearn_log_loss"] < 0.7 * uniform
+
+
+#: Small-but-real spec for the multi-seed aggregate: big enough that both
+#: stacks train a usable model, small enough for seconds-fast CI.
+MULTISEED_SPEC = QualityRunSpec(
+    n_samples=3600,
+    n_features=48,
+    n_classes=8,
+    cluster_std=4.0,
+    hidden=(32, 16),
+    epochs=10,
+    subsample_total=2400,
+    min_per_class=40,
+    init="sklearn",
+)
+
+
+class TestQualityParityMultiseed:
+    @pytest.fixture(scope="class")
+    def multi(self):
+        from mermaid_classifier_tpu.train.quality_parity import (
+            run_quality_parity_multiseed,
+        )
+
+        return run_quality_parity_multiseed(MULTISEED_SPEC, seeds=(0, 1, 2))
+
+    def test_structure(self, multi):
+        assert multi["seeds"] == [0, 1, 2]
+        assert len(multi["per_seed"]) == 3
+        for key in ("accuracy_delta", "balanced_accuracy_delta",
+                    "log_loss_delta"):
+            band = multi["deltas"][key]
+            assert band["ci95_low"] <= band["mean"] <= band["ci95_high"]
+            assert band["std"] >= 0.0
+            assert band["ci_contains_zero"] == (
+                band["ci95_low"] <= 0.0 <= band["ci95_high"]
+            )
+
+    def test_seeds_actually_vary_the_draw(self, multi):
+        # Each seed must re-draw data + splits + init: identical per-seed
+        # rows would mean the seed is not reaching the generators and the
+        # CI is fake (std 0 over copies).
+        accs = [r["sklearn_accuracy"] for r in multi["per_seed"]]
+        assert len(set(accs)) > 1, accs
+
+    def test_matched_init_band_is_tight(self, multi):
+        # The matched-init pipeline residual must stay small for EVERY
+        # seed, not just on average (this is the multi-seed form of the
+        # single-seed bands above).
+        for row in multi["per_seed"]:
+            assert abs(row["balanced_accuracy_delta"]) <= 1.5 * BAL_ACC_BAND
+
+    def test_too_few_seeds_rejected(self):
+        from mermaid_classifier_tpu.train.quality_parity import (
+            run_quality_parity_multiseed,
+        )
+
+        with pytest.raises(ValueError):
+            run_quality_parity_multiseed(MULTISEED_SPEC, seeds=(0,))
