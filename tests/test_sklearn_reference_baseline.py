@@ -75,5 +75,49 @@ class TestSklearnReferenceBaseline(unittest.TestCase):
             )
 
 
+class TestCommittedSameCorpusRecord(unittest.TestCase):
+    """The committed at-scale record (the C2 quality comparison's ground):
+    same-corpus deltas must stay inside the stated band, and the record
+    must keep characterizing the log-loss story it exists to settle."""
+
+    RECORD = (
+        REPO / "docs" / "runs" / "sklearn_same_corpus_baseline_2026-08-19.json"
+    )
+
+    def setUp(self):
+        self.record = json.loads(self.RECORD.read_text())
+
+    def test_same_corpus_deltas_within_band(self):
+        delta = self.record["delta_repo_minus_sklearn"]
+        # Stated bands (repo − sklearn, same corpus/subsample/splits):
+        # accuracy within ±0.01 — the pipelines are at parity;
+        # balanced accuracy must NOT be worse (the repo trains with
+        # effective-number weights, whose whole point is this metric);
+        # calibrated log_loss within +0.05 of the sklearn pipeline.
+        self.assertLessEqual(abs(delta["accuracy"]), 0.01, delta)
+        self.assertGreaterEqual(delta["balanced_accuracy"], 0.0, delta)
+        self.assertLessEqual(delta["log_loss"], 0.05, delta)
+
+    def test_log_loss_gap_characterized(self):
+        # The VERDICT-r4 question: repo 0.902 vs reference-real-data 0.598.
+        # The record must show the SAME-corpus sklearn calibrated log_loss
+        # is itself far above 0.598 (a corpus property), and that prefit
+        # sigmoid calibration is what raises it (uncalibrated < calibrated
+        # at this scale) for the reference pipeline too.
+        sk = self.record["sklearn"]
+        raw = self.record["sklearn_uncalibrated"]
+        self.assertGreater(sk["log_loss"], 0.8)
+        self.assertLess(raw["log_loss"], sk["log_loss"])
+
+    def test_record_is_the_drive_shape(self):
+        corpus = self.record["corpus"]
+        self.assertEqual(corpus["classes"], 80)
+        self.assertEqual(corpus["dim"], 4096)
+        self.assertGreater(corpus["train_points"], 300_000)
+        es = self.record["early_stop"]
+        self.assertEqual(es["stop_reason"], "early_stopping")
+        self.assertEqual(len(es["epoch_history"]), es["final_epoch"])
+
+
 if __name__ == "__main__":
     unittest.main()
