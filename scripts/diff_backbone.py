@@ -49,6 +49,15 @@ def load_state_dict(path: str):
         payload = payload.state_dict()
     if isinstance(payload, dict) and "state_dict" in payload:
         payload = payload["state_dict"]
+    # The production efficientnet.pt is a CoralNet DataParallel checkpoint
+    # dict: the state_dict lives under 'net' with 'module.'-prefixed keys
+    # (pyspacer load_weights semantics; the prefix strip happens in
+    # models/remap.strip_module_prefix). Pinned by
+    # tests/parity/test_pyspacer_lineage.py.
+    if isinstance(payload, dict) and "net" in payload and isinstance(
+        payload["net"], dict
+    ):
+        payload = payload["net"]
     return payload
 
 

@@ -49,15 +49,35 @@ _HEAD_CH = 1280
 def randomize_weights(model: nn.Module, seed: int = 0) -> None:
     """Small random conv/linear weights + non-trivial BN running stats, so
     activations stay O(1) through 16 blocks and every BN fold is exercised
-    with real statistics."""
+    with real statistics.
+
+    Two knobs keep the forward INPUT-SENSITIVE (measured; without them the
+    features are bias-dominated constants — std-across-inputs ~7e-8 against
+    mean-abs ~0.09 — and a forward diff stops exercising input propagation:
+    crop geometry, padding, and normalization would all be unpinned):
+
+    - SE gate biases are pushed positive: with near-zero random weights
+      every SE sigmoid sits at 0.5 and 16 blocks multiply the signal by
+      2^-16; sigmoid(2.5)~0.92 per block keeps the gates open.
+    - Conv weight std is 1.3x Xavier: SiLU's small-signal gain is ~0.5, so
+      unit-gain convs still damp the input component ~2x per activation;
+      1.3x restores end-to-end sensitivity to O(0.5) on O(5) features
+      while keeping activations <25 (float32-safe for the 1e-4 MAE gate).
+      1.5x already explodes to O(1e3) — this sits below the blowup knee.
+    """
+    gain = 1.3
     gen = torch.Generator().manual_seed(seed)
+    se_gate_suffixes = ("fc2", "_se_expand")  # torchvision / lukemelas
     with torch.no_grad():
-        for mod in model.modules():
+        for name, mod in model.named_modules():
             if isinstance(mod, (nn.Conv2d, nn.Linear)):
                 fan_in = mod.weight[0].numel()
-                mod.weight.normal_(0.0, fan_in ** -0.5, generator=gen)
+                mod.weight.normal_(0.0, gain * fan_in ** -0.5, generator=gen)
                 if mod.bias is not None:
-                    mod.bias.normal_(0.0, 0.01, generator=gen)
+                    if name.endswith(se_gate_suffixes):
+                        mod.bias.normal_(2.5, 0.2, generator=gen)
+                    else:
+                        mod.bias.normal_(0.0, 0.01, generator=gen)
             elif isinstance(mod, nn.BatchNorm2d):
                 mod.weight.uniform_(0.8, 1.2, generator=gen)
                 mod.bias.normal_(0.0, 0.1, generator=gen)
@@ -278,3 +298,135 @@ def build_lukemelas_b0(seed: int = 0, feature_dim: int = 4096,
     randomize_weights(model, seed=seed)
     model.eval()
     return model
+
+
+# ---------------------------------------------------------------------------
+# pyspacer-vendored extractor oracle (the production ``efficientnet.pt``
+# lineage, reconstructed from pyspacer 0.14.0's source so the ONLY untested
+# delta vs the real release is the literal weight values)
+# ---------------------------------------------------------------------------
+#
+# The reference extracts features through ``spacer.extractors.
+# EfficientNetExtractor`` (reference: scripts/build_feature_bucket.py:
+# 375-448): its ``load_weights`` reads a checkpoint CoralNet trained under
+# ``nn.DataParallel`` — a dict whose ``'net'`` entry holds the state_dict
+# with every key carrying the ``module.`` wrapper prefix — strips the
+# prefix, and loads into the vendored lukemelas-lineage EfficientNet; its
+# ``patches_to_features`` runs each PIL patch through
+# ``spacer.extractors.torch_extractors.transformation()`` (torchvision
+# ``ToTensor`` + ImageNet ``Normalize``) and stacks fixed-size batches.
+# Patches are cropped by pyspacer's ``crop_patches``: the image is expanded
+# by a crop_size-wide ZERO border (``ImageOps.expand``), then
+# ``crop_simple`` takes upper/left = int(center - crop_size/2) in the
+# expanded frame. Everything below restates those semantics independently
+# (torchvision is not installed in this image; the two-op transform is
+# written out on numpy with the documented equivalence).
+
+#: ImageNet statistics used by pyspacer's ``transformation()``.
+PYSPACER_MEAN_RGB = (0.485, 0.456, 0.406)
+PYSPACER_STD_RGB = (0.229, 0.224, 0.225)
+#: pyspacer TorchExtractor.BATCH_SIZE.
+PYSPACER_BATCH_SIZE = 10
+
+
+def save_pyspacer_efficientnet_pt(model: nn.Module, path) -> None:
+    """Write ``model`` to disk in the EXACT on-disk shape of the production
+    ``efficientnet.pt``: ``{'net': {'module.<key>': tensor}}`` — the
+    checkpoint dict CoralNet's DataParallel training loop saves and
+    pyspacer's ``load_weights`` expects."""
+    sd = {f"module.{k}": v for k, v in model.state_dict().items()}
+    torch.save({"net": sd}, path)
+
+
+def pyspacer_load_efficientnet(path, feature_dim: int = 4096,
+                               image_size: int = 224) -> nn.Module:
+    """pyspacer 0.14.0 ``load_weights`` semantics: ``torch.load`` the
+    checkpoint dict, take its ``'net'`` state_dict, strip the DataParallel
+    ``module.`` prefix from every key, load strictly into a fresh untrained
+    net, eval()."""
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    state_dict = {
+        k.replace("module.", ""): v for k, v in payload["net"].items()
+    }
+    net = LukemelasEfficientNetB0(
+        feature_dim=feature_dim, image_size=image_size)
+    net.load_state_dict(state_dict, strict=True)
+    net.eval()
+    return net
+
+
+def pyspacer_transformation(patch) -> torch.Tensor:
+    """``transformation()`` from pyspacer's torch_extractors: torchvision
+    ``ToTensor()`` (HWC uint8 PIL -> CHW float32 / 255) followed by
+    ``Normalize(mean, std)`` ((x - mean) / std per channel). torchvision is
+    not installed in this image, so the two ops are restated on numpy —
+    bit-equivalent for uint8 RGB input."""
+    import numpy as np
+
+    arr = np.asarray(patch, dtype=np.float32) / 255.0  # ToTensor
+    arr = np.transpose(arr, (2, 0, 1))                  # HWC -> CHW
+    mean = np.asarray(PYSPACER_MEAN_RGB, np.float32).reshape(3, 1, 1)
+    std = np.asarray(PYSPACER_STD_RGB, np.float32).reshape(3, 1, 1)
+    return torch.from_numpy((arr - mean) / std)
+
+
+def pyspacer_crop_simple(im, center, crop_size: int):
+    """pyspacer ``crop_simple``: upper/left = int(center - crop_size / 2)
+    in PIL (col=x, row=y) box order."""
+    upper = int(center[0] - crop_size / 2)
+    left = int(center[1] - crop_size / 2)
+    return im.crop((left, upper, left + crop_size, upper + crop_size))
+
+
+def pyspacer_crop_patches(im, rowcols, crop_size: int = 224) -> list:
+    """pyspacer ``crop_patches``: convert to RGB, expand the image with a
+    crop_size-wide ZERO border on every side, then crop around each
+    (row + pad, col + pad) center. For point r the crop covers original
+    rows [r - crop_size//2, r + crop_size//2) — identical geometry to this
+    repo's centered-pad gather (ops/patch_ops.py)."""
+    from PIL import ImageOps
+
+    if im.mode != "RGB":
+        im = im.convert("RGB")
+    pad = crop_size
+    expanded = ImageOps.expand(im, pad)
+    return [
+        pyspacer_crop_simple(expanded, (row + pad, col + pad), crop_size)
+        for row, col in rowcols
+    ]
+
+
+class PyspacerExtractorOracle:
+    """The pyspacer ``EfficientNetExtractor`` pipeline end to end, as an
+    independent torch oracle: production checkpoint container -> prefix
+    strip -> vendored-net load -> crop_patches -> transformation ->
+    fixed-size batched forward. Diffing this repo's FeatureExtractor
+    against it proves every pipeline stage except the literal weight
+    values (which are unreachable in this environment —
+    docs/release_fidelity_runbook.md)."""
+
+    def __init__(self, weights_path, feature_dim: int = 4096,
+                 crop_size: int = 224,
+                 batch_size: int = PYSPACER_BATCH_SIZE):
+        self.net = pyspacer_load_efficientnet(
+            weights_path, feature_dim=feature_dim, image_size=crop_size)
+        self.crop_size = crop_size
+        self.batch_size = batch_size
+
+    def patches_to_features(self, patch_list) -> list:
+        feats: list = []
+        bs = self.batch_size
+        for b in range(0, len(patch_list), bs):
+            batch = torch.stack(
+                [pyspacer_transformation(p) for p in patch_list[b:b + bs]]
+            )
+            with torch.no_grad():
+                out = self.net(batch)
+            feats.extend(out.detach().cpu().tolist())
+        return feats
+
+    def extract_features(self, im, rowcols):
+        """Image + point list -> per-point feature rows (the reference's
+        per-image contract, build_feature_bucket.py:415-446)."""
+        patches = pyspacer_crop_patches(im, rowcols, self.crop_size)
+        return self.patches_to_features(patches)
