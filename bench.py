@@ -746,14 +746,18 @@ def run_quality_parity(init: str, seeds: int = 0) -> dict | None:
     over that many seeds (each re-drawing data, splits, shuffle, and the
     matched init stream) and returns the mean ± 95% t-CI per delta — one
     seed's draw dominates a single composed run, so the CI band is the
-    claim, not any one number."""
+    claim, not any one number.
+
+    Both legs run the script's PRODUCTION-SHAPED default spec (40k x 512,
+    30 classes, deep hidden stack, imbalanced subsample — ~29 s/seed on
+    this host), not the seconds-fast --ci-scale spec the unit test uses."""
     import json as json_mod
     import subprocess
     import sys
     from pathlib import Path
 
     script = Path(__file__).resolve().parent / "scripts" / "quality_parity_bench.py"
-    cmd = [sys.executable, str(script), "--ci-scale", "--init", init]
+    cmd = [sys.executable, str(script), "--init", init]
     if seeds:
         cmd += ["--seeds", str(seeds)]
     try:
