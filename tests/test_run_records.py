@@ -125,3 +125,126 @@ def test_every_record_is_indexed():
         f"docs/runs/README.md does not mention: {unindexed} — every"
         " committed record must be indexed with what it demonstrates"
     )
+
+
+class TestBenchHeadline:
+    """Pin bench.py's final-line headline contract.
+
+    Round 4's bench artifact was lost because the final stdout line held
+    the FULL payload and outgrew the driver's capture (BENCH_r04.json
+    parsed: null). The contract now: the last line is a compact headline
+    that always carries the driver keys, never the unbounded blocks
+    (per-seed quality rows, the all-committed-runs map, stage
+    decompositions), and stays far under any plausible capture window
+    even with every optional block present.
+    """
+
+    @staticmethod
+    def _bench():
+        import importlib.util
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", Path(__file__).resolve().parents[1] / "bench.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules.setdefault("bench", mod)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @staticmethod
+    def _full_payload() -> dict:
+        # Every block main() can attach, with the unbounded fields sized
+        # the way a real run sizes them.
+        return {
+            "metric": "patch_features_per_sec",
+            "value": 23736.0,
+            "unit": "patch_features/sec",
+            "vs_baseline": 4.75,
+            "dtype": "bfloat16",
+            "backbone": "b0-folded",
+            "numerics_gate_cosine": 0.999931,
+            "roofline_fraction": 0.78,
+            "projected_vm_pps": 20994.0,
+            "projected_vm_vs_baseline": 4.2,
+            "bucket_patches_per_sec": 412.0,
+            "bucket_runs": [400.0, 412.0, 415.0],
+            "annotate_latency_ms": 61.0,
+            "train_samples_per_sec": 210000.0,
+            "serve_rows_per_sec": 52000.0,
+            "stage_budget": {f"stage_{i}": float(i) for i in range(40)},
+            "quality": {
+                "accuracy_delta": 0.001,
+                "balanced_accuracy_delta": 0.002,
+                "log_loss_delta": -0.003,
+                "balanced_accuracy_delta_ci95": [-0.01, 0.01],
+                "ci_contains_zero": {"balanced_accuracy_delta": True},
+                "seeds": 5,
+                "per_seed": [
+                    {"accuracy_delta": 0.001 * i, "seed": i}
+                    for i in range(5)
+                ],
+                "init": "sklearn (matched-init)",
+            },
+            "full_recipe_committed_record": {
+                "source": "docs/runs/example.json",
+                "measured_this_run": False,
+                "all_committed_runs": {
+                    f"full_recipe_run_{i}.json": 5.0 + i for i in range(25)
+                },
+                "train_full_recipe_minutes": 5.67,
+                "projected_vm_train_minutes": 2.89,
+                "accuracy": 0.8273,
+                "balanced_accuracy": 0.8008,
+                "export_parity_max_abs_diff": 7.7e-07,
+                "reference_minutes": 35.0,
+            },
+        }
+
+    def test_headline_is_compact_and_complete(self):
+        bench = self._bench()
+        head = bench._headline(self._full_payload())
+        line = json.dumps(head)
+        assert "\n" not in line
+        # The r04 failure mode: the full payload (all run records + every
+        # decomposition) overflowed the capture. Keep an order of
+        # magnitude of headroom under a 4 KiB window.
+        assert len(line) < 2048, f"headline grew to {len(line)} bytes"
+        for key in ("metric", "value", "unit", "vs_baseline"):
+            assert key in head, f"driver contract key {key} missing"
+        # Unbounded blocks must never ride the last line.
+        assert "per_seed" not in head.get("quality", {})
+        assert "all_committed_runs" not in head.get("full_recipe", {})
+        assert "stage_budget" not in head
+        assert head["full_payload_file"] == "BENCH_FULL.json"
+
+    def test_committed_record_fallback_labeled(self):
+        bench = self._bench()
+        head = bench._headline(self._full_payload())
+        # No live recipe leg ran -> the committed record rides along and
+        # must say so, with its source, so the judge can't mistake it for
+        # a this-run measurement.
+        recipe = head["full_recipe"]
+        assert recipe["measured_this_run"] is False
+        assert recipe["source"] == "docs/runs/example.json"
+
+    def test_live_recipe_supersedes_committed(self):
+        bench = self._bench()
+        payload = self._full_payload()
+        payload["full_recipe"] = {
+            "train_full_recipe_minutes": 6.08,
+            "projected_vm_train_minutes": 2.89,
+            "accuracy": 0.8273,
+            "balanced_accuracy": 0.8007,
+            "log_loss": 0.9022,
+            "export_parity_max_abs_diff": 7.7e-07,
+            "reference_minutes": 35.0,
+            "stage_seconds": {"train": 365.0},
+            "train_stage_breakdown": {f"k{i}": i for i in range(17)},
+        }
+        head = bench._headline(payload)
+        recipe = head["full_recipe"]
+        assert recipe["measured_this_run"] is True
+        assert recipe["train_full_recipe_minutes"] == 6.08
+        assert "train_stage_breakdown" not in recipe
+        assert len(json.dumps(head)) < 2048
