@@ -907,7 +907,8 @@ def main() -> None:
                         help="skip the end-to-end quality-parity leg")
     parser.add_argument("--quality-seeds", type=int, default=5,
                         help="seeds for the matched-init quality CI band"
-                        " (the headline quality block)")
+                        " (the headline quality block); must be >= 2 —"
+                        " a CI needs more than one draw")
     parser.add_argument("--no-serve", action="store_true",
                         help="skip the calibrated-head serving metric")
     parser.add_argument("--serve-batch", type=int, default=4096)
@@ -930,6 +931,12 @@ def main() -> None:
                         metavar="FIXTURE_NPZ",
                         help=argparse.SUPPRESS)  # internal subprocess mode
     args = parser.parse_args()
+    if not args.no_quality and args.quality_seeds < 2:
+        # Fail BEFORE any device work: seeds<2 would either crash on the
+        # multiseed "deltas" shape (0) or ValueError in the subprocess and
+        # silently drop the headline quality block (1).
+        parser.error("--quality-seeds must be >= 2 (a CI band needs more"
+                     " than one draw); use --no-quality to skip the leg")
 
     if args.annotate_cpu_check:
         run_annotate_cpu_check(args.annotate_cpu_check)
@@ -1232,10 +1239,12 @@ def main() -> None:
         "BENCH_FULL_RECIPE", "1"
     ) != "0"
     if run_recipe:
-        # The C2 drive runs LAST and a headline is printed BEFORE it: if
-        # the drive (or an external deadline) kills the process mid-leg,
-        # the already-printed line still carries every other result; on
-        # success the final line supersedes it.
+        # The C2 drive runs LAST; BEFORE it both the headline line and the
+        # full-payload sidecar are emitted, so if the drive (or an external
+        # deadline) kills the process mid-leg every completed leg survives
+        # — on stdout AND in BENCH_FULL.json. On success both are
+        # superseded below.
+        _write_full_payload(payload)
         print(json.dumps(_headline(payload)))
         sys.stdout.flush()
         recipe = run_full_recipe(args)
@@ -1262,15 +1271,26 @@ def main() -> None:
     # (BENCH_r04.json parsed: null) — it now goes to a sidecar file and an
     # EARLIER stdout line; the LAST line is a compact headline the driver
     # can always parse.
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    _write_full_payload(payload)
+    print(json.dumps(payload))
+    sys.stdout.flush()
+    print(json.dumps(_headline(payload)))
+
+
+def _write_full_payload(payload, path=None):
+    """Write the full payload sidecar (BENCH_FULL.json next to this file).
+
+    Called twice on a full-recipe run: once BEFORE the C2 drive so a
+    mid-drive kill still leaves every completed leg on disk, and once at
+    the end with the recipe results folded in."""
+    full_path = Path(path) if path else (
+        Path(__file__).resolve().parent / "BENCH_FULL.json"
+    )
     try:
         full_path.write_text(json.dumps(payload, indent=1) + "\n")
         log(f"full payload written to {full_path}")
     except OSError as exc:
         log(f"could not write {full_path}: {exc}")
-    print(json.dumps(payload))
-    sys.stdout.flush()
-    print(json.dumps(_headline(payload)))
 
 
 def _headline(payload):

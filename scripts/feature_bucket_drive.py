@@ -405,16 +405,22 @@ def main(argv: list[str] | None = None) -> int:
     # --- synthesize ----------------------------------------------------------
     t0 = time.time()
     marker = workspace / "corpus.json"
+    # The feature buckets are cleared UNCONDITIONALLY — --skip-synthesize
+    # reuses the corpus (the slow stage), never a prior run's outputs.
+    # Leaving featsA/featsB populated would make the uninterrupted build
+    # no-op under skip-existing, the kill fire on a done bucket, and the
+    # resume/idempotence "proof" vacuous — an ok=true record that proved
+    # nothing.
+    for bucket in ("featsA", "featsB"):
+        target = features_dir(workspace, bucket)
+        if target.is_dir():
+            import shutil
+
+            shutil.rmtree(target)
     if args.skip_synthesize and marker.is_file():
         corpus = json.loads(marker.read_text())
         log(f"corpus reused: {corpus}")
     else:
-        for bucket in ("featsA", "featsB"):
-            target = features_dir(workspace, bucket)
-            if target.is_dir():
-                import shutil
-
-                shutil.rmtree(target)
         corpus = synthesize_corpus(
             workspace / "store", args.images, args.points, args.sources,
             sizes, args.seed,

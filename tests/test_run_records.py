@@ -228,6 +228,48 @@ class TestBenchHeadline:
         assert recipe["measured_this_run"] is False
         assert recipe["source"] == "docs/runs/example.json"
 
+    def test_full_payload_sidecar_written_before_recipe(self, tmp_path):
+        """A mid-C2-drive kill must not lose the completed legs.
+
+        Two pins: the sidecar writer round-trips the payload to an
+        arbitrary path, and main() emits the sidecar BEFORE launching
+        run_full_recipe — the round-4 'lost artifact' failure mode was a
+        final-line-only emission that a mid-drive kill never reached.
+        """
+        bench = self._bench()
+        payload = self._full_payload()
+        out = tmp_path / "BENCH_FULL.json"
+        bench._write_full_payload(payload, path=out)
+        assert json.loads(out.read_text()) == json.loads(
+            json.dumps(payload)
+        )
+        src = (Path(__file__).resolve().parents[1] / "bench.py").read_text()
+        main_src = src[src.index("def main()"):]
+        assert (
+            main_src.index("_write_full_payload(payload)")
+            < main_src.index("run_full_recipe(args)")
+        ), "main() must persist the sidecar before the C2 drive runs"
+
+    def test_quality_seeds_flag_rejected_below_two(self):
+        """seeds<2 used to crash (0: KeyError on the multiseed shape) or
+        silently drop the headline quality block (1: subprocess
+        ValueError swallowed) AFTER minutes of device work — the parser
+        must refuse before any leg runs."""
+        import subprocess
+        import sys
+
+        for seeds in ("0", "1"):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).resolve().parents[1] / "bench.py"),
+                    "--quality-seeds", seeds,
+                ],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert proc.returncode == 2, (seeds, proc.stderr[-500:])
+            assert "--quality-seeds" in proc.stderr
+
     def test_live_recipe_supersedes_committed(self):
         bench = self._bench()
         payload = self._full_payload()
