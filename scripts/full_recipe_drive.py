@@ -59,6 +59,55 @@ def log(msg: str) -> None:
     print(f"[full-recipe] {msg}", flush=True)
 
 
+def wait_for_link(
+    probe,
+    *,
+    min_mbps: float = 0.0,
+    max_wait_minutes: float = 60.0,
+    interval_seconds: float = 480.0,
+    sleep=time.sleep,
+    clock=time.time,
+) -> dict:
+    """Probe sustained H2D until it reads ``min_mbps`` (or the wait budget
+    runs out), returning the last reading annotated with the gate outcome.
+
+    Measured train-minutes on this environment are mostly a link-weather
+    draw (every docs/runs/ record carries a link note for exactly this
+    reason); gating the launch on a healthy sustained window turns a
+    record attempt from a gamble into a schedule. ``min_mbps=0`` means
+    probe once, record, proceed — the self-documenting default.
+    """
+    t0 = clock()
+    readings = []
+    while True:
+        reading = probe()
+        readings.append(reading)
+        mbps = reading.get("h2d_mbps_sustained", 0.0)
+        log(f"link probe: {reading}")
+        if min_mbps <= 0 or mbps >= min_mbps:
+            break
+        waited = (clock() - t0) / 60.0
+        if waited >= max_wait_minutes:
+            log(f"link gate: giving up after {waited:.1f} min below"
+                f" {min_mbps} MB/s — proceeding anyway")
+            break
+        log(f"link gate: {mbps} < {min_mbps} MB/s — sleeping"
+            f" {interval_seconds:.0f}s"
+            f" ({waited:.1f}/{max_wait_minutes} min waited)")
+        sleep(interval_seconds)
+    result = {
+        **readings[-1],
+        "probes": len(readings),
+        "waited_minutes": round((clock() - t0) / 60.0, 1),
+    }
+    if min_mbps > 0:
+        result["gate_mbps"] = min_mbps
+        result["gate_met"] = (
+            readings[-1].get("h2d_mbps_sustained", 0.0) >= min_mbps
+        )
+    return result
+
+
 _RESIDENT_ITEMSIZE = {"float32": 4, "bfloat16": 2, "int8": 1}
 
 
@@ -329,6 +378,25 @@ def main(argv: list[str] | None = None) -> int:
                         " feature buffer; bfloat16 halves the upload and"
                         " HBM footprint, int8 (per-row scales) quarters"
                         " them (compute stays f32)")
+    parser.add_argument("--link-note", default="",
+                        help="free-text window conditions recorded in the"
+                        " output JSON (CLAUDE.md: wall-clock uploads are"
+                        " never comparable across sessions without one)")
+    parser.add_argument("--skip-link-probe", action="store_true",
+                        help="skip the pre-train sustained H2D probe")
+    parser.add_argument("--min-link-mbps", type=float, default=0.0,
+                        help="wait for the sustained H2D probe to read at"
+                        " least this before starting the timed train stage"
+                        " (0 = no gate). Measured train-minutes are mostly"
+                        " a link-weather draw (docs/runs/); gating the"
+                        " launch on a healthy window is how a record run"
+                        " is scheduled rather than gambled")
+    parser.add_argument("--max-link-wait-minutes", type=float, default=60.0,
+                        help="give up waiting for --min-link-mbps after"
+                        " this long and proceed (recorded in the output)")
+    parser.add_argument("--link-probe-interval-seconds", type=float,
+                        default=480.0,
+                        help="sleep between probes while below the gate")
     args = parser.parse_args(argv)
 
     # The parent process never needs the chip: training runs in the
@@ -405,6 +473,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     stages["manifest"] = time.time() - t0
     log(f"manifest: {stages['manifest']:.1f}s")
+
+    # --- stage: link probe / healthy-window gate -----------------------------
+    # Sustained (not burst) H2D in a throwaway process, the regime CLAUDE.md
+    # says to judge multi-GB feasibility by — recorded in the output JSON so
+    # every committed record carries its window conditions, and optionally
+    # gating the timed stage on a healthy window (--min-link-mbps).
+    link_probe: dict = {}
+    if not (args.cpu or args.skip_link_probe):
+        sys.path.insert(0, str(REPO / "scripts"))
+        from feature_bucket_drive import probe_link
+
+        t0 = time.time()
+        link_probe = wait_for_link(
+            lambda: probe_link(dict(os.environ)),
+            min_mbps=args.min_link_mbps,
+            max_wait_minutes=args.max_link_wait_minutes,
+            interval_seconds=args.link_probe_interval_seconds,
+        )
+        stages["link_probe"] = time.time() - t0
 
     # --- stage: train (the timed C2 leg) ------------------------------------
     t0 = time.time()
@@ -510,6 +597,8 @@ def main(argv: list[str] | None = None) -> int:
         "per_source_min_accuracy": metrics.get("per_source/min_accuracy"),
         "export_parity_max_abs_diff": metrics.get("export_parity_max_abs_diff"),
         "n_metrics_logged": len(metrics),
+        "link_probe": link_probe or None,
+        "link_note": args.link_note or None,
         "reference_minutes": 35.0,
         "reference_note": (
             "reference C2 confirm: 457,497-row subsample, stop at epoch 17,"

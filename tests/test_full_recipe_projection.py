@@ -127,3 +127,59 @@ class TestSynthesizeCorpus:
         assert len(feature_files) == 3
         rowcols, feats = read_feature_file(feature_files[0])
         assert len(rowcols) == 50 and feats.shape == (50, 8)
+
+
+class TestWaitForLink:
+    """The healthy-window gate: probe until sustained H2D clears the
+    threshold, give up after the wait budget, always record the outcome."""
+
+    def _run(self, readings, **kw):
+        drive = _load_drive()
+        seq = iter(readings)
+        sleeps = []
+        t = [0.0]
+
+        def fake_sleep(s):
+            sleeps.append(s)
+            t[0] += s
+
+        result = drive.wait_for_link(
+            lambda: next(seq), sleep=fake_sleep, clock=lambda: t[0], **kw
+        )
+        return result, sleeps
+
+    def test_no_gate_probes_once(self):
+        result, sleeps = self._run(
+            [{"h2d_mbps_sustained": 4.0}], min_mbps=0.0
+        )
+        assert result["probes"] == 1 and sleeps == []
+        assert "gate_met" not in result
+
+    def test_waits_until_healthy(self):
+        result, sleeps = self._run(
+            [{"h2d_mbps_sustained": 8.0},
+             {"h2d_mbps_sustained": 12.0},
+             {"h2d_mbps_sustained": 27.5}],
+            min_mbps=20.0, interval_seconds=480.0,
+        )
+        assert result["gate_met"] is True
+        assert result["h2d_mbps_sustained"] == 27.5
+        assert result["probes"] == 3 and len(sleeps) == 2
+
+    def test_gives_up_after_budget_and_says_so(self):
+        result, _ = self._run(
+            [{"h2d_mbps_sustained": 5.0}] * 10,
+            min_mbps=20.0, max_wait_minutes=20.0, interval_seconds=480.0,
+        )
+        assert result["gate_met"] is False
+        assert result["probes"] == 4  # 3 sleeps x 8 min > 20 min budget
+        assert result["gate_mbps"] == 20.0
+
+    def test_probe_error_is_not_a_pass(self):
+        """An advisory probe failure ({'error': ...}) must not satisfy the
+        gate — it reads as 0 MB/s and keeps waiting."""
+        result, _ = self._run(
+            [{"error": "timeout"}, {"h2d_mbps_sustained": 25.0}],
+            min_mbps=20.0,
+        )
+        assert result["gate_met"] is True and result["probes"] == 2
