@@ -377,6 +377,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--skip-synthesize", action="store_true",
                         help="reuse the corpus already in --workdir")
     parser.add_argument("--skip-link-probe", action="store_true")
+    parser.add_argument("--min-link-mbps", type=float, default=0.0,
+                        help="wait for the sustained H2D probe to clear"
+                        " this before the timed builds (0 = probe once,"
+                        " record, proceed) — same healthy-window gate as"
+                        " full_recipe_drive")
+    parser.add_argument("--max-link-wait-minutes", type=float, default=60.0)
     parser.add_argument("--output-json", default=None)
     parser.add_argument("--link-note", default="",
                         help="free-text window conditions for the record")
@@ -429,11 +435,18 @@ def main(argv: list[str] | None = None) -> int:
     stages["synthesize"] = round(time.time() - t0, 1)
     log(f"synthesize: {stages['synthesize']}s {corpus}")
 
-    # --- link probe ----------------------------------------------------------
+    # --- link probe / healthy-window gate -------------------------------------
     link_probe = {}
     if not (args.cpu or args.skip_link_probe):
+        sys.path.insert(0, str(REPO / "scripts"))
+        from full_recipe_drive import wait_for_link
+
         t0 = time.time()
-        link_probe = probe_link(env)
+        link_probe = wait_for_link(
+            lambda: probe_link(env),
+            min_mbps=args.min_link_mbps,
+            max_wait_minutes=args.max_link_wait_minutes,
+        )
         stages["link_probe"] = round(time.time() - t0, 1)
         log(f"link probe: {link_probe} ({stages['link_probe']}s)")
 
