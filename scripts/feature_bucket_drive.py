@@ -351,7 +351,20 @@ def probe_link(env) -> dict:
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as exc:  # noqa: BLE001 - the probe is advisory
-        return {"error": str(exc)[:200]}
+        # Keep the CAUSE, not the command line: CalledProcessError/
+        # TimeoutExpired stringify as the full -c source, burying the
+        # actual failure; stderr's tail is what diagnoses the window.
+        err: dict = {"error": type(exc).__name__}
+        if getattr(exc, "returncode", None) is not None:
+            err["returncode"] = exc.returncode
+        elif getattr(exc, "timeout", None) is not None:
+            err["timeout_s"] = exc.timeout
+        else:
+            err["error"] = f"{type(exc).__name__}: {str(exc)[:160]}"
+        stderr = getattr(exc, "stderr", None)
+        if stderr:
+            err["stderr_tail"] = str(stderr)[-300:]
+        return err
 
 
 # -- main ---------------------------------------------------------------------
