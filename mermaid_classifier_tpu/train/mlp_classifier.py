@@ -336,6 +336,76 @@ def _jitted_predict_resident(quantized: bool = False):
     return jax.jit(pred)
 
 
+#: sklearn's log_loss clip bound — np.finfo(np.float64).eps. The fused
+#: resident eval applies it on device (in float32 arithmetic) to mirror
+#: sklearn.metrics._classification._log_loss's `clip(y_proba, eps, 1-eps)`.
+_SKLEARN_LOG_LOSS_EPS = 2.220446049250313e-16
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_eval_resident(quantized: bool = False):
+    """Fused per-epoch eval over resident rows: ONE dispatch returns
+    ``[correct_count, neg_log_sum]`` as two float32 scalars instead of the
+    (N, K) probability matrix (14.4 MB wire + two fresh ~29 MB float64
+    host allocations per epoch at C2 scale — fresh pages are the
+    weather-bound resource, CLAUDE.md; under degraded tunnel links the
+    matrix readback was the dominant per-epoch cost).
+
+    Semantics vs the host path the trainer streams
+    (reference: trainer.py:295-342):
+
+    - ``correct_count`` is EXACT: device argmax is bit-identical to argmax
+      over the float64-renormalized matrix (see _jitted_predict_resident's
+      proof), and the equality count is an integer, so
+      ``correct_count / N`` in float64 on the host reproduces sklearn's
+      ``accuracy_score`` bit-for-bit. Rows whose label is not in
+      ``classes_`` arrive as ``y_idx == -1`` and can never match a
+      prediction — exactly how the host comparison scores them.
+    - ``neg_log_sum`` is VALUE-CLOSE (not bit-equal): sklearn 1.9's
+      ``log_loss`` does not renormalize — it one-hot-reduces to the
+      true-class probability, clips at float64 eps, and means the negative
+      logs — so the device computes the same formula
+      (gather true-class prob / float32 row-sum, clip, log, sum) in
+      float32, tracking the float64 host value to ~1e-6 relative
+      (differential-pinned). Early stopping compares epochs separated by
+      ~1e-3 in val loss, so decisions are unchanged — pinned by a
+      whole-trainer streamed-vs-resident decision-equality test. Rows with
+      ``y_idx == -1`` contribute 0, matching sklearn's all-zero one-hot
+      row through ``xlogy``.
+    """
+
+    def _counts(probs, y_idx):
+        preds = jnp.argmax(probs, axis=1).astype(jnp.int32)
+        correct = jnp.sum((preds == y_idx).astype(jnp.float32))
+        valid = y_idx >= 0
+        safe = jnp.where(valid, y_idx, 0)
+        t = jnp.take_along_axis(probs, safe[:, None], axis=1)[:, 0]
+        t = t / jnp.sum(probs, axis=1)
+        t = jnp.clip(t, _SKLEARN_LOG_LOSS_EPS, 1.0 - _SKLEARN_LOG_LOSS_EPS)
+        neg_log = jnp.where(valid, -jnp.log(t), 0.0)
+        return jnp.stack([correct, jnp.sum(neg_log)])
+
+    if quantized:
+        def eval_q(params, x_resident, scale, idx, y_idx):
+            x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+            x = x * jnp.take(scale, idx, axis=0)[:, None]
+            probs = jax.nn.softmax(
+                _forward_logits(params["W"], params["b"], x), axis=1
+            )
+            return _counts(probs, y_idx)
+
+        return jax.jit(eval_q)
+
+    def eval_fn(params, x_resident, idx, y_idx):
+        x = jnp.take(x_resident, idx, axis=0).astype(jnp.float32)
+        probs = jax.nn.softmax(
+            _forward_logits(params["W"], params["b"], x), axis=1
+        )
+        return _counts(probs, y_idx)
+
+    return jax.jit(eval_fn)
+
+
 class MLPClassifier:
     """sklearn-MLPClassifier-compatible JAX classifier head.
 
@@ -1070,6 +1140,7 @@ class MLPClassifier:
         eval_batch_row_counts: Sequence[int] = (),
         head_row_counts: Sequence[int] = (),
         pred_row_counts: Sequence[int] = (),
+        eval_pair_row_counts: Sequence[int] = (),
         dtype: str = "float32",
     ) -> dict:
         """AOT-compile the resident-epoch and resident-forward programs for
@@ -1095,6 +1166,7 @@ class MLPClassifier:
             "forward_programs": 0,
             "head_programs": 0,
             "pred_programs": 0,
+            "eval_programs": 0,
             "seconds": 0.0,
         }
         if self.mesh is not None:
@@ -1198,6 +1270,25 @@ class MLPClassifier:
                     params_aval, x_aval, idx_aval,
                 ).compile()
             stats["pred_programs"] += 1
+        # The fused accuracy+log-loss eval program (two-scalar readback)
+        # — the trainer's per-epoch ref AND val passes.
+        for n in sorted({int(n) for n in eval_pair_row_counts}):
+            if n <= 0:
+                continue
+            k = key("eval", n)
+            if k in execs:
+                continue
+            idx_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
+            y_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
+            if quantized:
+                execs[k] = _jitted_eval_resident(True).lower(
+                    params_aval, x_aval, scale_aval, idx_aval, y_aval,
+                ).compile()
+            else:
+                execs[k] = _jitted_eval_resident(False).lower(
+                    params_aval, x_aval, idx_aval, y_aval,
+                ).compile()
+            stats["eval_programs"] += 1
         # The SHIPPED artifact's head program over resident rows
         # (predict_proba_resident_head): the eval-the-artifact fast path
         # dispatches it once at drive end with the full val span — warming
@@ -1486,24 +1577,26 @@ class MLPClassifier:
             raise ValueError(f"indices must be 1-D, got {idx.shape}")
         return idx
 
-    def _dispatch_resident(self, exec_key, jit_factory, params, idx):
+    def _dispatch_resident(self, exec_key, jit_factory, params, idx, extra=()):
         """One dispatch body for every resident forward-family program:
         AOT-warmed executable lookup (single-device) with jit fallback,
         plus the quantized paths' extra scale argument. Three
         hand-maintained copies of this boilerplate would be exactly the
-        hazard _exec_key_from's docstring warns about."""
+        hazard _exec_key_from's docstring warns about. ``extra`` carries
+        trailing per-call arrays (the fused eval's true-class indices)."""
         quantized = getattr(self, "_resident_dtype", "float32") == "int8"
         fn = None
         if self.mesh is None and exec_key is not None:
             fn = getattr(self, "_resident_exec", {}).get(exec_key)
         if fn is None:
             fn = jit_factory(quantized)
+        tail = tuple(jnp.asarray(a) for a in extra)
         if quantized:
             return fn(
                 params, self._resident_X, self._resident_scale,
-                jnp.asarray(idx),
+                jnp.asarray(idx), *tail,
             )
-        return fn(params, self._resident_X, jnp.asarray(idx))
+        return fn(params, self._resident_X, jnp.asarray(idx), *tail)
 
     def predict_proba_resident(self, indices: np.ndarray) -> np.ndarray:
         """predict_proba over rows of the resident feature matrix — only
@@ -1535,6 +1628,33 @@ class MLPClassifier:
             _jitted_predict_resident,
             self._params,
             idx,
+        )
+        return np.asarray(out)
+
+    def eval_counts_resident(
+        self, indices: np.ndarray, y_indices: np.ndarray
+    ) -> np.ndarray:
+        """Fused accuracy + uncalibrated-log-loss eval over resident rows
+        in ONE device program: returns ``np.ndarray`` (2,) float32
+        ``[correct_count, neg_log_sum]`` — only two scalars cross back per
+        dispatch instead of the (N, K) probability matrix. ``y_indices``
+        are positions into ``classes_`` (-1 for labels outside it, which
+        count as wrong and contribute zero loss, matching the host
+        ``accuracy_score``/``log_loss`` semantics). The count is exact;
+        the loss sum is a float32 reduction of the sklearn formula —
+        see _jitted_eval_resident for the full semantics contract."""
+        idx = self._check_resident_indices(indices, require_fitted=True)
+        y_idx = np.asarray(y_indices, dtype=np.int32)
+        if y_idx.shape != idx.shape:
+            raise ValueError(
+                f"y_indices shape {y_idx.shape} != indices shape {idx.shape}"
+            )
+        out = self._dispatch_resident(
+            self._exec_key("eval", len(idx)),
+            _jitted_eval_resident,
+            self._params,
+            idx,
+            extra=(y_idx,),
         )
         return np.asarray(out)
 

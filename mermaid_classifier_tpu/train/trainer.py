@@ -479,9 +479,10 @@ class MermaidTrainer:
                                 n_classes=len(classes_list),
                                 train_batch_row_counts=train_counts,
                                 eval_batch_row_counts=eval_counts,
-                                # Per-epoch ref accuracy reads back (N,)
-                                # int32 predictions (device argmax).
-                                pred_row_counts=ref_counts,
+                                # Per-epoch ref AND val evals dispatch the
+                                # fused counts program (two-scalar
+                                # readback) — warm it for both geometries.
+                                eval_pair_row_counts=eval_counts,
                                 head_row_counts=head_counts,
                                 dtype=self.resident_dtype,
                             ))
@@ -681,6 +682,9 @@ class MermaidTrainer:
                     "warm_pred_programs": float(
                         warm_stats.get("pred_programs", 0)
                     ),
+                    "warm_eval_programs": float(
+                        warm_stats.get("eval_programs", 0)
+                    ),
                     "rows": float(pos),
                     "gigabytes_f32": round(stacked.nbytes / 1e9, 2),
                 }
@@ -698,6 +702,10 @@ class MermaidTrainer:
                 del stacked
 
             t_epochs = time.time()
+            # Per-split (index, true-class-index) arrays for the fused
+            # on-device eval — built once on first use (classes_ exists
+            # after the first partial_fit), reused every epoch.
+            eval_cache: dict[int, list] = {}
             for epoch in range(start_epoch, nbr_epochs):
                 if self.device_resident:
                     # Same image order, batch boundaries, and row sequence
@@ -715,16 +723,31 @@ class MermaidTrainer:
                     ):
                         clf.partial_fit(x, y, classes=classes_list)
 
-                ref_accs.append(self._calc_acc_batched(clf, labels.ref))
+                ref_eval = self._resident_eval_batched(
+                    clf, labels.ref, eval_cache
+                )
+                ref_accs.append(
+                    ref_eval[0]
+                    if ref_eval is not None
+                    else self._calc_acc_batched(clf, labels.ref)
+                )
                 logger.debug("Epoch %d, acc: %s", epoch, ref_accs[-1])
 
                 # Per-epoch val accuracy + log_loss streamed the same way;
                 # computed on the UNCALIBRATED head — the trend is the
                 # overfitting signal, not the absolute value
-                # (reference: trainer.py:153-168).
-                val_acc, val_loss = self._calc_acc_and_log_loss_batched(
-                    clf, labels.val, classes_list
+                # (reference: trainer.py:153-168). Resident splits use the
+                # fused device eval (two scalars cross back per epoch, not
+                # the (N, K) matrix); non-resident splits stream from disk.
+                val_eval = self._resident_eval_batched(
+                    clf, labels.val, eval_cache
                 )
+                if val_eval is not None:
+                    val_acc, val_loss = val_eval
+                else:
+                    val_acc, val_loss = self._calc_acc_and_log_loss_batched(
+                        clf, labels.val, classes_list
+                    )
                 logger.info(
                     "Epoch %d: ref_acc=%.4f val_acc=%.4f val_loss=%.4f"
                     " (%.1fs elapsed)",
@@ -1033,6 +1056,61 @@ class MermaidTrainer:
             ests.extend(classes[i] for i in top)
             scores.extend(float(proba[i, j]) for i, j in enumerate(top))
         return gts, ests, scores
+
+    def _resident_eval_batched(
+        self,
+        clf: MLPClassifier,
+        labels: ImageLabels,
+        cache: dict[int, list],
+    ) -> tuple[float, float] | None:
+        """Per-epoch (accuracy, uncalibrated log_loss) through the fused
+        on-device eval when the split is resident — each batch dispatch
+        reads back TWO float32 scalars instead of the (N, K) probability
+        matrix (14.4 MB wire + two fresh ~29 MB float64 host allocations
+        per epoch at C2 scale; under degraded tunnel links that readback
+        dominated the epoch loop — the committed per-epoch wall times grew
+        2 s → 9-11 s within one bad-window run). Returns None when the
+        split is not resident (callers stream from disk).
+
+        Accuracy is EXACT vs the streamed ``accuracy_score`` path (integer
+        correct-count / N in float64); the loss is a float32 device
+        reduction of sklearn's log_loss formula, value-close (~1e-6
+        relative, differential-pinned) and decision-identical for early
+        stopping (epoch separations are ~1e-3) — see
+        _jitted_eval_resident's semantics contract. Batch boundaries are
+        iter_index_batches' canonical order, cached across epochs (the
+        split's rows and labels never change within a run; ``cache`` is
+        scoped to one __call__, so stale classes_ can't leak across runs).
+        """
+        offset = self._resident_offset(labels)
+        if offset is None:
+            return None
+        key = id(labels)
+        batches = cache.get(key)
+        if batches is None:
+            class_pos = {c: i for i, c in enumerate(clf.classes_)}
+            batches = []
+            for idx, y in labels.iter_index_batches(batch_size=self.batch_size):
+                y_idx = np.fromiter(
+                    (class_pos.get(v, -1) for v in y),
+                    dtype=np.int32,
+                    count=len(y),
+                )
+                batches.append(
+                    (np.asarray(idx, dtype=np.int32) + offset, y_idx)
+                )
+            cache[key] = batches
+        correct = 0.0
+        neg_log_sum = 0.0
+        total = 0
+        for idx_arr, y_arr in batches:
+            counts = clf.eval_counts_resident(idx_arr, y_arr)
+            correct += float(counts[0])
+            neg_log_sum += float(counts[1])
+            total += int(idx_arr.shape[0])
+        if total == 0:
+            return None
+        return correct / total, neg_log_sum / total
 
     def _calc_acc_batched(self, clf: MLPClassifier, labels: ImageLabels) -> float:
         """Streamed accuracy: only predictions accumulate, not features

@@ -477,6 +477,66 @@ class TestResidentTraining:
                 err_msg=dtype,
             )
 
+    def test_eval_counts_resident_matches_sklearn_all_dtypes(self):
+        """The fused accuracy+log-loss eval (two scalars cross back per
+        dispatch instead of the (N, K) matrix — the trainer's per-epoch
+        ref and val passes) must reproduce the host path it replaces:
+        correct_count EXACTLY equals the argmax-correct count over the
+        float64-renormalized matrix, and neg_log_sum/N tracks sklearn's
+        log_loss to the float32-reduction band, for every storage dtype."""
+        from sklearn.metrics import log_loss
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        for dtype in ("float32", "bfloat16", "int8"):
+            clf = MLPClassifier((16, 8), learning_rate_init=1e-2,
+                                random_state=3)
+            clf.set_resident_features(X, dtype=dtype)
+            idx = np.arange(len(X), dtype=np.int32)
+            clf.partial_fit_resident(idx, y, classes=classes)
+            pos = {c: i for i, c in enumerate(clf.classes_)}
+            y_idx = np.asarray([pos[v] for v in y], dtype=np.int32)
+            counts = clf.eval_counts_resident(idx, y_idx)
+            assert counts.shape == (2,)
+            proba = clf.predict_proba_resident(idx)
+            assert float(counts[0]) == float(
+                (proba.argmax(axis=1) == y_idx).sum()
+            ), dtype
+            host_loss = float(log_loss(y, proba, labels=list(clf.classes_)))
+            assert float(counts[1]) / len(idx) == pytest.approx(
+                host_loss, rel=1e-5
+            ), dtype
+
+    def test_eval_counts_resident_unknown_label_rows(self):
+        """Labels outside classes_ arrive as y_idx == -1: they can never
+        match a prediction (counted wrong — exactly how the host
+        accuracy_score comparison scores them) and contribute ZERO loss.
+        Masking rows to -1 must therefore equal evaluating without them:
+        same correct count exactly, same loss sum up to reduction order."""
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), learning_rate_init=1e-2, random_state=3)
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)
+        pos = {c: i for i, c in enumerate(clf.classes_)}
+        y_idx = np.asarray([pos[v] for v in y], dtype=np.int32)
+        masked = y_idx.copy()
+        masked[:10] = -1
+        full = clf.eval_counts_resident(idx, masked)
+        tail = clf.eval_counts_resident(idx[10:], y_idx[10:])
+        assert float(full[0]) == float(tail[0])
+        assert float(full[1]) == pytest.approx(float(tail[1]), rel=1e-6)
+
+    def test_eval_counts_resident_shape_mismatch_raises(self):
+        X, y = self._data(n=64)
+        clf = MLPClassifier((8,), random_state=0)
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=sorted(set(y.tolist())))
+        with pytest.raises(ValueError, match="y_indices"):
+            clf.eval_counts_resident(idx, np.zeros(5, np.int32))
+
     def test_resident_with_class_weights_and_padding(self):
         X, y = self._data(n=130)  # forces a ragged tail mini-batch
         classes = sorted(set(y.tolist()))
@@ -1088,6 +1148,39 @@ class TestWarmResidentPrograms:
 
         monkeypatch.setattr(mod, "_jitted_predict_resident", boom)
         clf.predict_indices_resident(idx)
+
+    def test_warmed_eval_executable_is_used(self, monkeypatch):
+        """warm_resident_programs(eval_pair_row_counts=...) pre-compiles
+        the fused counts program; the dispatch must hit it (no jit
+        fallback) and produce the same two scalars as the cold path."""
+        import mermaid_classifier_tpu.train.mlp_classifier as mod
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        cold = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        cold.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        cold.partial_fit_resident(idx, y, classes=classes)
+        pos = {c: i for i, c in enumerate(cold.classes_)}
+        y_idx = np.asarray([pos[v] for v in y], dtype=np.int32)
+        expected = cold.eval_counts_resident(idx, y_idx)
+
+        warm = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        stats = warm.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[len(X)], eval_pair_row_counts=[len(X)],
+        )
+        assert stats["eval_programs"] == 1
+        warm.set_resident_features(X)
+        warm.partial_fit_resident(idx, y, classes=classes)
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the jit path")
+
+        monkeypatch.setattr(mod, "_jitted_eval_resident", boom)
+        np.testing.assert_array_equal(
+            warm.eval_counts_resident(idx, y_idx), expected
+        )
 
     def test_head_program_different_architecture_falls_back(self):
         """An artifact with different hidden sizes but matching (rows,

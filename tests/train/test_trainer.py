@@ -96,6 +96,18 @@ class ScriptedValLossTrainer(SmallNetTrainer):
         self._call_idx += 1
         return 0.5, loss
 
+    def _resident_eval_batched(self, clf, labels, cache):
+        # The resident epoch loop computes the val metric through the
+        # fused device eval, not _calc_acc_and_log_loss_batched — script
+        # that pass identically (ref passes keep the real eval).
+        offsets = self._resident_split_offsets or {}
+        val_split = offsets.get("val", (None, 0))[0]
+        if labels is val_split:
+            loss = self.scripted_losses[self._call_idx]
+            self._call_idx += 1
+            return 0.5, loss
+        return super()._resident_eval_batched(clf, labels, cache)
+
 
 class TestEarlyStopping:
     def test_stops_on_patience(self, task_labels):
@@ -410,7 +422,18 @@ class TestDeviceResidentTrainer:
         clf_b, _, msg_b = resident(task_labels, nbr_epochs=6, pc_models=[])
 
         assert msg_a.ref_accs == msg_b.ref_accs
-        assert streamed._early_stop_info == resident._early_stop_info
+        # The fused device eval computes the early-stopping statistic in
+        # float32 (two scalars cross back per epoch instead of the (N, K)
+        # matrix) — value-close, decision-identical: every structural
+        # field of the early-stop record must match EXACTLY, the loss
+        # value within the float32-reduction band
+        # (see _jitted_eval_resident's semantics contract).
+        info_a = dict(streamed._early_stop_info)
+        info_b = dict(resident._early_stop_info)
+        loss_a = info_a.pop("best_val_loss")
+        loss_b = info_b.pop("best_val_loss")
+        assert info_a == info_b
+        assert loss_b == pytest.approx(loss_a, rel=1e-4)
         est_a, est_b = clf_a.estimator, clf_b.estimator
         assert est_a.loss_curve_ == est_b.loss_curve_
         for wa, wb in zip(est_a.coefs_, est_b.coefs_):
