@@ -42,7 +42,19 @@ def _hierarchical_class_order(val_results) -> list[int]:
     return list(leaves_list(linkage_matrix))
 
 
+# Longest raster side for confusion-matrix PNGs. At 80 classes the figure
+# is 48 in; dpi 100 + bbox_inches="tight" re-renders the 6,400-text canvas
+# twice at 4800 px and cost 58 s of every metrics stage (measured in
+# metrics_group_seconds.json at C2 scale). Capping the long side at
+# 2400 px (>=30 px per cell at 80 classes, labels verified legible) and
+# saving without the tight-bbox measuring pass brings the group to ~20 s
+# with the same artifact content (docs/perf_roofline.md).
+_CONFUSION_MAX_RASTER_PX = 2400
+
+
 def _confusion_figure(matrix: np.ndarray, names: list[str]):
+    """Returns (figure, savefig kwargs) — the kwargs cap raster size and
+    skip the tight-bbox pass (tight_layout below already fits the labels)."""
     n = len(names)
     fig_size = max(12, n * 0.6)
     fig, ax = plt.subplots(figsize=(fig_size, fig_size))
@@ -66,7 +78,8 @@ def _confusion_figure(matrix: np.ndarray, names: list[str]):
     except Exception:
         plt.close(fig)
         raise
-    return fig
+    dpi = min(100.0, _CONFUSION_MAX_RASTER_PX / fig_size)
+    return fig, {"dpi": dpi, "bbox_inches": None}
 
 
 @metric_group("confusion_matrices")
@@ -97,7 +110,8 @@ def compute_confusion_matrices(ctx: MetricsContext) -> GroupOutput:
         df = pd.DataFrame(matrix, columns=names)
         df.insert(0, "-", names)
         out.table(df, filestem)
-        out.figure(_confusion_figure(matrix, names), filestem + ".png")
+        fig, save_kwargs = _confusion_figure(matrix, names)
+        out.figure(fig, filestem + ".png", **save_kwargs)
     return out
 
 

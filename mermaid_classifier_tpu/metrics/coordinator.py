@@ -125,7 +125,11 @@ class MetricsCoordinator:
             elif artifact.kind == MAPPING:
                 self.run.log_dict(artifact.payload, artifact.path)
             elif artifact.kind == FIGURE:
-                self.run.log_figure(artifact.payload, artifact.path)
+                self.run.log_figure(
+                    artifact.payload,
+                    artifact.path,
+                    **(artifact.save_kwargs or {}),
+                )
             else:
                 logger.warning(
                     "Unknown artifact kind %r at %r; skipped",

@@ -23,11 +23,18 @@ MAPPING = "mapping"
 
 class Artifact(NamedTuple):
     """One thing to persist: a matplotlib figure, a tabular frame, or a
-    plain dict, with the artifact path it should land at."""
+    plain dict, with the artifact path it should land at.
+
+    ``save_kwargs`` (figures only) forwards to ``fig.savefig`` and wins
+    over the sink's defaults — the confusion-matrix group uses it to cap
+    raster size and skip the tight-bbox measuring pass, which otherwise
+    re-renders a 6,400-text canvas (measured 58 s -> ~20 s for the group
+    at 80 classes; docs/perf_roofline.md)."""
 
     kind: str
     payload: Any
     path: str
+    save_kwargs: dict | None = None
 
 
 class GroupOutput:
@@ -41,8 +48,10 @@ class GroupOutput:
         self.scalars[name] = float(value)
         return self
 
-    def figure(self, fig: Any, path: str) -> "GroupOutput":
-        self.artifacts.append(Artifact(FIGURE, fig, path))
+    def figure(self, fig: Any, path: str, **save_kwargs: Any) -> "GroupOutput":
+        self.artifacts.append(
+            Artifact(FIGURE, fig, path, save_kwargs or None)
+        )
         return self
 
     def table(self, frame: Any, path: str) -> "GroupOutput":

@@ -153,9 +153,14 @@ class Run:
     def log_dataframe(self, df: Any, artifact_path: str) -> None:
         df.to_csv(self._artifact_path(artifact_path), index=False)
 
-    def log_figure(self, fig: Any, artifact_path: str) -> None:
+    def log_figure(self, fig: Any, artifact_path: str, **save_kwargs: Any) -> None:
+        # Caller kwargs win over the tight-bbox default: a figure that
+        # already ran tight_layout can skip the extra measuring draw
+        # (bbox_inches=None) and cap its raster dpi.
+        kwargs: dict[str, Any] = {"bbox_inches": "tight"}
+        kwargs.update(save_kwargs)
         try:
-            fig.savefig(self._artifact_path(artifact_path), bbox_inches="tight")
+            fig.savefig(self._artifact_path(artifact_path), **kwargs)
         finally:
             import matplotlib.pyplot as plt
 

@@ -126,6 +126,50 @@ class TestClassificationGroups:
         # Total count preserved under reordering.
         assert freq_df.iloc[:, 1:].to_numpy().sum() == len(ctx.val_results.gt)
 
+    def test_confusion_figures_cap_raster_and_skip_tight_bbox(self, ctx):
+        """The figures ship savefig kwargs capping the long raster side at
+        2400 px and disabling the tight-bbox re-render (the 58 s -> ~20 s
+        fix for the metrics stage at C2 scale). Small class counts stay at
+        dpi 100; the cap engages when figsize grows past 24 in."""
+        from mermaid_classifier_tpu.metrics.classification import (
+            _CONFUSION_MAX_RASTER_PX,
+        )
+
+        result = compute_confusion_matrices(ctx)
+        figures = result.figures()
+        assert len(figures) == 2
+        for art in figures:
+            assert art.save_kwargs is not None
+            assert art.save_kwargs["bbox_inches"] is None
+            fig_size = max(art.payload.get_size_inches())
+            assert art.save_kwargs["dpi"] == min(
+                100.0, _CONFUSION_MAX_RASTER_PX / fig_size
+            )
+            assert fig_size * art.save_kwargs["dpi"] <= _CONFUSION_MAX_RASTER_PX
+            import matplotlib.pyplot as plt
+
+            plt.close(art.payload)
+
+    def test_confusion_dpi_cap_engages_at_production_class_counts(self):
+        """At >40 classes the figure outgrows 24 in and the dpi drops below
+        100 so the raster stays at the cap (the production 80-class case)."""
+        import matplotlib.pyplot as plt
+
+        from mermaid_classifier_tpu.metrics.classification import (
+            _CONFUSION_MAX_RASTER_PX,
+            _confusion_figure,
+        )
+
+        n = 48
+        fig, kwargs = _confusion_figure(
+            np.eye(n, dtype=np.int64), [f"c{i}" for i in range(n)]
+        )
+        plt.close(fig)
+        assert kwargs["dpi"] < 100.0
+        assert max(fig.get_size_inches()) * kwargs["dpi"] == pytest.approx(
+            _CONFUSION_MAX_RASTER_PX
+        )
+
     def test_precision_recall_f1(self, ctx):
         result = compute_precision_recall_f1(ctx)
         assert scalar_names(result) == {"precision_macro", "recall_macro", "f1_macro"}

@@ -91,6 +91,32 @@ class TestLogging:
         # log_figure closes THE logged figure (other tests may leak theirs).
         assert not plt.fignum_exists(fignum)
 
+    def test_log_figure_save_kwargs_override_defaults(self, tracker):
+        """Caller save kwargs win over the tight-bbox default: a dpi cap
+        plus bbox_inches=None must shrink the raster to figsize*dpi exactly
+        (the tight bbox would crop it), differentially vs the default save
+        of an identical figure."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from PIL import Image
+
+        def make():
+            fig, ax = plt.subplots(figsize=(4, 4))
+            ax.plot([1, 2])
+            return fig
+
+        with tracker.start_run("exp") as run:
+            run.log_figure(make(), "plots/default.png")
+            run.log_figure(
+                make(), "plots/capped.png", dpi=50, bbox_inches=None
+            )
+        with Image.open(run.artifact("plots/capped.png")) as img:
+            assert img.size == (200, 200)  # 4 in * 50 dpi, no tight crop
+        with Image.open(run.artifact("plots/default.png")) as img:
+            assert img.size != (200, 200)
+
 
 class TestModelRegistry:
     def test_versioning(self, tracker, tmp_path):
