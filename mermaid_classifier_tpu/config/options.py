@@ -78,6 +78,12 @@ class TrainingOptions:
     # compile cache, loses on cold remote compiles
     # (CalibratedClassifier.BACKENDS; trainer.calibration_backend).
     calibration_backend: str = "scipy"
+    # Calibration family ("sigmoid" | "temperature"). "sigmoid" is the
+    # reference-parity prefit-Platt recipe; "temperature" fits one scalar
+    # by NLL on the ref split — argmax-preserving, and it lowers calibrated
+    # log_loss where the sigmoid recipe raised it
+    # (trainer.calibration_method; train/calibration.py).
+    calibration_method: str = "sigmoid"
 
 
 @dataclasses.dataclass

@@ -80,6 +80,7 @@ class TrainingConfig(BaseModel):
     device_resident: bool = False
     resident_dtype: str = "float32"
     calibration_backend: str = "scipy"
+    calibration_method: str = "sigmoid"
 
     @field_validator("resident_dtype")
     @classmethod
@@ -100,6 +101,16 @@ class TrainingConfig(BaseModel):
             raise ValueError(
                 f"calibration_backend must be 'scipy' or 'device', got"
                 f" {value!r}"
+            )
+        return value
+
+    @field_validator("calibration_method")
+    @classmethod
+    def _validate_calibration_method(cls, value: str) -> str:
+        if value not in ("sigmoid", "temperature"):
+            raise ValueError(
+                f"calibration_method must be 'sigmoid' or 'temperature',"
+                f" got {value!r}"
             )
         return value
 
@@ -203,6 +214,7 @@ class TrainingRunConfig(BaseModel):
             device_resident=self.training.device_resident,
             resident_dtype=self.training.resident_dtype,
             calibration_backend=self.training.calibration_backend,
+            calibration_method=self.training.calibration_method,
         )
         tracking_options = TrackingOptions(
             experiment_name=self.tracking.experiment_name,

@@ -45,13 +45,6 @@ def _head_params_from_model(model: Any) -> HeadParams:
         raise ValueError(
             f"export only supports the multiclass (K > 2) path; got K={n_classes}."
         )
-    a = np.asarray(model.calibration_a_, dtype=np.float32)
-    b = np.asarray(model.calibration_b_, dtype=np.float32)
-    if a.shape != (n_classes,) or b.shape != (n_classes,):
-        raise ValueError(
-            f"Expected {n_classes} per-class calibrators, got a.shape={a.shape},"
-            f" b.shape={b.shape}."
-        )
     est_classes = np.asarray(estimator.classes_)
     if not np.array_equal(est_classes, np.asarray(model.classes_)):
         raise ValueError(
@@ -60,6 +53,18 @@ def _head_params_from_model(model: Any) -> HeadParams:
         )
     weights = [np.asarray(w, dtype=np.float32) for w in estimator.coefs_]
     biases = [np.asarray(v, dtype=np.float32) for v in estimator.intercepts_]
+    temperature = getattr(model, "temperature_", None)
+    if temperature is not None:
+        # Temperature-calibrated model (train/calibration.py
+        # TemperatureCalibratedClassifier): one scalar instead of (a, b).
+        return HeadParams(weights, biases, temperature=float(temperature))
+    a = np.asarray(model.calibration_a_, dtype=np.float32)
+    b = np.asarray(model.calibration_b_, dtype=np.float32)
+    if a.shape != (n_classes,) or b.shape != (n_classes,):
+        raise ValueError(
+            f"Expected {n_classes} per-class calibrators, got a.shape={a.shape},"
+            f" b.shape={b.shape}."
+        )
     return HeadParams(weights, biases, a, b)
 
 
@@ -67,9 +72,12 @@ def save_head_npz(path: Path, params: HeadParams) -> None:
     """Write the pickle-free params archive."""
     arrays: dict[str, np.ndarray] = {
         "n_layers": np.asarray(len(params.weights), dtype=np.int64),
-        "cal_a": params.a,
-        "cal_b": params.b,
     }
+    if params.temperature is not None:
+        arrays["cal_t"] = np.asarray(params.temperature, dtype=np.float64)
+    else:
+        arrays["cal_a"] = params.a
+        arrays["cal_b"] = params.b
     for i, (w, v) in enumerate(zip(params.weights, params.biases)):
         arrays[f"W{i}"] = w
         arrays[f"b{i}"] = v
@@ -140,6 +148,9 @@ def export_artifact(
         "task": task,
         "classes": [str(c) for c in np.asarray(model.classes_).tolist()],
         "input_dim": params.input_dim,
+        # Additive field: absent in pre-temperature artifacts, which the
+        # loader reads as "sigmoid". Cross-checked against the npz keys.
+        "calibration": params.calibration,
         "config": config if config is not None else {"patch_size": 224},
         "trained_with": {
             # jax/numpy versions recorded without importing anything heavy;

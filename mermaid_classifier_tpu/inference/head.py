@@ -35,31 +35,57 @@ _OVERSHOOT_EPS = 1e-5
 class HeadParams:
     """Validated parameter bundle for the calibrated head.
 
-    weights[i] is (in_dim, out_dim) float32 (jax convention: x @ W + b);
-    a, b are (K,) float32 per-class Platt parameters.
-    Mirrors the constructor validation of the reference CalibratedHead
-    (reference: inference/head.py:30-64).
+    weights[i] is (in_dim, out_dim) float32 (jax convention: x @ W + b).
+    Calibration is one of two forms:
+
+    - sigmoid (the parity default): a, b are (K,) float32 per-class Platt
+      parameters. Mirrors the constructor validation of the reference
+      CalibratedHead (reference: inference/head.py:30-64).
+    - temperature (keyword-only ``temperature=T``, with a=b=None): a single
+      positive scalar; the head computes softmax(logits / T), which equals
+      the training-side p^(1/T) renormalization exactly and preserves the
+      argmax of the uncalibrated model.
     """
 
     def __init__(
         self,
         weights: list[np.ndarray],
         biases: list[np.ndarray],
-        a: np.ndarray,
-        b: np.ndarray,
+        a: np.ndarray | None = None,
+        b: np.ndarray | None = None,
+        *,
+        temperature: float | None = None,
     ) -> None:
-        a = np.asarray(a, dtype=np.float32)
-        b = np.asarray(b, dtype=np.float32)
-        if a.ndim != 1 or b.ndim != 1:
-            raise ValueError(
-                f"Calibration parameters a and b must be 1-D arrays; got"
-                f" a.shape={a.shape}, b.shape={b.shape}."
-            )
-        if a.shape != b.shape:
-            raise ValueError(
-                f"Calibration parameters a and b must have the same shape; got"
-                f" a.shape={a.shape}, b.shape={b.shape}."
-            )
+        if temperature is not None:
+            if a is not None or b is not None:
+                raise ValueError(
+                    "Pass either per-class (a, b) Platt parameters or a"
+                    " scalar temperature, not both."
+                )
+            temperature = float(temperature)
+            if not np.isfinite(temperature) or temperature <= 0.0:
+                raise ValueError(
+                    f"temperature must be a positive finite float, got"
+                    f" {temperature!r}."
+                )
+        else:
+            if a is None or b is None:
+                raise ValueError(
+                    "Calibration is required: pass (a, b) Platt parameters"
+                    " or temperature=T."
+                )
+            a = np.asarray(a, dtype=np.float32)
+            b = np.asarray(b, dtype=np.float32)
+            if a.ndim != 1 or b.ndim != 1:
+                raise ValueError(
+                    f"Calibration parameters a and b must be 1-D arrays; got"
+                    f" a.shape={a.shape}, b.shape={b.shape}."
+                )
+            if a.shape != b.shape:
+                raise ValueError(
+                    f"Calibration parameters a and b must have the same shape; got"
+                    f" a.shape={a.shape}, b.shape={b.shape}."
+                )
         if len(weights) != len(biases):
             raise ValueError(
                 f"weights and biases must have the same length; got"
@@ -82,23 +108,33 @@ class HeadParams:
                     f"weights[{i}] input dim {w.shape[0]} does not chain from"
                     f" weights[{i - 1}] output dim {self.weights[i - 1].shape[1]}."
                 )
-        if self.weights[-1].shape[1] != a.shape[0]:
+        if a is not None and self.weights[-1].shape[1] != a.shape[0]:
             raise ValueError(
                 f"final layer outputs {self.weights[-1].shape[1]} classes but"
                 f" calibration has {a.shape[0]} entries."
             )
         self.a = a
         self.b = b
-        self.n_classes = int(a.shape[0])
+        self.temperature = temperature
+        self.n_classes = int(self.weights[-1].shape[1])
         self.input_dim = int(self.weights[0].shape[0])
 
+    @property
+    def calibration(self) -> str:
+        return "temperature" if self.temperature is not None else "sigmoid"
+
     def as_pytree(self) -> dict:
-        return {
+        tree = {
             "weights": [jnp.asarray(w) for w in self.weights],
             "biases": [jnp.asarray(v) for v in self.biases],
-            "a": jnp.asarray(self.a),
-            "b": jnp.asarray(self.b),
         }
+        if self.temperature is not None:
+            # Ship the inverse so the head multiplies (one fused op).
+            tree["inv_t"] = jnp.asarray(1.0 / self.temperature, jnp.float32)
+        else:
+            tree["a"] = jnp.asarray(self.a)
+            tree["b"] = jnp.asarray(self.b)
+        return tree
 
 
 def head_apply(params: dict, features: jax.Array) -> jax.Array:
@@ -124,6 +160,11 @@ def head_apply(params: dict, features: jax.Array) -> jax.Array:
         )
         if i < n - 1:
             x = jax.nn.relu(x)
+    if "inv_t" in params:
+        # Temperature calibration: softmax(logits / T). Identical to the
+        # training-side p^(1/T) renormalization (softmax shift-invariance);
+        # rows sum to 1 by construction, so no fallback/clip is needed.
+        return jax.nn.softmax(x * params["inv_t"], axis=1)
     p = jax.nn.softmax(x, axis=1)
     c = jax.nn.sigmoid(-(params["a"] * p + params["b"]))
     denom = jnp.sum(c, axis=1, keepdims=True)

@@ -65,12 +65,17 @@ def _load_head_params(model_npz_path: str | Path) -> HeadParams:
             n_layers = int(archive["n_layers"])
             weights = [archive[f"W{i}"] for i in range(n_layers)]
             biases = [archive[f"b{i}"] for i in range(n_layers)]
-            a = archive["cal_a"]
-            b = archive["cal_b"]
+            if "cal_t" in archive:
+                temperature = float(archive["cal_t"])
+                a = b = None
+            else:
+                temperature = None
+                a = archive["cal_a"]
+                b = archive["cal_b"]
         except KeyError as exc:
             raise ManifestError(f"model.npz is missing required array: {exc}") from exc
     try:
-        return HeadParams(weights, biases, a, b)
+        return HeadParams(weights, biases, a, b, temperature=temperature)
     except ValueError as exc:
         raise ManifestError(f"model.npz contains inconsistent params: {exc}") from exc
 
@@ -113,6 +118,16 @@ def load_predictor(
     input_dim = int(manifest["input_dim"])
 
     params = _load_head_params(model_npz_path)
+
+    # Calibration-kind cross-check: the manifest field is additive —
+    # pre-temperature artifacts omit it, which reads as "sigmoid".
+    declared_cal = manifest.get("calibration", "sigmoid")
+    if declared_cal != params.calibration:
+        raise ManifestError(
+            f"model.json declares calibration={declared_cal!r} but model.npz"
+            f" carries {params.calibration!r} parameters."
+        )
+
     head_fn = make_head_fn(params)
 
     # Cross-check archive against manifest, then push a zero batch through

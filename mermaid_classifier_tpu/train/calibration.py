@@ -371,3 +371,148 @@ class CalibratedClassifier:
 
     def predict(self, X: Any) -> np.ndarray:
         return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
+
+
+def fit_temperature(
+    log_p: np.ndarray,
+    y_idx: np.ndarray,
+    sample_weight: np.ndarray | None = None,
+    beta_bounds: tuple[float, float] = (1e-3, 100.0),
+) -> float:
+    """Fit the inverse temperature beta minimizing the weighted NLL of
+    softmax(beta * log_p) against integer labels; returns beta.
+
+    ``log_p`` is (N, K) log-probabilities (any per-row additive shift is
+    harmless — softmax is shift-invariant). The NLL of an exponential
+    family in its natural parameter is convex in beta, so a bounded 1-D
+    Brent search lands at the global optimum.
+    """
+    log_p = np.asarray(log_p, dtype=np.float64)
+    y_idx = np.asarray(y_idx)
+    if log_p.ndim != 2:
+        raise ValueError(f"log_p must be 2-D, got shape {log_p.shape}")
+    if y_idx.shape[0] != log_p.shape[0]:
+        raise ValueError(
+            f"labels length {y_idx.shape[0]} != rows {log_p.shape[0]}."
+        )
+    if sample_weight is not None:
+        w = np.asarray(sample_weight, dtype=np.float64).ravel()
+    else:
+        w = None
+    rows = np.arange(log_p.shape[0])
+    true_col = log_p[rows, y_idx]
+
+    def nll(beta: float) -> float:
+        z = beta * log_p
+        # logsumexp, stabilized per row.
+        m = z.max(axis=1)
+        lse = m + np.log(np.exp(z - m[:, None]).sum(axis=1))
+        per = lse - beta * true_col
+        return float((per * w).sum() if w is not None else per.sum())
+
+    from scipy.optimize import minimize_scalar
+
+    res = minimize_scalar(nll, bounds=beta_bounds, method="bounded")
+    return float(res.x)
+
+
+class TemperatureCalibratedClassifier:
+    """A prefit estimator + a single temperature parameter.
+
+    The beyond-parity alternative to Platt sigmoid calibration: the
+    estimator's probabilities are sharpened/flattened as
+    ``p^beta / sum(p^beta)`` — exactly ``softmax(beta * logits)``, so the
+    shipped artifact applies it as one fused op and the argmax (accuracy,
+    balanced accuracy, every decision metric) is bit-identical to the
+    uncalibrated model. Fit minimizes NLL on the calibration split, so the
+    calibrated log_loss can only improve on beta=1 there — unlike the
+    production prefit-sigmoid recipe, which RAISED log_loss at C2 scale
+    for both this stack and sklearn's on the same corpus
+    (docs/runs/sklearn_same_corpus_baseline_2026-08-19.json: sklearn
+    uncalibrated 0.5719 -> sigmoid-calibrated 0.8709). Same protocol as
+    the reference (calibration fit on the ref split, metrics on val;
+    reference: mermaid_classifier/pyspacer/trainer.py:344-396).
+
+    Duck-type compatible with CalibratedClassifier everywhere the trainer,
+    exporter, and metrics stack touch one: ``classes_``, ``estimator``,
+    ``predict_proba``, ``calibrate_scores``, ``predict``, ``cv``/``method``.
+    """
+
+    cv = "prefit"
+    method = "temperature"
+
+    #: probabilities are clipped here before the log — float32 softmax
+    #: underflows to exactly 0.0 around 1e-45.
+    _LOG_CLIP = 1e-300
+
+    def __init__(self, estimator: Any, temperature: float) -> None:
+        self.estimator = estimator
+        self.classes_ = np.asarray(estimator.classes_)
+        temperature = float(temperature)
+        if not np.isfinite(temperature) or temperature <= 0.0:
+            raise ValueError(
+                f"temperature must be a positive finite float, got"
+                f" {temperature!r}."
+            )
+        self.temperature_ = temperature
+
+    @classmethod
+    def fit_from_scores(
+        cls,
+        estimator: Any,
+        predictions: np.ndarray,
+        y: np.ndarray,
+        sample_weight: np.ndarray | None = None,
+    ) -> "TemperatureCalibratedClassifier":
+        """Fit the temperature from precomputed uncalibrated probabilities.
+
+        ``predictions`` is (N, K) for multiclass, or (N, 1) (positive-class
+        column) for binary — the same contract as
+        ``CalibratedClassifier.fit_from_scores`` so the trainer's streaming
+        path branches between the two without reshaping."""
+        predictions = np.asarray(predictions, dtype=np.float64)
+        if predictions.ndim != 2:
+            raise ValueError(
+                f"predictions must be 2D, got shape {predictions.shape}"
+            )
+        y = np.asarray(y)
+        classes = np.asarray(estimator.classes_)
+        n_classes = len(classes)
+        if n_classes == 2 and predictions.shape[1] == 1:
+            pos = predictions[:, 0]
+            predictions = np.column_stack([1.0 - pos, pos])
+        if predictions.shape[1] != n_classes:
+            raise ValueError(
+                f"predictions has {predictions.shape[1]} columns, expected"
+                f" {n_classes} (one per class)."
+            )
+        # Class values -> column indices, in classes_ order.
+        class_to_idx = {c: i for i, c in enumerate(classes.tolist())}
+        try:
+            y_idx = np.asarray([class_to_idx[v] for v in y.tolist()])
+        except KeyError as exc:
+            raise ValueError(
+                f"label {exc} is not in estimator.classes_."
+            ) from exc
+        log_p = np.log(np.clip(predictions, cls._LOG_CLIP, None))
+        beta = fit_temperature(log_p, y_idx, sample_weight)
+        return cls(estimator, 1.0 / beta)
+
+    def predict_proba(self, X: Any) -> np.ndarray:
+        uncalibrated = np.asarray(
+            self.estimator.predict_proba(X), dtype=np.float64
+        )
+        return self.calibrate_scores(uncalibrated)
+
+    def calibrate_scores(self, uncalibrated: np.ndarray) -> np.ndarray:
+        """Apply the temperature to precomputed uncalibrated (N, K)
+        probabilities (same streaming contract as CalibratedClassifier)."""
+        uncalibrated = np.asarray(uncalibrated, dtype=np.float64)
+        beta = 1.0 / self.temperature_
+        z = beta * np.log(np.clip(uncalibrated, self._LOG_CLIP, None))
+        m = z.max(axis=1, keepdims=True)
+        e = np.exp(z - m)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def predict(self, X: Any) -> np.ndarray:
+        return self.classes_[np.argmax(self.predict_proba(X), axis=1)]

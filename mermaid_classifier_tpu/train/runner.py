@@ -154,6 +154,9 @@ class TrainingRunner:
             calibration_backend=getattr(
                 self.training_options, "calibration_backend", "scipy"
             ),
+            calibration_method=getattr(
+                self.training_options, "calibration_method", "sigmoid"
+            ),
         )
 
     def _make_training_mesh(self):

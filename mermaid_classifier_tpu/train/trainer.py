@@ -35,7 +35,10 @@ from mermaid_classifier_tpu.data.labels import (
     evaluate_classifier,
 )
 from mermaid_classifier_tpu.data.results import TrainClassifierReturnMsg, ValResults
-from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.calibration import (
+    CalibratedClassifier,
+    TemperatureCalibratedClassifier,
+)
 from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
 
 logger = getLogger(__name__)
@@ -144,6 +147,7 @@ class MermaidTrainer:
         device_resident: bool = False,
         resident_dtype: str = "float32",
         calibration_backend: str = "scipy",
+        calibration_method: str = "sigmoid",
         resident_load_workers: int = 8,
     ):
         if early_stopping_patience is not None and early_stopping_patience < 1:
@@ -195,6 +199,18 @@ class MermaidTrainer:
         # remote compile service charges minutes for the first solve, so
         # scipy stays the default for one-shot drives.
         self.calibration_backend = calibration_backend
+        # Calibration family: "sigmoid" is the reference-parity prefit-Platt
+        # recipe; "temperature" is the beyond-parity single-scalar NLL fit
+        # (TemperatureCalibratedClassifier) that preserves the uncalibrated
+        # argmax and strictly improves ref-split NLL over no calibration —
+        # the sigmoid recipe RAISED log_loss at C2 scale for both stacks
+        # on the same corpus (docs/runs/sklearn_same_corpus_baseline_*).
+        if calibration_method not in ("sigmoid", "temperature"):
+            raise ValueError(
+                f"calibration_method must be 'sigmoid' or 'temperature',"
+                f" got {calibration_method!r}"
+            )
+        self.calibration_method = calibration_method
         # Populated by __call__; readable by the runner for tracking
         # (reference: trainer.py:79-81).
         self._early_stop_info: dict[str, Any] | None = None
@@ -1178,6 +1194,12 @@ class MermaidTrainer:
 
         predictions = np.vstack(all_preds)
         y = np.concatenate(all_y)
+        if self.calibration_method == "temperature":
+            # Shares the sigmoid fitter's input contract, including the
+            # binary (N, 1) positive-column form (expanded internally).
+            return TemperatureCalibratedClassifier.fit_from_scores(
+                clf, predictions, y
+            )
         return CalibratedClassifier.fit_from_scores(
             clf, predictions, y, backend=self.calibration_backend
         )

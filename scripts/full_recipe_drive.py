@@ -312,7 +312,7 @@ def synthesize_corpus(
 
 def write_config_dir(
     config_dir: Path, pool_rows: int, epochs: int, patience: int,
-    resident_dtype: str = "float32",
+    resident_dtype: str = "float32", calibration_method: str = "sigmoid",
 ) -> None:
     """The C2 recipe verbatim (reference:
     docs/research/balancing-experiments.md:133 'Practical training recipe'):
@@ -337,6 +337,7 @@ def write_config_dir(
             "early_stopping_patience": int(patience),
             "device_resident": True,
             "resident_dtype": resident_dtype,
+            "calibration_method": calibration_method,
         },
         "tracking": {
             "experiment_name": "full-recipe",
@@ -378,6 +379,13 @@ def main(argv: list[str] | None = None) -> int:
                         " feature buffer; bfloat16 halves the upload and"
                         " HBM footprint, int8 (per-row scales) quarters"
                         " them (compute stays f32)")
+    parser.add_argument("--calibration", default="sigmoid",
+                        choices=("sigmoid", "temperature"),
+                        help="calibration family: 'sigmoid' is the"
+                        " reference-parity prefit-Platt recipe;"
+                        " 'temperature' fits one scalar by NLL on the ref"
+                        " split (argmax-preserving; lowers calibrated"
+                        " log_loss where the sigmoid recipe raises it)")
     parser.add_argument("--link-note", default="",
                         help="free-text window conditions recorded in the"
                         " output JSON (CLAUDE.md: wall-clock uploads are"
@@ -442,6 +450,7 @@ def main(argv: list[str] | None = None) -> int:
     write_config_dir(
         workspace / "config", args.pool_rows, args.epochs, args.patience,
         resident_dtype=args.resident_dtype,
+        calibration_method=args.calibration,
     )
     stages["synthesize"] = time.time() - t0
     log(f"synthesize: {stages['synthesize']:.1f}s {corpus}")
@@ -558,6 +567,7 @@ def main(argv: list[str] | None = None) -> int:
             "patience": args.patience,
             "device_resident": True,
             "resident_dtype": args.resident_dtype,
+            "calibration": args.calibration,
         },
         "subsample_realized": metrics.get("subsample/realized_total"),
         # Inside-the-train-stage budget (resident/* metrics logged by the

@@ -144,6 +144,86 @@ class TestManifestGates:
             predictor.predict_proba(np.zeros((3, manifest["input_dim"] + 2)))
 
 
+@pytest.fixture(scope="module")
+def temperature_model(calibrated_model):
+    """The same fitted MLP wrapped in the temperature calibrator instead
+    (train/calibration.py TemperatureCalibratedClassifier)."""
+    from mermaid_classifier_tpu.train.calibration import (
+        TemperatureCalibratedClassifier,
+    )
+
+    sigmoid_model, X = calibrated_model
+    clf = sigmoid_model.estimator
+    preds = clf.predict_proba(X)
+    y = np.asarray(clf.classes_)[np.argmax(preds, axis=1)]
+    model = TemperatureCalibratedClassifier.fit_from_scores(clf, preds, y)
+    return model, X
+
+
+class TestTemperatureArtifact:
+    """The temperature calibration family round-trips through the SAME
+    export gates and loader probes as the sigmoid default."""
+
+    def test_roundtrip_parity(self, temperature_model, tmp_path):
+        model, X = temperature_model
+        model_npz, manifest, max_diff = export_artifact(model, tmp_path, X[:32])
+        assert max_diff <= 1e-6
+        assert manifest["calibration"] == "temperature"
+
+        predictor = load_predictor(model_npz, tmp_path / "model.json")
+        got = predictor.predict_proba(X[:64])
+        expected = model.predict_proba(X[:64])
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+        # softmax rows sum to one with no fallback/clip machinery.
+        np.testing.assert_allclose(got.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_argmax_matches_uncalibrated_estimator(
+        self, temperature_model, tmp_path
+    ):
+        model, X = temperature_model
+        model_npz, _, _ = export_artifact(model, tmp_path, X[:8])
+        predictor = load_predictor(model_npz, tmp_path / "model.json")
+        np.testing.assert_array_equal(
+            np.argmax(predictor.predict_proba(X), axis=1),
+            np.argmax(model.estimator.predict_proba(X), axis=1),
+        )
+
+    def test_npz_carries_cal_t_not_ab(self, temperature_model, tmp_path):
+        model, X = temperature_model
+        model_npz, _, _ = export_artifact(model, tmp_path, X[:8])
+        with np.load(model_npz, allow_pickle=False) as archive:
+            assert "cal_t" in archive
+            assert float(archive["cal_t"]) == pytest.approx(
+                model.temperature_
+            )
+            assert "cal_a" not in archive and "cal_b" not in archive
+
+    def test_calibration_kind_cross_check(self, temperature_model, tmp_path):
+        # model.json says sigmoid, model.npz carries cal_t -> refused.
+        model, X = temperature_model
+        model_npz, manifest, _ = export_artifact(model, tmp_path, X[:8])
+        manifest["calibration"] = "sigmoid"
+        (tmp_path / "model.json").write_text(json.dumps(manifest))
+        with pytest.raises(ManifestError, match="calibration"):
+            load_predictor(model_npz, tmp_path / "model.json")
+
+    def test_legacy_manifest_without_field_reads_sigmoid(
+        self, calibrated_model, tmp_path
+    ):
+        # Pre-temperature artifacts omit the manifest field entirely; the
+        # loader must keep reading them as sigmoid.
+        model, X = calibrated_model
+        model_npz, manifest, _ = export_artifact(model, tmp_path, X[:8])
+        del manifest["calibration"]
+        (tmp_path / "model.json").write_text(json.dumps(manifest))
+        predictor = load_predictor(model_npz, tmp_path / "model.json")
+        np.testing.assert_allclose(
+            predictor.predict_proba(X[:16]),
+            model.predict_proba(X[:16]),
+            atol=1e-6,
+        )
+
+
 class TestManifestProvenanceAndAliases:
     """Manifest provenance + metrics-facing aliases (reference analog:
     test_portable_artifact.py:100-160)."""

@@ -8,7 +8,10 @@ from mermaid_classifier_tpu.data.labels import (
     evaluate_classifier,
     preprocess_labels,
 )
-from mermaid_classifier_tpu.train.calibration import CalibratedClassifier
+from mermaid_classifier_tpu.train.calibration import (
+    CalibratedClassifier,
+    TemperatureCalibratedClassifier,
+)
 from mermaid_classifier_tpu.train.mlp_classifier import MLPClassifier
 from mermaid_classifier_tpu.train.trainer import MermaidTrainer
 
@@ -195,6 +198,44 @@ class TestBatchedCalibration:
         np.testing.assert_allclose(
             clf_cal.calibration_b_, whole.calibration_b_, rtol=1e-8
         )
+
+
+class TestTemperatureCalibrationMethod:
+    def test_trainer_produces_temperature_calibrator(self, task_labels):
+        """calibration_method='temperature' swaps the calibration family;
+        the streamed fit equals a whole-ref-set fit and the ref-split NLL
+        is no worse than uncalibrated (the fit guarantee)."""
+        import sklearn.metrics
+
+        trainer = SmallNetTrainer(
+            batch_size=32, calibration_method="temperature"
+        )
+        clf_cal, val_results, msg = trainer(
+            task_labels, nbr_epochs=4, pc_models=[]
+        )
+        assert isinstance(clf_cal, TemperatureCalibratedClassifier)
+
+        clf = clf_cal.estimator
+        x_ref, y_ref = task_labels.ref.load_all()
+        uncal = clf.predict_proba(x_ref)
+        whole = TemperatureCalibratedClassifier.fit_from_scores(
+            clf, uncal, np.asarray(y_ref)
+        )
+        assert clf_cal.temperature_ == pytest.approx(
+            whole.temperature_, rel=1e-6
+        )
+        labels_sorted = sorted(set(y_ref))
+        nll_uncal = sklearn.metrics.log_loss(
+            y_ref, uncal, labels=labels_sorted
+        )
+        nll_temp = sklearn.metrics.log_loss(
+            y_ref, clf_cal.calibrate_scores(uncal), labels=labels_sorted
+        )
+        assert nll_temp <= nll_uncal + 1e-9
+
+    def test_invalid_method_rejected(self):
+        with pytest.raises(ValueError, match="calibration_method"):
+            MermaidTrainer(batch_size=10, calibration_method="platt")
 
 
 class TestCheckpointResume:
