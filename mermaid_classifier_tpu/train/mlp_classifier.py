@@ -1142,6 +1142,7 @@ class MLPClassifier:
         pred_row_counts: Sequence[int] = (),
         eval_pair_row_counts: Sequence[int] = (),
         dtype: str = "float32",
+        head_calibration: str = "sigmoid",
     ) -> dict:
         """AOT-compile the resident-epoch and resident-forward programs for
         the given batch geometries, BEFORE the resident buffer (or even the
@@ -1295,20 +1296,30 @@ class MLPClassifier:
         # it here rides the upload overlap instead of paying the remote
         # compile serialized after training. The head pytree structure is
         # HeadParams.as_pytree(): f32 weights/biases (same sizes as the
-        # MLP) plus (K,) f32 Platt a/b.
-        head_aval = {
-            "weights": list(w_avals),
-            "biases": list(b_avals),
-            "a": jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
-            "b": jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
-        }
+        # MLP) plus the calibration — (K,) f32 Platt a/b, or the scalar
+        # inv_t for a temperature run (``head_calibration``).
+        if head_calibration == "temperature":
+            head_aval = {
+                "weights": list(w_avals),
+                "biases": list(b_avals),
+                "inv_t": jax.ShapeDtypeStruct((), jnp.float32),
+            }
+            cal_kind = 1
+        else:
+            head_aval = {
+                "weights": list(w_avals),
+                "biases": list(b_avals),
+                "a": jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
+                "b": jax.ShapeDtypeStruct((int(n_classes),), jnp.float32),
+            }
+            cal_kind = 0
         for n in sorted({int(n) for n in head_row_counts}):
             if n <= 0:
                 continue
             # The runtime key derives the architecture from the artifact
             # pytree itself; mirror it here (hidden sizes between dim and
-            # n_classes).
-            k = key("head", n, *sizes[1:-1])
+            # n_classes, then the calibration kind).
+            k = key("head", n, *sizes[1:-1], cal_kind)
             if k in execs:
                 continue
             idx_aval = jax.ShapeDtypeStruct((n,), jnp.int32)
@@ -1669,20 +1680,22 @@ class MLPClassifier:
         Requires no fitted state: the params ARE the model."""
         idx = self._check_resident_indices(indices, require_fitted=False)
         # The warmed-executable key carries the artifact's OWN structure —
-        # hidden sizes from the weight shapes, class count from the Platt
-        # vector (this path needs no fitted state) — so a structurally
-        # different artifact MISSES and falls back to jit. Without the
-        # architecture in the key, an artifact with different hidden
-        # sizes but matching (rows, dim, classes, dtype) would hit the
+        # hidden sizes + class count from the weight shapes, and the
+        # calibration kind (sigmoid vs temperature pytrees differ
+        # structurally) — so a structurally different artifact MISSES and
+        # falls back to jit. Without the architecture in the key, an
+        # artifact with different hidden sizes (or the other calibration
+        # family) but matching (rows, dim, classes, dtype) would hit the
         # stale executable and crash on mismatched avals.
         hidden = tuple(int(w.shape[1]) for w in head_pytree["weights"][:-1])
+        cal_kind = 1 if "inv_t" in head_pytree else 0
         key = self._exec_key_from(
             "head",
-            (len(idx), *hidden),
+            (len(idx), *hidden, cal_kind),
             int(getattr(self, "_resident_n_rows", 0) or 0),
             int(self._resident_X.shape[0]),
             int(self._resident_X.shape[1]),
-            int(np.shape(head_pytree["a"])[0]),
+            int(head_pytree["weights"][-1].shape[1]),
             str(self._resident_X.dtype),
         )
         probs = self._dispatch_resident(

@@ -501,6 +501,7 @@ class MermaidTrainer:
                                 eval_pair_row_counts=eval_counts,
                                 head_row_counts=head_counts,
                                 dtype=self.resident_dtype,
+                                head_calibration=self.calibration_method,
                             ))
                         except Exception as exc:  # fall back to jit-on-call
                             warm_stats["error"] = repr(exc)

@@ -1241,6 +1241,73 @@ class TestWarmResidentPrograms:
         monkeypatch.setattr(mod, "_jitted_head_apply_resident", boom)
         clf.predict_proba_resident_head(self._head_pytree(clf), idx)
 
+    def _temp_head_pytree(self, clf, inv_t=0.5):
+        """A temperature-calibrated artifact pytree (HeadParams.as_pytree
+        structure for calibration='temperature')."""
+        import jax.numpy as jnp
+
+        return {
+            "weights": [jnp.asarray(w) for w in clf.coefs_],
+            "biases": [jnp.asarray(b) for b in clf.intercepts_],
+            "inv_t": jnp.asarray(inv_t, jnp.float32),
+        }
+
+    def test_temperature_head_misses_warmed_sigmoid_program(self):
+        """Regression: a temperature artifact at the SAME geometry as a
+        warmed sigmoid head program must miss it (the calibration kind is
+        in the key) and produce softmax(inv_t * logits) — the original key
+        derivation read head_pytree['a'] and crashed with KeyError."""
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[len(X)], head_row_counts=[len(X)],
+        )
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)
+
+        head = self._temp_head_pytree(clf, inv_t=0.5)
+        out = clf.predict_proba_resident_head(head, idx)
+        # Differential vs the inference-lane head on the same rows.
+        from mermaid_classifier_tpu.inference.head import HeadParams, head_apply
+
+        params = HeadParams(
+            [np.asarray(w) for w in clf.coefs_],
+            [np.asarray(b) for b in clf.intercepts_],
+            temperature=2.0,  # inv_t = 0.5
+        )
+        import jax.numpy as jnp
+
+        expected = np.asarray(
+            head_apply(params.as_pytree(), jnp.asarray(X, jnp.float32))
+        ).astype(np.float64)
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+        np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_warmed_temperature_head_executable_is_used(self, monkeypatch):
+        import mermaid_classifier_tpu.train.mlp_classifier as mod
+
+        X, y = self._data()
+        classes = sorted(set(y.tolist()))
+        clf = MLPClassifier((16, 8), batch_size=64, random_state=0)
+        stats = clf.warm_resident_programs(
+            n_rows=len(X), dim=X.shape[1], n_classes=len(classes),
+            train_batch_row_counts=[len(X)], head_row_counts=[len(X)],
+            head_calibration="temperature",
+        )
+        assert stats["head_programs"] == 1
+        clf.set_resident_features(X)
+        idx = np.arange(len(X), dtype=np.int32)
+        clf.partial_fit_resident(idx, y, classes=classes)
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the jit path")
+
+        monkeypatch.setattr(mod, "_jitted_head_apply_resident", boom)
+        clf.predict_proba_resident_head(self._temp_head_pytree(clf), idx)
+
     def test_mesh_skips_warming(self):
         from mermaid_classifier_tpu.parallel.mesh import make_mesh
 
