@@ -42,9 +42,9 @@ class HeadParams:
       parameters. Mirrors the constructor validation of the reference
       CalibratedHead (reference: inference/head.py:30-64).
     - temperature (keyword-only ``temperature=T``, with a=b=None): a single
-      positive scalar; the head computes softmax(logits / T), which equals
-      the training-side p^(1/T) renormalization exactly and preserves the
-      argmax of the uncalibrated model.
+      positive scalar; the head renormalizes p^(1/T) from the softmax
+      probabilities (numerically matching the training-side pipeline, see
+      head_apply) and preserves the argmax of the uncalibrated model.
     """
 
     def __init__(
@@ -161,10 +161,19 @@ def head_apply(params: dict, features: jax.Array) -> jax.Array:
         if i < n - 1:
             x = jax.nn.relu(x)
     if "inv_t" in params:
-        # Temperature calibration: softmax(logits / T). Identical to the
-        # training-side p^(1/T) renormalization (softmax shift-invariance);
-        # rows sum to 1 by construction, so no fallback/clip is needed.
-        return jax.nn.softmax(x * params["inv_t"], axis=1)
+        # Temperature calibration: p^(1/T) renormalized. Computed the way
+        # the training-side TemperatureCalibratedClassifier computes it —
+        # softmax first, then scale the LOG-probabilities — NOT as the
+        # algebraically-equal softmax(logits / T): scaling raw logits
+        # amplifies the f32 rounding of inv_t by the logit magnitude
+        # (|logits| ~ 100 on a trained C2 head) and tripped the 1e-6
+        # export parity gate at 1.17e-6 on a real drive. Via log-softmax
+        # the two paths differ only by f32-vs-f64 rounding on O(1)
+        # quantities. Underflowed probabilities give log(0) = -inf, which
+        # softmax maps back to exactly 0 — no NaN (inv_t > 0 is
+        # validated). Rows sum to 1 by construction: no fallback/clip.
+        p = jax.nn.softmax(x, axis=1)
+        return jax.nn.softmax(jnp.log(p) * params["inv_t"], axis=1)
     p = jax.nn.softmax(x, axis=1)
     c = jax.nn.sigmoid(-(params["a"] * p + params["b"]))
     denom = jnp.sum(c, axis=1, keepdims=True)

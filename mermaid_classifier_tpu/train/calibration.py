@@ -496,6 +496,12 @@ class TemperatureCalibratedClassifier:
             ) from exc
         log_p = np.log(np.clip(predictions, cls._LOG_CLIP, None))
         beta = fit_temperature(log_p, y_idx, sample_weight)
+        # Snap beta to its f32 value: the shipped artifact stores inv_t as
+        # f32 (HeadParams.as_pytree), so fitting-side and artifact-side
+        # probabilities use the bit-identical exponent — the export parity
+        # gate then measures only f32-vs-f64 arithmetic rounding, not a
+        # beta mismatch. (1/(1/beta32) rounds back to beta32 in f32.)
+        beta = float(np.float32(beta))
         return cls(estimator, 1.0 / beta)
 
     def predict_proba(self, X: Any) -> np.ndarray:

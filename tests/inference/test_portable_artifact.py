@@ -177,6 +177,38 @@ class TestTemperatureArtifact:
         # softmax rows sum to one with no fallback/clip machinery.
         np.testing.assert_allclose(got.sum(axis=1), 1.0, atol=1e-6)
 
+    def test_parity_gate_at_trained_logit_magnitude(
+        self, temperature_model, tmp_path
+    ):
+        """Regression: a trained C2 head reaches |logits| ~ 100, and the
+        head's original softmax(logits * f32(inv_t)) formulation amplified
+        the f32 rounding of inv_t by that magnitude — a real drive tripped
+        the 1e-6 export gate at 1.17e-6. The head must compute p^(1/T)
+        from the log of the softmax probabilities (O(1) quantities), which
+        keeps the gate residual magnitude-independent."""
+        import jax.numpy as jnp
+
+        model, X = temperature_model
+        clf = model.estimator
+        original = clf._params
+        # Inflate the fitted weights 25x: logits in the +/- thousands.
+        clf._params = {
+            "W": [jnp.asarray(np.asarray(w) * 25.0) for w in original["W"]],
+            "b": [jnp.asarray(np.asarray(b) * 25.0) for b in original["b"]],
+        }
+        try:
+            from mermaid_classifier_tpu.train.calibration import (
+                TemperatureCalibratedClassifier,
+            )
+
+            inflated = TemperatureCalibratedClassifier(clf, 1.37)
+            _, _, max_diff = export_artifact(inflated, tmp_path, X[:32])
+            assert max_diff <= 1e-6
+        finally:
+            # The module-scoped fixture shares this estimator: restore the
+            # original params object (bit-identical, not w*25/25).
+            clf._params = original
+
     def test_argmax_matches_uncalibrated_estimator(
         self, temperature_model, tmp_path
     ):
