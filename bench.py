@@ -1219,12 +1219,32 @@ def main() -> None:
             # Headline = the best committed measurement (the others differ
             # by host/link weather, not code — see each record's notes).
             best_minutes, best_path, best = min(records, key=lambda r: r[0])
+            # Measured minutes and the VM projection are weather-decoupled:
+            # the best projection often comes from a collapsed-window run
+            # (see c2_record_attempts_*). Surface both bests by name.
+            projected = [
+                (r["projected_vm_train_minutes"], p)
+                for _, p, r in records
+                if isinstance(
+                    r.get("projected_vm_train_minutes"), (int, float)
+                )
+            ]
             payload["full_recipe_committed_record"] = {
                 "source": f"docs/runs/{best_path.name}",
                 "measured_this_run": False,
                 "all_committed_runs": {
                     p.name: m for m, p, _ in records
                 },
+                **(
+                    {
+                        "best_projected_vm_train_minutes": min(projected)[0],
+                        "best_projection_source": (
+                            f"docs/runs/{min(projected)[1].name}"
+                        ),
+                    }
+                    if projected
+                    else {}
+                ),
                 **{k: best[k] for k in (
                     "train_full_recipe_minutes",
                     "projected_vm_train_minutes", "accuracy",
@@ -1345,6 +1365,8 @@ def _headline(payload):
                     "projected_vm_train_minutes", "accuracy",
                     "balanced_accuracy", "export_parity_max_abs_diff",
                     "reference_minutes", "source", "measured_this_run",
+                    "best_projected_vm_train_minutes",
+                    "best_projection_source",
                 )
                 if k in committed
             }
